@@ -1,0 +1,141 @@
+"""IVF (inverted-file) strategy — the Spark analog of FAISS's IVF
+family (faiss.py:101-110: nlist KMeans cells, search restricted to the
+nearest `nprobe` inverted lists; SURVEY.md §4 "partition pruning
+analog").
+
+Build = MLlib KMeans fit (the distributed equivalent of FAISS's
+`train` pre-pass, faiss.py:116-118) + a `__cluster` column; the corpus
+is repartitioned by cluster so each inverted list is co-located.
+Centroids are stored in params (nlist × dim doubles — tiny), so the
+index reloads from metadata alone and inserts assign clusters without
+refitting.
+
+Query = probe the nprobe nearest centroids per query (driver-side
+numpy on the tiny centroid matrix) → equi-join corpus on `__cluster`
+(Catalyst prunes every other cluster's partitions) → exact re-rank.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vicinity_spark.backends.base import IndexStrategy
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+
+CLUSTER_COL = "__cluster"
+
+
+class IVFStrategy(IndexStrategy):
+    backend = Backend.IVF
+    exact = False
+
+    def __init__(self, nlist: int = 32, nprobe: int = 4, seed: int = 42, centroids=None, **params):
+        super().__init__(
+            nlist=int(nlist), nprobe=int(nprobe), seed=int(seed), centroids=centroids, **params
+        )
+
+    @property
+    def centroids(self) -> "np.ndarray | None":
+        c = self.params.get("centroids")
+        return None if c is None else np.asarray(c, dtype=np.float64)
+
+    def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn(
+            "__features", array_to_vector(F.col("vector").cast("array<double>"))
+        )
+        km = KMeans(
+            k=self.params["nlist"],
+            seed=self.params["seed"],
+            featuresCol="__features",
+            predictionCol=CLUSTER_COL,
+        )
+        model = km.fit(feats)
+        self.params["centroids"] = [list(map(float, c)) for c in model.clusterCenters()]
+        out = model.transform(feats).drop("__features")
+        # co-locate inverted lists; at cluster scale this is the layout
+        # that makes nprobe pruning an actual partition prune
+        return out.repartition(min(self.params["nlist"], 32), F.col(CLUSTER_COL))
+
+    def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        """Assign nearest centroid to appended rows — no refit (the
+        reference's trainable indexes likewise train once, add many)."""
+        cent = self._centroid_df(new_df.sparkSession)
+        d = distance_expr(Metric.EUCLIDEAN, F.col("vector"), F.col("__cvec"))
+        w = Window.partitionBy("id").orderBy(d, F.col(CLUSTER_COL))
+        return (
+            new_df.crossJoin(F.broadcast(cent))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__cvec")
+        )
+
+    def _centroid_df(self, spark) -> DataFrame:
+        cents = self.params["centroids"]
+        return spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)],
+            f"{CLUSTER_COL} int, __cvec array<double>",
+        )
+
+    def _probe_df(self, queries: DataFrame) -> DataFrame:
+        """(query_id, qvec, __cluster) for the nprobe nearest centroids."""
+        spark = queries.sparkSession
+        rows = queries.select("query_id", "qvec").collect()
+        C = self.centroids
+        nprobe = min(self.params["nprobe"], len(C))
+        out = []
+        for r in rows:
+            q = np.asarray(list(r[1]), dtype=np.float64)
+            d = ((C - q) ** 2).sum(axis=1)
+            for c in np.argsort(d)[:nprobe]:
+                out.append((int(r[0]), [float(x) for x in q], int(c)))
+        return spark.createDataFrame(
+            out, f"query_id bigint, __qvec array<double>, {CLUSTER_COL} int"
+        )
+
+    def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
+        probe = self._probe_df(queries)
+        return (
+            corpus.join(F.broadcast(probe), CLUSTER_COL)
+            .withColumn(
+                "distance",
+                clip_distance(distance_expr(metric, F.col("__qvec"), F.col("vector"))),
+            )
+        )
+
+    def knn(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        scored = self._scored(corpus, queries, metric)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
+
+    def threshold(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        threshold: float,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        scored = self._scored(corpus, queries, metric).where(
+            F.col("distance") <= F.lit(float(threshold))
+        )
+        return scored.select("query_id", "id", "distance", *(payload_cols or []))

@@ -1,0 +1,165 @@
+"""Random-projection LSH strategy — the Spark-native stand-in for the
+reference's hash/tree ANN backends (faiss-lsh faiss.py:91-92, annoy's
+random-projection forest annoy.py:21-68; SURVEY.md §2.3 B2/B4).
+
+Design (100 TB posture):
+- Hyperplanes are derived from a seed (`np.random.default_rng`), so the
+  index is *reproducible from params alone* — nothing binary to persist,
+  and inserted rows hash identically forever.
+- Build decorates the corpus with one `__buckets: array<bigint>` column
+  (L tables), computed in a single Arrow-vectorized pandas UDF pass.
+- Query is a pure equi-join plan: posexplode corpus buckets ⋈ probe
+  buckets on (table, bucket) → distinct candidate pairs → exact distance
+  re-rank. No cross product anywhere; the candidate join shuffles only
+  bucket-matched rows, which is what makes LSH the scale path.
+
+Metrics: cosine/inner-product use sign-bit hashing (SimHash family);
+euclidean/l2sq use p-stable floor((a·x+b)/w) hashing combined
+polynomially per table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from vicinity_spark.backends.base import IndexStrategy
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+
+BUCKETS_COL = "__buckets"
+_MOD = (1 << 61) - 1
+_PRIME = 1_000_003
+
+
+class LSHStrategy(IndexStrategy):
+    backend = Backend.LSH
+    exact = False
+
+    def __init__(self, n_tables: int = 8, n_bits: int = 14, bucket_width: float = 1.0, seed: int = 42, **params):
+        super().__init__(
+            n_tables=int(n_tables),
+            n_bits=int(n_bits),
+            bucket_width=float(bucket_width),
+            seed=int(seed),
+            **params,
+        )
+
+    # ---- hashing ----------------------------------------------------
+    def _planes(self, dim: int) -> np.ndarray:
+        rng = np.random.default_rng(self.params["seed"])
+        return rng.standard_normal((self.params["n_tables"], self.params["n_bits"], dim))
+
+    def _offsets(self) -> np.ndarray:
+        rng = np.random.default_rng(self.params["seed"] + 1)
+        w = self.params["bucket_width"]
+        return rng.uniform(0.0, w, (self.params["n_tables"], self.params["n_bits"]))
+
+    def _bucket_matrix(self, X: np.ndarray, metric: Metric) -> np.ndarray:
+        """(n, L) int64 bucket ids."""
+        L, B = self.params["n_tables"], self.params["n_bits"]
+        planes = self._planes(X.shape[1])
+        proj = np.einsum("nd,lbd->nlb", X, planes)  # n × L × B
+        if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED, Metric.MANHATTAN):
+            w = self.params["bucket_width"]
+            h = np.floor((proj + self._offsets()[None, :, :]) / w).astype(np.int64)
+            # polynomial combine per table, mod a Mersenne prime
+            out = np.zeros((X.shape[0], L), dtype=np.int64)
+            for b in range(B):
+                out = (out * _PRIME + (h[:, :, b] % _MOD)) % _MOD
+            return out
+        # sign-bit (SimHash) for cosine / inner-product / everything else
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
+        return (bits * weights).sum(axis=2)
+
+    def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        strat = self
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def bucketize(v: pd.Series) -> pd.Series:
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            M = strat._bucket_matrix(X, metric)
+            return pd.Series(list(M))
+
+        return df.withColumn(BUCKETS_COL, bucketize(F.col("vector")))
+
+    # ---- query plans ------------------------------------------------
+    def _probe_df(self, queries: DataFrame, metric: Metric) -> DataFrame:
+        """Small side: (query_id, table, bucket) probes, built driver-side."""
+        spark = queries.sparkSession
+        rows = queries.select("query_id", "qvec").collect()
+        qids = [r[0] for r in rows]
+        Q = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        M = self._bucket_matrix(Q, metric)
+        probes = [
+            (int(qid), int(t), int(M[i, t]))
+            for i, qid in enumerate(qids)
+            for t in range(self.params["n_tables"])
+        ]
+        return spark.createDataFrame(probes, "query_id bigint, table int, bucket bigint")
+
+    def _candidates(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
+        probe = self._probe_df(queries, metric)
+        exploded = corpus.select(
+            "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
+        )
+        return (
+            exploded.join(F.broadcast(probe), ["table", "bucket"])
+            .select("query_id", "id")
+            .distinct()
+        )
+
+    def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
+        cand = self._candidates(corpus, queries, metric)
+        q = queries.select("query_id", F.col("qvec").alias("__qvec"))
+        return (
+            cand.join(corpus.select("id", "vector"), "id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "distance",
+                clip_distance(distance_expr(metric, F.col("__qvec"), F.col("vector"))),
+            )
+        )
+
+    def knn(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        scored = self._scored(corpus, queries, metric)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        if payload_cols:
+            out = F.broadcast(out.select("query_id", "id", "distance", "rank")).join(
+                corpus.select("id", *payload_cols), "id", "left"
+            )
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
+
+    def threshold(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        threshold: float,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        scored = self._scored(corpus, queries, metric).where(
+            F.col("distance") <= F.lit(float(threshold))
+        )
+        cols = ["query_id", "id", "distance"] + list(payload_cols or [])
+        if payload_cols:
+            scored = scored.join(corpus.select("id", *payload_cols), "id", "left")
+        return scored.select(*cols)

@@ -1,0 +1,133 @@
+"""Distance metrics as pure Catalyst Column expressions.
+
+All seven reference metrics (vicinity/utils.py:58-65) are expressed
+with built-in higher-order functions (`zip_with` + `aggregate`) so they
+run inside the JVM with no Python boundary crossing — the hot path of
+every k-NN / radius / similarity-join plan stays in whole-stage codegen
+territory (SURVEY.md §2.4 S1-S11).
+
+Numeric determinism: every kernel casts elements to double *before*
+arithmetic and folds strictly left-to-right from 0.0 (`aggregate`
+semantics), so results are bit-identical to any engine that evaluates
+the same left-associated double chain — which is exactly how the DuckDB
+oracle SQL in __spark_entry__.py is generated.
+
+Reference kernels mirrored:
+- cosine = 1 - x̂·v̂            (basic.py:218-222; build-time normalize basic.py:216)
+- euclidean = sqrt(clip(‖x‖²+‖v‖²−2x·v, 0))   (basic.py:241-247)
+- manhattan = Σ|x−v|           (pynndescent.py:24,49-51)
+- inner_product = 1 − x·v      (usearch convention: similarity → distance)
+- l2sq = euclidean²            (usearch.py:27-31)
+- hamming = Σ 1[x≠v]           (usearch.py:27-33)
+- tanimoto = 1 − x·v/(‖x‖²+‖v‖²−x·v)  (usearch.py:27-33)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vicinity_spark.datatypes import Metric
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Strict left-to-right sum of a double array starting at 0.0."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def sq_norm(v: Column) -> Column:
+    """Squared L2 norm — the materialized column the euclidean expansion
+    reuses (reference precomputes these: basic.py:235-239)."""
+    return _fold_sum(F.transform(v, lambda x: x.cast("double") * x.cast("double")))
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(sq_norm(v))
+
+
+def l1_distance(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))))
+
+
+def normalize_expr(v: Column) -> Column:
+    """Unit-normalize; zero vectors map to zero (vicinity/utils.py:9-42)."""
+    n = l2_norm(v)
+    return F.when(n == 0.0, _as_double(v)).otherwise(
+        F.transform(v, lambda x: x.cast("double") / n)
+    )
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 − cos(a, b); zero vectors get distance 1 (normalize(0)=0 ⇒ dot 0)."""
+    denom = l2_norm(a) * l2_norm(b)
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+    return F.lit(1.0) - sim
+
+
+def cosine_distance_prenormalized(a_hat: Column, b_hat: Column) -> Column:
+    """Fast path when both sides carry unit vectors (basic.py:216-222)."""
+    return F.lit(1.0) - dot_product(a_hat, b_hat)
+
+
+def l2_squared_distance(a: Column, b: Column) -> Column:
+    return _fold_sum(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    """sqrt of clipped squared distance — clip mirrors basic.py:245-246."""
+    return F.sqrt(F.greatest(l2_squared_distance(a, b), F.lit(0.0)))
+
+
+def inner_product_distance(a: Column, b: Column) -> Column:
+    return F.lit(1.0) - dot_product(a, b)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return _fold_sum(
+        F.zip_with(
+            a, b, lambda x, y: F.when(x.cast("double") != y.cast("double"), 1.0).otherwise(0.0)
+        )
+    )
+
+
+def tanimoto_distance(a: Column, b: Column) -> Column:
+    d = dot_product(a, b)
+    denom = sq_norm(a) + sq_norm(b) - d
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(d / denom)
+    return F.lit(1.0) - sim
+
+
+_DISTANCE_FNS = {
+    Metric.COSINE: cosine_distance,
+    Metric.EUCLIDEAN: euclidean_distance,
+    Metric.MANHATTAN: l1_distance,
+    Metric.INNER_PRODUCT: inner_product_distance,
+    Metric.L2_SQUARED: l2_squared_distance,
+    Metric.HAMMING: hamming_distance,
+    Metric.TANIMOTO: tanimoto_distance,
+}
+
+
+def distance_expr(metric: "str | Metric", a: Column, b: Column) -> Column:
+    """Distance between two array<numeric> columns under `metric`."""
+    return _DISTANCE_FNS[Metric.from_string(metric)](a, b)
+
+
+def clip_distance(d: Column) -> Column:
+    """Facade-level clip to ≥ 0 (vicinity/vicinity.py:135,162)."""
+    return F.greatest(d, F.lit(0.0))

@@ -1,0 +1,214 @@
+"""Exact k-NN top-k and radius (threshold) search as Spark plans.
+
+Reference semantics mirrored (citations into /root/reference/):
+- `query(vectors, k)` — batched top-k, ascending distance, distances
+  clipped ≥ 0, k clamped to corpus size, k<1 raises
+  (vicinity/vicinity.py:114-138, vicinity/backends/basic.py:187-204).
+- `query_threshold(vectors, t)` — radius search, `distance <= t`,
+  unsorted output, no candidate cap on the exact path
+  (vicinity/vicinity.py:140-165, basic.py:149-172; SURVEY.md §2.3
+  threshold-semantics note: we standardize on the exact backend's `<=`).
+
+Two physical strategies for top-k:
+
+- ``window``: broadcast(queries) ⋈ corpus → distance column →
+  `row_number() over (partition by query_id order by distance, id)`.
+  Pure Catalyst, bit-deterministic (left-folded double arithmetic, see
+  functions/metrics.py) — this is the oracle-checked path. The window
+  shuffles all q×n candidate rows by query_id, so it is the right plan
+  only when q×n is modest or q is large relative to n.
+
+- ``partial``: per-corpus-partition vectorized top-k inside
+  `mapInPandas` (numpy matrix kernel — the distributed analog of the
+  reference's 1024-row batched matmul, basic.py:195-204), then a final
+  merge window over the surviving q×k×num_partitions rows. The shuffle
+  is bounded by q×k×partitions regardless of corpus size — this is the
+  plan that survives a 100 TB corpus: the full cross product is never
+  materialized and never shuffled.
+
+Payload columns ride along: the merged (query_id, id, distance) result
+is tiny, so it re-joins the corpus payload with a broadcast hash join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from vicinity_spark.datatypes import Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+
+
+def _np_distances(metric: Metric, Q: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Vectorized distance matrix (len(Q) × len(X)), float64.
+
+    Kernels match functions/metrics.py (and the reference kernels they
+    mirror: basic.py:218-222, 241-247; usearch.py:27-34).
+    """
+    if metric is Metric.COSINE:
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        qh = np.divide(Q, qn, out=np.zeros_like(Q), where=qn != 0)
+        xh = np.divide(X, xn, out=np.zeros_like(X), where=xn != 0)
+        return 1.0 - qh @ xh.T
+    if metric is Metric.INNER_PRODUCT:
+        return 1.0 - Q @ X.T
+    if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED):
+        q2 = (Q * Q).sum(axis=1)[:, None]
+        x2 = (X * X).sum(axis=1)[None, :]
+        d2 = np.clip(q2 + x2 - 2.0 * (Q @ X.T), 0.0, None)
+        return d2 if metric is Metric.L2_SQUARED else np.sqrt(d2)
+    if metric is Metric.MANHATTAN:
+        return np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
+    if metric is Metric.HAMMING:
+        return (Q[:, None, :] != X[None, :, :]).sum(axis=2).astype(np.float64)
+    if metric is Metric.TANIMOTO:
+        dot = Q @ X.T
+        denom = (Q * Q).sum(axis=1)[:, None] + (X * X).sum(axis=1)[None, :] - dot
+        sim = np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0)
+        return 1.0 - sim
+    raise ValueError(f"unsupported metric {metric}")
+
+
+_KNN_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("id", LongType()),
+        StructField("distance", DoubleType()),
+    ]
+)
+
+
+def _partial_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    query_rows: "list[tuple[int, list[float]]]",
+    k: int,
+    metric: Metric,
+) -> DataFrame:
+    """Per-partition vectorized top-k: emits ≤ q×k rows per Arrow batch."""
+    qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
+    Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            D = _np_distances(metric, Q, X)
+            kk = min(k, D.shape[1])
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            out_qid = np.repeat(qids, kk)
+            out_id = ids[idx.ravel()]
+            out_d = np.take_along_axis(D, idx, axis=1).ravel()
+            yield pd.DataFrame(
+                {"query_id": out_qid, "id": out_id, "distance": out_d}
+            )
+
+    return corpus.select(id_col, vector_col).mapInPandas(fn, _KNN_SCHEMA)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: "str | Metric" = Metric.COSINE,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    payload_cols: Optional[Sequence[str]] = None,
+    algorithm: str = "auto",
+) -> DataFrame:
+    """Top-k nearest neighbors of every query row over the corpus.
+
+    Returns (query_id, id, distance, rank[, payload…]) with rank 1..k by
+    ascending distance (ties broken by id — the reference's argsort is
+    positional-stable, basic.py:200-204).
+    """
+    if k < 1:
+        raise ValueError("k must be greater than 0")  # basic.py:187-188
+    metric = Metric.from_string(metric)
+    if algorithm == "auto":
+        algorithm = "partial"
+
+    if algorithm == "window":
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__qvec"),
+        )
+        pairs = corpus.crossJoin(F.broadcast(q))
+        dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col)))
+        scored = pairs.withColumn("distance", dist)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col(id_col))
+        ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        cols = ["query_id", F.col(id_col).alias("id"), "distance", "rank"]
+        if payload_cols:
+            cols += [F.col(c) for c in payload_cols]
+        return ranked.select(*cols)
+
+    if algorithm == "partial":
+        query_rows = [
+            (r[0], list(r[1]))
+            for r in queries.select(query_id_col, query_vector_col).collect()
+        ]
+        local = _partial_topk(corpus, id_col, vector_col, query_rows, k, metric)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        merged = (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
+        if payload_cols:
+            # q×k result is tiny → broadcast it and hash-join payload back.
+            payload = corpus.select(F.col(id_col).alias("id"), *payload_cols)
+            merged = F.broadcast(merged).join(payload, "id", "left")
+        return merged.select(
+            "query_id", "id", "distance", "rank", *(payload_cols or [])
+        )
+
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def threshold_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.5,
+    metric: "str | Metric" = Metric.COSINE,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    payload_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Radius search: all corpus rows with distance <= threshold.
+
+    Filter-only plan — no window, no sort (output unsorted, matching
+    vicinity.py:147). The filter sits directly on the scan side of the
+    broadcast join, so Catalyst prunes columns and the cross product
+    streams without materialization.
+    """
+    metric = Metric.from_string(metric)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__qvec"),
+    )
+    dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col)))
+    out = (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("distance", dist)
+        .where(F.col("distance") <= F.lit(float(threshold)))  # basic.py:168 `<=`
+    )
+    cols = ["query_id", F.col(id_col).alias("id"), "distance"]
+    if payload_cols:
+        cols += [F.col(c) for c in payload_cols]
+    return out.select(*cols)

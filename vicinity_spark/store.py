@@ -1,0 +1,364 @@
+"""VectorStore — the facade, mirroring the reference's `Vicinity` class
+(vicinity/vicinity.py:23-393) over a Spark DataFrame.
+
+Data model (SURVEY.md §1): one row per vector —
+    (id bigint, item_json string, vector array<float>, …layout columns)
+plus a metadata dict (metric, dim, backend, params, count, next_id).
+Items of any JSON-serializable shape live in `item_json` (canonical
+`json.dumps(sort_keys=True)`), which is also the delete-equality key —
+matching the reference's delete-by-item-equality (vicinity.py:255-283).
+Non-serializable items fail at ingest (the reference fails at save:
+vicinity.py:181-183; FIXTURES.md sanctions the ingest-time error).
+
+Divergence, documented per SURVEY.md §7.5: ids are *stable* across
+delete (the reference compacts positional indices, vicinity.py:281-283);
+observable only through `get_vector_by_index`, which here raises on any
+id that is absent rather than merely ≥ len.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StringType, StructField, StructType
+
+from vicinity_spark.backends import get_strategy_class
+from vicinity_spark.datatypes import Backend, Metric
+
+META_FILE = "_vicinity_meta.json"
+STORE_DIR = "store.parquet"
+
+_INGEST_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("item_json", StringType()),
+        StructField("vector", ArrayType(FloatType())),
+    ]
+)
+
+
+def _dump_item(item: Any) -> str:
+    try:
+        return json.dumps(item, sort_keys=True)
+    except TypeError as e:
+        # reference: orjson JSONEncodeError at save time (vicinity.py:181-183)
+        raise ValueError(f"Item is not JSON-serializable: {item!r}") from e
+
+
+class VectorStore:
+    def __init__(
+        self,
+        df: DataFrame,
+        metric: Metric,
+        dim: int,
+        backend: Backend,
+        strategy,
+        count: Optional[int] = None,
+        next_id: Optional[int] = None,
+        metadata: Optional[dict] = None,
+    ):
+        self.df = df
+        self._metric = Metric.from_string(metric)
+        self._dim = int(dim)
+        self._backend = Backend.from_string(backend)
+        self.strategy = strategy
+        self._count = count
+        self._next_id = next_id
+        self.metadata = dict(metadata or {})
+
+    # ---- constructors ----------------------------------------------
+    @classmethod
+    def from_vectors_and_items(
+        cls,
+        spark: SparkSession,
+        vectors,
+        items: Sequence[Any],
+        backend_type: "str | Backend" = Backend.BASIC,
+        metric: "str | Metric" = Metric.COSINE,
+        metadata: Optional[dict] = None,
+        **backend_params,
+    ) -> "VectorStore":
+        """Build entry point (reference F2: vicinity.py:74-102)."""
+        V = np.asarray(vectors, dtype=np.float64)
+        if V.ndim == 1:
+            V = V[None, :]
+        if len(items) != len(V):
+            raise ValueError(
+                f"Your vector space and list of items are not the same length: {len(V)} != {len(items)}"
+            )
+        metric = Metric.from_string(metric)
+        backend = Backend.from_string(backend_type)
+        rows = [
+            (i, _dump_item(item), [float(x) for x in V[i]])
+            for i, item in enumerate(items)
+        ]
+        df = spark.createDataFrame(rows, _INGEST_SCHEMA)
+        strategy = get_strategy_class(backend)(**backend_params)
+        dim = int(V.shape[1])
+        df = strategy.build(df, metric, dim)
+        return cls(
+            df,
+            metric,
+            dim,
+            backend,
+            strategy,
+            count=len(rows),
+            next_id=len(rows),
+            metadata=metadata,
+        )
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        vector_col: str = "vector",
+        id_col: Optional[str] = "id",
+        backend_type: "str | Backend" = Backend.BASIC,
+        metric: "str | Metric" = Metric.COSINE,
+        metadata: Optional[dict] = None,
+        **backend_params,
+    ) -> "VectorStore":
+        """Build from an arbitrary DataFrame with an array<numeric>
+        column; other columns become the payload (items)."""
+        metric = Metric.from_string(metric)
+        backend = Backend.from_string(backend_type)
+        work = df
+        if id_col is None or id_col not in df.columns:
+            work = work.withColumn("id", F.monotonically_increasing_id())
+            id_col = "id"
+        elif id_col != "id":
+            work = work.withColumnRenamed(id_col, "id")
+        if vector_col != "vector":
+            work = work.withColumnRenamed(vector_col, "vector")
+        dim_row = work.select(F.size("vector")).first()
+        if dim_row is None:
+            raise ValueError("empty DataFrame")
+        dim = int(dim_row[0])
+        strategy = get_strategy_class(backend)(**backend_params)
+        work = strategy.build(work, metric, dim)
+        return cls(work, metric, dim, backend, strategy, metadata=metadata)
+
+    # ---- properties (F6-F8) ----------------------------------------
+    def __len__(self) -> int:
+        if self._count is None:
+            self._count = self.df.count()
+        return self._count
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def metric(self) -> Metric:
+        return self._metric
+
+    @property
+    def backend_type(self) -> Backend:
+        return self._backend
+
+    @property
+    def payload_cols(self) -> "list[str]":
+        return [
+            c
+            for c in self.df.columns
+            if c not in ("id", "vector") and not c.startswith("__")
+        ]
+
+    # ---- query (F3/F4) ---------------------------------------------
+    def _queries_df(self, vectors) -> "tuple[DataFrame, int]":
+        V = np.asarray(vectors, dtype=np.float64)
+        if V.ndim == 1:  # 1-D promotion, vicinity.py:129-131
+            V = V[None, :]
+        spark = self.df.sparkSession
+        schema = StructType(
+            [StructField("query_id", LongType()), StructField("qvec", ArrayType(FloatType()))]
+        )
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(len(V))], schema
+        )
+        return qdf, len(V)
+
+    def query_df(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        return self.strategy.knn(
+            self.df, queries, k=k, metric=self._metric, payload_cols=self.payload_cols
+        )
+
+    def query(self, vectors, k: int = 10) -> "list[list[tuple[Any, float]]]":
+        """Batched k-NN; returns the reference's nested-list shape
+        (vicinity.py:114-138)."""
+        qdf, n = self._queries_df(vectors)
+        rows = self.query_df(qdf, k=k).orderBy("query_id", "rank").collect()
+        out: "list[list[tuple[Any, float]]]" = [[] for _ in range(n)]
+        for r in rows:
+            out[r["query_id"]].append((json.loads(r["item_json"]), float(r["distance"])))
+        return out
+
+    def threshold_df(self, queries: DataFrame, threshold: float = 0.5) -> DataFrame:
+        return self.strategy.threshold(
+            self.df,
+            queries,
+            threshold=threshold,
+            metric=self._metric,
+            payload_cols=self.payload_cols,
+        )
+
+    def query_threshold(
+        self, vectors, threshold: float = 0.5, max_k: int = 100
+    ) -> "list[list[tuple[Any, float]]]":
+        """Radius search (vicinity.py:140-165). `max_k` is accepted for
+        API parity; the exact path ignores it, like the reference's
+        BASIC backend (basic.py:149-172)."""
+        qdf, n = self._queries_df(vectors)
+        rows = self.threshold_df(qdf, threshold=threshold).collect()
+        out: "list[list[tuple[Any, float]]]" = [[] for _ in range(n)]
+        for r in rows:
+            out[r["query_id"]].append((json.loads(r["item_json"]), float(r["distance"])))
+        return out
+
+    # ---- point lookup (F5) -----------------------------------------
+    def get_vector_by_index(self, index) -> np.ndarray:
+        idxs = np.asarray(index)
+        if idxs.ndim == 0:
+            idxs = idxs[None]
+        idxs = [int(i) for i in idxs]
+        n = len(self)
+        if any(i < 0 or i >= self._id_upper_bound() for i in idxs):
+            raise ValueError(f"Index out of bounds for store of size {n}")
+        rows = (
+            self.df.where(F.col("id").isin(idxs))
+            .select("id", "vector")
+            .collect()
+        )
+        found = {r["id"]: r["vector"] for r in rows}
+        missing = [i for i in idxs if i not in found]
+        if missing:
+            raise ValueError(f"Indices not present in store: {missing}")
+        return np.asarray([found[i] for i in idxs], dtype=np.float64)
+
+    def _id_upper_bound(self) -> int:
+        return self._next_id if self._next_id is not None else len(self)
+
+    # ---- mutation (F9/F10) -----------------------------------------
+    def insert(self, items: Sequence[Any], vectors) -> None:
+        """Append items+vectors (vicinity.py:236-253)."""
+        V = np.asarray(vectors, dtype=np.float64)
+        if V.ndim == 1:
+            V = V[None, :]
+        if len(items) != len(V):
+            raise ValueError(
+                f"Your tokens and vectors are not the same length: {len(items)} != {len(V)}"
+            )
+        if V.shape[1] != self._dim:
+            raise ValueError(f"The inserted vectors must have dimension {self._dim}")
+        start = self._id_upper_bound()
+        rows = [
+            (start + i, _dump_item(item), [float(x) for x in V[i]])
+            for i, item in enumerate(items)
+        ]
+        new_df = self.df.sparkSession.createDataFrame(rows, _INGEST_SCHEMA)
+        for c in self.df.columns:
+            if c not in new_df.columns and not c.startswith("__"):
+                new_df = new_df.withColumn(c, F.lit(None))
+        new_df = self.strategy.on_insert(new_df, self._metric, self._dim)
+        self.df = self.df.unionByName(new_df, allowMissingColumns=True)
+        self._count = (self._count or 0) + len(rows)
+        self._next_id = start + len(rows)
+
+    def delete(self, items: Sequence[Any]) -> None:
+        """Delete by item equality; duplicates all removed; missing
+        tokens raise (vicinity.py:255-283)."""
+        tokens = [_dump_item(t) for t in items]
+        present = {
+            r[0]
+            for r in self.df.where(F.col("item_json").isin(tokens))
+            .select("item_json")
+            .distinct()
+            .collect()
+        }
+        missing = [t for t in tokens if t not in present]
+        if missing:
+            raise ValueError(f"Tokens {missing} were not in the store.")
+        removed = self.df.where(F.col("item_json").isin(tokens)).count()
+        self.df = self.df.where(~F.col("item_json").isin(tokens))
+        if self._count is not None:
+            self._count -= removed
+
+    # ---- persistence (F11/F12) -------------------------------------
+    def save(self, folder: str, overwrite: bool = False) -> None:
+        if os.path.exists(os.path.join(folder, META_FILE)) and not overwrite:
+            raise ValueError(f"Store already exists at {folder} (pass overwrite=True)")
+        os.makedirs(folder, exist_ok=True)
+        self.df.write.mode("overwrite").parquet(os.path.join(folder, STORE_DIR))
+        meta = {
+            "engine": "vicinity_spark",
+            "metric": self._metric.value,
+            "dim": self._dim,
+            "backend_type": self._backend.value,
+            "backend_params": self.strategy.to_params(),
+            "count": len(self),
+            "next_id": self._id_upper_bound(),
+            "metadata": self.metadata,
+        }
+        with open(os.path.join(folder, META_FILE), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        self.strategy.save_extra(folder)
+
+    @classmethod
+    def load(cls, folder: str, spark: SparkSession) -> "VectorStore":
+        with open(os.path.join(folder, META_FILE)) as f:
+            meta = json.load(f)
+        df = spark.read.parquet(os.path.join(folder, STORE_DIR))
+        backend = Backend.from_string(meta["backend_type"])
+        strategy = get_strategy_class(backend)(**meta.get("backend_params", {}))
+        strategy.load_extra(folder, spark)
+        return cls(
+            df,
+            Metric.from_string(meta["metric"]),
+            int(meta["dim"]),
+            backend,
+            strategy,
+            count=meta.get("count"),
+            next_id=meta.get("next_id"),
+            metadata=meta.get("metadata"),
+        )
+
+    # ---- evaluation (F15) ------------------------------------------
+    def evaluate(
+        self, query_vectors, k: int = 10, epsilon: float = 1e-3
+    ) -> "tuple[float, float]":
+        """(QPS, recall@k) — ann-benchmarks methodology, mirroring
+        vicinity.py:328-393: recall = fraction of returned distances
+        ≤ exact kth distance + ε, averaged over queries; exact ground
+        truth is the brute-force plan on the same corpus."""
+        if self._metric not in (Metric.COSINE, Metric.EUCLIDEAN):
+            raise ValueError(
+                f"Unsupported metric for evaluation: {self._metric}"
+            )  # vicinity.py:350-360
+        from vicinity_spark.operators.knn import knn_join
+
+        qdf, n = self._queries_df(query_vectors)
+        qdf = qdf.cache()
+        qdf.count()
+        gt = (
+            knn_join(self.df, qdf, k=k, metric=self._metric, algorithm="partial")
+            .groupBy("query_id")
+            .agg(F.max("distance").alias("gt_kth"))
+        )
+        t0 = time.perf_counter()
+        approx = self.strategy.knn(self.df, qdf, k=k, metric=self._metric)
+        approx_rows = approx.select("query_id", "distance").collect()
+        elapsed = time.perf_counter() - t0
+        qps = n / elapsed if elapsed > 0 else float("inf")
+        gt_kth = {r["query_id"]: r["gt_kth"] for r in gt.collect()}
+        hits: "dict[int, int]" = {}
+        for r in approx_rows:
+            if r["distance"] <= gt_kth[r["query_id"]] + epsilon:
+                hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+        recall = float(np.mean([hits.get(q, 0) / k for q in gt_kth])) if gt_kth else 0.0
+        return qps, recall
