@@ -1,0 +1,204 @@
+"""Facade tests mirroring the reference suite's shape
+(/root/reference/tests/test_vicinity.py): invariants, determinism,
+metamorphic insert/delete, roundtrip save/load, error paths, evaluate.
+Backend matrix: exact / lsh / ivf (SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.store import VectorStore
+
+N = 200
+DIM = 8
+
+BACKENDS = ["basic", "lsh", "ivf"]
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    vectors = rng.random((N, DIM))
+    items = [
+        f"item{i}" if i % 2 == 0 else {"name": f"item{i}", "id": i}
+        for i in range(1, N + 1)
+    ]
+    qvec = rng.random(DIM)
+    return vectors, items, qvec
+
+
+def make_store(spark, data, backend, **kw):
+    vectors, items, _ = data
+    params = {}
+    if backend == "ivf":
+        params = {"nlist": 8, "nprobe": 8}  # nprobe=nlist → exhaustive
+    if backend == "lsh":
+        params = {"n_tables": 12, "n_bits": 6}
+    params.update(kw)
+    return VectorStore.from_vectors_and_items(
+        spark, vectors, items, backend_type=backend, metric="cosine", **params
+    )
+
+
+@pytest.fixture(scope="module", params=BACKENDS)
+def store(request, spark, data):
+    return make_store(spark, data, request.param)
+
+
+def test_init_invariants(store, data):
+    assert len(store) == N
+    assert store.dim == DIM
+    assert store.metric == Metric.COSINE
+
+
+def test_query_shape_and_order(store, data):
+    _, _, qvec = data
+    res = store.query(qvec, k=5)
+    assert len(res) == 1
+    assert 0 < len(res[0]) <= 5
+    dists = [d for _, d in res[0]]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
+
+
+def test_query_duplicate_rows_identical(store, data):
+    _, _, qvec = data
+    res = store.query(np.stack([qvec, qvec]), k=5)
+    assert res[0] == res[1]  # determinism, test_vicinity.py:58-64
+
+
+def test_query_threshold(store, data):
+    _, _, qvec = data
+    res = store.query_threshold(qvec, threshold=0.7)
+    assert len(res) == 1
+    assert all(d <= 0.7 for _, d in res[0])
+
+
+def test_insert_then_query_finds_item(spark, data):
+    vectors, items, qvec = data
+    store = make_store(spark, data, "basic")
+    store.insert([f"item{N + 1}"], qvec)
+    assert len(store) == N + 1
+    res = store.query(qvec, k=5)
+    names = [it for it, _ in res[0]]
+    assert f"item{N + 1}" in names  # test_vicinity.py:83-101
+    assert res[0][0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_insert_validation(spark, data):
+    store = make_store(spark, data, "basic")
+    with pytest.raises(ValueError):
+        store.insert(["a", "b"], np.random.default_rng(0).random((1, DIM)))
+    with pytest.raises(ValueError):
+        store.insert(["a"], np.random.default_rng(0).random((1, 3)))
+
+
+def test_delete(spark, data):
+    vectors, items, _ = data
+    store = make_store(spark, data, "basic")
+    store.delete(["item2"])
+    assert len(store) == N - 1
+    res = store.query(vectors[1], k=3)  # item2's own vector
+    assert "item2" not in [it for it, _ in res[0]]  # test_vicinity.py:104-131
+
+
+def test_delete_nonexistent_raises(spark, data):
+    store = make_store(spark, data, "basic")
+    with pytest.raises(ValueError):
+        store.delete([f"item{N + 2}"])  # test_vicinity.py:215-226
+
+
+def test_delete_struct_item(spark, data):
+    store = make_store(spark, data, "basic")
+    store.delete([{"name": "item1", "id": 1}])
+    assert len(store) == N - 1
+
+
+def test_get_vector_by_index(spark, data):
+    vectors, _, _ = data
+    store = make_store(spark, data, "basic")
+    got = store.get_vector_by_index([0, 1, 10])
+    np.testing.assert_allclose(got, vectors[[0, 1, 10]], rtol=1e-6)
+    with pytest.raises(ValueError):
+        store.get_vector_by_index([N])
+    with pytest.raises(ValueError):
+        store.get_vector_by_index([-1])  # test_vicinity.py:181-199
+
+
+def test_non_serializable_item_raises(spark, data):
+    vectors, _, _ = data
+
+    class Unserializable:
+        pass
+
+    with pytest.raises(ValueError):
+        VectorStore.from_vectors_and_items(
+            spark, vectors[:2], [Unserializable(), "x"], backend_type="basic"
+        )  # ingest-time analog of test_vicinity.py:166-178
+
+
+def test_save_load_roundtrip(spark, data, tmp_path):
+    _, _, qvec = data
+    store = make_store(spark, data, "basic")
+    path = str(tmp_path / "store")
+    store.save(path)
+    with pytest.raises(ValueError):
+        store.save(path)  # exists, no overwrite
+    store.save(path, overwrite=True)
+    loaded = VectorStore.load(path, spark)
+    assert len(loaded) == N
+    assert loaded.metric == Metric.COSINE
+    assert loaded.dim == DIM
+    assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_save_load_roundtrip_all_backends(spark, data, tmp_path, backend):
+    _, _, qvec = data
+    store = make_store(spark, data, backend)
+    path = str(tmp_path / f"store_{backend}")
+    store.save(path)
+    loaded = VectorStore.load(path, spark)
+    assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
+
+
+def test_evaluate_exact_recall_one(spark, data):
+    vectors, _, _ = data
+    store = make_store(spark, data, "basic")
+    qps, recall = store.evaluate(vectors[:10], k=10)
+    assert qps > 0
+    assert recall == pytest.approx(1.0)  # exact path IS the ground truth
+
+
+@pytest.mark.parametrize("backend", ["lsh", "ivf"])
+def test_evaluate_ann_recall_floor(spark, data, backend):
+    vectors, _, _ = data
+    store = make_store(spark, data, backend)
+    qps, recall = store.evaluate(vectors[:10], k=10)
+    assert qps > 0
+    assert 0.0 <= recall <= 1.0
+    # declared recall floors (BASELINE.md engine-internal acceptance)
+    assert recall >= 0.8, f"{backend} recall {recall} below floor"
+
+
+def test_evaluate_rejects_manhattan(spark, data):
+    vectors, items, _ = data
+    store = VectorStore.from_vectors_and_items(
+        spark, vectors, items, backend_type="basic", metric="manhattan"
+    )
+    with pytest.raises(ValueError):
+        store.evaluate(vectors[:5])  # vicinity.py:350-360
+
+
+def test_metric_aliases():
+    assert Metric.from_string("cos") == Metric.COSINE
+    assert Metric.from_string("dot") == Metric.COSINE
+    assert Metric.from_string("l2") == Metric.EUCLIDEAN
+    assert Metric.from_string("l1") == Metric.MANHATTAN
+    assert Metric.from_string("ip") == Metric.INNER_PRODUCT
+    assert Metric.from_string("l2_squared") == Metric.L2_SQUARED
+    with pytest.raises(ValueError):
+        Metric.from_string("nope")
+    with pytest.raises(ValueError):
+        Backend.from_string("nope")
