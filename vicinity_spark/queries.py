@@ -1,0 +1,815 @@
+"""Declared query inventory — the driver-facing catalog backing
+__spark_entry__.py (queries() + oracle_sql()).
+
+Each entry pairs a Spark DataFrame program with an equivalent DuckDB
+SQL oracle. Distance math is generated as the *same left-associated
+double chain* on both sides (see functions/metrics.py docstring), so
+values are bit-comparable; every float output is rounded to a fixed
+scale as a safety margin, and every computed column is aliased
+identically in both programs.
+
+Inventory map (SURVEY.md §2):
+- F3 `query` (k-NN top-k)      → knn_* entries, one per metric S4-S10
+- F4 `query_threshold` (radius) → threshold_* entries
+- similarity self-join analog   → neardup_embeddings
+- S1/S2 normalize + norms       → vector_norms, vector_stats_by_label
+- ANN strategies (LSH/IVF)      → ann_*_recall entries (rows-only)
+- ★ dedup / text analysis       → dedup_*, text_* entries
+- ★ relational/data-prep breadth → q1/q3/regional/top-k/events entries
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vicinity_spark.functions.metrics import (
+    clip_distance,
+    distance_expr,
+    l2_norm,
+    sq_norm,
+)
+from vicinity_spark.operators.knn import knn_join, threshold_join
+
+DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+NQ = 8  # query rows for knn entries: vec_id < NQ
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session to UTC so timestamp-literal comparisons agree with
+    # the (timezone-naive) DuckDB oracle regardless of driver locale.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as raw int64 and do integer-exact
+        # epoch arithmetic (oracles use epoch_ns on their side).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------
+# DuckDB SQL chain generators — mirror functions/metrics.py fold order
+# --------------------------------------------------------------------
+
+def _chain(terms: "list[str]") -> str:
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    return _chain([f"({a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE)" for i in range(1, dim + 1)])
+
+
+def sql_sqnorm(a: str, dim: int = DIM) -> str:
+    return _chain([f"({a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE)" for i in range(1, dim + 1)])
+
+
+def sql_l2sq(a: str, b: str, dim: int = DIM) -> str:
+    return _chain(
+        [
+            f"(({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE) * ({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE))"
+            for i in range(1, dim + 1)
+        ]
+    )
+
+
+def sql_l1(a: str, b: str, dim: int = DIM) -> str:
+    return _chain([f"abs({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE)" for i in range(1, dim + 1)])
+
+
+def sql_hamming_bits(a: str, b: str, dim: int = DIM) -> str:
+    return _chain(
+        [
+            f"(CASE WHEN ({a}[{i}]::DOUBLE > 0.0) <> ({b}[{i}]::DOUBLE > 0.0) THEN 1.0 ELSE 0.0 END)"
+            for i in range(1, dim + 1)
+        ]
+    )
+
+
+def sql_distance(metric: str, a: str, b: str, dim: int = DIM) -> str:
+    """greatest(distance, 0) — mirrors clip_distance(distance_expr(...))."""
+    dot = sql_dot(a, b, dim)
+    if metric == "cosine":
+        d = f"(1.0 - ({dot} / (sqrt({sql_sqnorm(a, dim)}) * sqrt({sql_sqnorm(b, dim)}))))"
+    elif metric == "euclidean":
+        d = f"sqrt(greatest({sql_l2sq(a, b, dim)}, 0.0))"
+    elif metric == "l2sq":
+        d = sql_l2sq(a, b, dim)
+    elif metric == "manhattan":
+        d = sql_l1(a, b, dim)
+    elif metric == "inner_product":
+        d = f"(1.0 - {dot})"
+    elif metric == "tanimoto":
+        denom = f"(({sql_sqnorm(a, dim)} + {sql_sqnorm(b, dim)}) - {dot})"
+        d = f"(1.0 - ({dot} / {denom}))"
+    else:
+        raise ValueError(metric)
+    return f"greatest({d}, 0.0)"
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+ORACLES: "dict[str, str]" = {}
+
+
+def register(name: str, sql: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _emb_corpus(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+
+
+def _emb_queries(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+# ---- k-NN per metric (F3 / S4-S10) ---------------------------------
+
+def _knn_sql(metric: str, k: int = 10) -> str:
+    dist = sql_distance(metric, "q.qv", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id, {dist} AS d
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, id, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, id, round(d, 6) AS distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _make_knn(metric: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = knn_join(
+            _emb_corpus(spark, sf_dir),
+            _emb_queries(spark, sf_dir),
+            k=k,
+            metric=metric,
+            algorithm="window",
+        )
+        return res.select(
+            "query_id",
+            "id",
+            F.round("distance", 6).alias("distance"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return fn
+
+
+for _m in ["cosine", "euclidean", "manhattan", "inner_product", "l2sq", "tanimoto"]:
+    register(f"knn_{_m}", _knn_sql(_m))(_make_knn(_m))
+
+
+@register(
+    "knn_hamming_signbits",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS id,
+         greatest({sql_hamming_bits('q.qv', 'e.embedding')}, 0.0) AS d
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, id, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, id, round(d, 6) AS distance, rank FROM ranked WHERE rank <= 10
+""",
+)
+def knn_hamming_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming k-NN over sign-bit quantized embeddings (the reference's
+    hamming metric, usearch.py:27-33, is meaningful on binary-ish
+    vectors; sign quantization is the classic binarization)."""
+    bits = lambda c: F.transform(c, lambda x: F.when(x.cast("double") > 0.0, 1.0).otherwise(0.0))
+    corpus = _emb_corpus(spark, sf_dir).withColumn("vector", bits(F.col("vector")))
+    queries = _emb_queries(spark, sf_dir).withColumn("qvec", bits(F.col("qvec")))
+    res = knn_join(corpus, queries, k=10, metric="hamming", algorithm="window")
+    return res.select(
+        "query_id",
+        "id",
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---- radius / threshold (F4) ---------------------------------------
+
+def _threshold_sql(metric: str, t: float) -> str:
+    dist = sql_distance(metric, "q.qv", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ})
+SELECT q.query_id, e.vec_id AS id, round({dist}, 6) AS distance
+FROM q CROSS JOIN embeddings e
+WHERE {dist} <= {t}
+"""
+
+
+def _make_threshold(metric: str, t: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = threshold_join(
+            _emb_corpus(spark, sf_dir), _emb_queries(spark, sf_dir), threshold=t, metric=metric
+        )
+        return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+    return fn
+
+
+register("threshold_cosine", _threshold_sql("cosine", 0.72))(_make_threshold("cosine", 0.72))
+register("threshold_euclidean", _threshold_sql("euclidean", 1.2))(_make_threshold("euclidean", 1.2))
+
+
+# ---- similarity self-join / embedding near-dup (★) ------------------
+
+_NEARDUP_T = 0.67
+
+
+@register(
+    "neardup_embeddings",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({sql_distance('cosine', 'a.embedding', 'b.embedding')}, 6) AS distance
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
+""",
+)
+def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs theta join; the
+    LSH-bucketed variant is ann_lsh_neardup — same semantics, scale plan)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    d = clip_distance(distance_expr("cosine", F.col("va"), F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", d)
+        .where(F.col("distance") <= _NEARDUP_T)
+        .select("id_a", "id_b", F.round("distance", 6).alias("distance"))
+    )
+
+
+# ---- vector utilities (S1/S2) --------------------------------------
+
+@register(
+    "vector_norms",
+    f"""
+SELECT vec_id AS id,
+       round(sqrt({sql_sqnorm('embedding')}), 6) AS l2_norm,
+       round({sql_sqnorm('embedding')}, 6) AS squared_norm,
+       CASE WHEN abs(sqrt({sql_sqnorm('embedding')}) - 1.0) < 0.001 THEN 1 ELSE 0 END
+         ::BIGINT AS is_unit
+FROM embeddings
+""",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    return e.select(
+        F.col("vec_id").alias("id"),
+        F.round(n, 6).alias("l2_norm"),
+        F.round(sq_norm(F.col("embedding")), 6).alias("squared_norm"),
+        F.when(F.abs(n - 1.0) < 0.001, 1).otherwise(0).cast("long").alias("is_unit"),
+    )
+
+
+@register(
+    "vector_stats_by_label",
+    f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(sqrt({sql_sqnorm('embedding')})), 6) AS avg_norm,
+       round(min(embedding[1]::DOUBLE), 6) AS min_first,
+       round(max(embedding[1]::DOUBLE), 6) AS max_first
+FROM embeddings GROUP BY label
+""",
+)
+def vector_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        F.round(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first"),
+        F.round(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first"),
+    )
+
+
+# ---- ANN strategies (rows-only checks: plan-dependent results) ------
+
+@register("ann_lsh_knn")
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed k-NN (equi-join candidate plan, backends/lsh.py).
+    Approximate by design → no SQL oracle; recall gated in tests."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(n_tables=12, n_bits=6)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register("ann_ivf_knn")
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans cluster-pruned) k-NN (backends/ivf.py)."""
+    from vicinity_spark.backends.ivf import IVFStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = IVFStrategy(nlist=16, nprobe=4)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---- dedup suite (★ training-data pipeline) -------------------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id as canonical."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id")
+    )
+
+
+_TOK_SQL = "string_split(lower(text), ' ')"
+
+
+@register(
+    "dedup_token_jaccard",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents WHERE doc_id < 200
+),
+dtoks AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dtoks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.85
+""",
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs over a doc subset: explode →
+    equi-join on token → count/union arithmetic. Pure shuffle-on-token
+    plan (no cross product) — the shape that survives 100 TB."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("both").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("both")).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.85)
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents)
+  )
+"""
+
+
+@register(
+    "dedup_shingle_jaccard",
+    f"""
+WITH sh AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+""",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram (shingle) Jaccard near-dup pairs — the n-gram
+    Jaccard dedup entry; shingling via posexplode + window lead."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("both").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("both")).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- text analysis suite (★) ---------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOK_SQL})) AS BIGINT) AS n_unique,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_TOK_SQL}) AS nt,
+         len(list_distinct({_TOK_SQL})) AS nu,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       round(nu::DOUBLE / nt::DOUBLE, 6) AS ttr,
+       round(nc::DOUBLE / nt::DOUBLE, 6) AS avg_token_span,
+       CASE WHEN nt >= 20 AND nu::DOUBLE / nt::DOUBLE >= 0.3 THEN 1 ELSE 0 END::BIGINT AS quality_pass
+FROM s
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio + length heuristics (the
+    C4/Gopher-style rule family, minus chars we can't see in this
+    vocab: punctuation/stopword ratios generalize identically)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        F.length("text").alias("nc"),
+    )
+    ttr = F.col("nu").cast("double") / F.col("nt").cast("double")
+    return s.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.col("nc").cast("double") / F.col("nt").cast("double"), 6).alias(
+            "avg_token_span"
+        ),
+        F.when((F.col("nt") >= 20) & (ttr >= 0.3), 1).otherwise(0).cast("long").alias(
+            "quality_pass"
+        ),
+    )
+
+
+_EN_STOP = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "text_langid",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tok IN {str(_EN_STOP)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, en_hits,
+       CASE WHEN en_hits::DOUBLE / nt::DOUBLE >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM scores
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (n-gram heuristic family). The synthetic
+    corpus is English-vocab with random lang labels, so the heuristic's
+    value here is determinism, not accuracy."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    scores = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok").isin(*_EN_STOP), 1).otherwise(0)).cast("long").alias("en_hits"),
+        F.count("*").cast("long").alias("nt"),
+    )
+    return scores.select(
+        "doc_id",
+        "en_hits",
+        F.when(
+            F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en"
+        )
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    an order-insensitive content signature for fast exact-ish dedup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+    return d.select(
+        "doc_id", F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint")
+    )
+
+
+@register(
+    "docs_stats_by_lang",
+    """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars::DOUBLE), 4) AS avg_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---- relational breadth / data prep (★) ----------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+WITH rev AS (
+  SELECT o.o_orderkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, round(revenue, 2) AS revenue
+FROM (
+  SELECT o_orderkey, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rn
+  FROM rev
+) WHERE rn <= 10
+""",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-k. The dimension side (customer) is
+    broadcast; the top-k is TakeOrderedAndProject, not a full sort."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"), F.round("revenue", 2).alias("revenue"))
+    )
+
+
+@register(
+    "regional_revenue",
+    """
+SELECT r.r_name AS region, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem with broadcast dims all the way up."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    """
+SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey, round(p_retailprice, 2) AS p_retailprice,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+""",
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the windowed-ranking operator shared with kNN."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "p_brand",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    """
+SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_epoch, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch shape of the streaming
+    windowed agg in streaming/). `ts` arrives as int64 nanos (see _t)."""
+    e = _t(spark, sf_dir, "events")
+    hour = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long") * 3600
+    return (
+        e.groupBy(hour.alias("hour_epoch"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the batch analog of a session window in Structured Streaming.
+    `ts` is int64 nanos (see _t); gap math is integer-exact."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts") - prev) > 1_800_000_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke entry: exact cosine k-NN top-10 on the sf0.001
+    embeddings — the engine's F3 operator end-to-end."""
+    return QUERIES["knn_cosine"](spark, sf_dir)
