@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Per-query wall-clock seconds; the headline
+metric is total seconds across the suite.
+
+Workload mix: the vector-engine hot paths (batched exact k-NN over the
+full embedding table — the reference's `query()` at full-corpus query
+load, README.md:99-106 —, radius search, ANN strategies, similarity
+self-join), the ★ pipeline operators (dedup, text), and the relational
+heads that exercise join/agg/window at the largest table (lineitem).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from vicinity_spark import queries as Q
+from vicinity_spark.session import get_spark
+
+
+def _emb_all_queries(spark, sf_dir):
+    return Q._t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def knn_batch_full(spark, sf_dir):
+    """Every embedding queries the whole corpus, k=10, partial top-k
+    (mapInPandas numpy kernel + bounded merge shuffle)."""
+    from vicinity_spark.operators.knn import knn_join
+
+    return knn_join(
+        Q._emb_corpus(spark, sf_dir),
+        _emb_all_queries(spark, sf_dir),
+        k=10,
+        metric="cosine",
+        algorithm="partial",
+    )
+
+
+def ann_lsh_batch(spark, sf_dir):
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(n_tables=12, n_bits=8)
+    corpus = strat.build(Q._emb_corpus(spark, sf_dir), Metric.COSINE, Q.DIM)
+    return strat.knn(corpus, _emb_all_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+
+
+def ann_ivf_batch(spark, sf_dir):
+    from vicinity_spark.backends.ivf import IVFStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = IVFStrategy(nlist=32, nprobe=4)
+    corpus = strat.build(Q._emb_corpus(spark, sf_dir), Metric.COSINE, Q.DIM)
+    return strat.knn(corpus, _emb_all_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+
+
+BENCH = {
+    "knn_batch_full": knn_batch_full,
+    "knn_cosine": Q.QUERIES["knn_cosine"],
+    "knn_euclidean": Q.QUERIES["knn_euclidean"],
+    "threshold_cosine": Q.QUERIES["threshold_cosine"],
+    "neardup_embeddings": Q.QUERIES["neardup_embeddings"],
+    "ann_lsh_batch": ann_lsh_batch,
+    "ann_ivf_batch": ann_ivf_batch,
+    "dedup_exact": Q.QUERIES["dedup_exact"],
+    "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
+    "text_quality": Q.QUERIES["text_quality"],
+    "text_fingerprint": Q.QUERIES["text_fingerprint"],
+    "q1_pricing_summary": Q.QUERIES["q1_pricing_summary"],
+    "q3_top_revenue_orders": Q.QUERIES["q3_top_revenue_orders"],
+    "regional_revenue": Q.QUERIES["regional_revenue"],
+    "top_parts_per_brand": Q.QUERIES["top_parts_per_brand"],
+    "events_hourly": Q.QUERIES["events_hourly"],
+    "events_sessionize": Q.QUERIES["events_sessionize"],
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("vicinity-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plans, not first-touch costs
+    spark.range(1).count()
+
+    timings = {}
+    for name, fn in BENCH.items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

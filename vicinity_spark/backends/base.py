@@ -31,6 +31,7 @@ class IndexStrategy:
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         """Add layout columns. Default: none (flat layout)."""
+        self.params["dim"] = int(dim)
         return df
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:

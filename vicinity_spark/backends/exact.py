@@ -35,6 +35,7 @@ class ExactStrategy(IndexStrategy):
             metric=metric,
             payload_cols=payload_cols,
             algorithm=self.params.get("algorithm", "auto"),
+            dim=self.params.get("dim"),
         )
 
     def threshold(
@@ -47,5 +48,10 @@ class ExactStrategy(IndexStrategy):
         payload_cols: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         return threshold_join(
-            corpus, queries, threshold=threshold, metric=metric, payload_cols=payload_cols
+            corpus,
+            queries,
+            threshold=threshold,
+            metric=metric,
+            payload_cols=payload_cols,
+            dim=self.params.get("dim"),
         )

@@ -48,6 +48,7 @@ class IVFStrategy(IndexStrategy):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        self.params["dim"] = int(dim)
         feats = df.withColumn(
             "__features", array_to_vector(F.col("vector").cast("array<double>"))
         )
@@ -106,7 +107,11 @@ class IVFStrategy(IndexStrategy):
             corpus.join(F.broadcast(probe), CLUSTER_COL)
             .withColumn(
                 "distance",
-                clip_distance(distance_expr(metric, F.col("__qvec"), F.col("vector"))),
+                clip_distance(
+                    distance_expr(
+                        metric, F.col("__qvec"), F.col("vector"), self.params.get("dim")
+                    )
+                ),
             )
         )
 

@@ -79,6 +79,7 @@ class LSHStrategy(IndexStrategy):
         return (bits * weights).sum(axis=2)
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        self.params["dim"] = int(dim)
         strat = self
 
         @F.pandas_udf(ArrayType(LongType()))
@@ -123,7 +124,11 @@ class LSHStrategy(IndexStrategy):
             .join(F.broadcast(q), "query_id")
             .withColumn(
                 "distance",
-                clip_distance(distance_expr(metric, F.col("__qvec"), F.col("vector"))),
+                clip_distance(
+                    distance_expr(
+                        metric, F.col("__qvec"), F.col("vector"), self.params.get("dim")
+                    )
+                ),
             )
         )
 

@@ -39,21 +39,43 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot_product(a: Column, b: Column) -> Column:
+def _chain_sum(terms: "list[Column]") -> Column:
+    """Left-nested + chain: ((t1+t2)+t3)+… — IEEE-identical to a fold
+    from 0.0 (0.0 + t1 is exact), but expressed as plain binary ops that
+    stay inside whole-stage codegen. Spark's higher-order functions are
+    CodegenFallback (interpreted per element), so for a known dim the
+    chain form is ~10-50× faster on wide joins."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _el(v: Column, i: int) -> Column:
+    return F.element_at(v, i).cast("double")
+
+
+def dot_product(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    if dim:
+        return _chain_sum([_el(a, i) * _el(b, i) for i in range(1, dim + 1)])
     return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
-def sq_norm(v: Column) -> Column:
+def sq_norm(v: Column, dim: "int | None" = None) -> Column:
     """Squared L2 norm — the materialized column the euclidean expansion
     reuses (reference precomputes these: basic.py:235-239)."""
+    if dim:
+        return _chain_sum([_el(v, i) * _el(v, i) for i in range(1, dim + 1)])
     return _fold_sum(F.transform(v, lambda x: x.cast("double") * x.cast("double")))
 
 
-def l2_norm(v: Column) -> Column:
-    return F.sqrt(sq_norm(v))
+def l2_norm(v: Column, dim: "int | None" = None) -> Column:
+    return F.sqrt(sq_norm(v, dim))
 
 
-def l1_distance(a: Column, b: Column) -> Column:
+def l1_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    if dim:
+        return _chain_sum([F.abs(_el(a, i) - _el(b, i)) for i in range(1, dim + 1)])
     return _fold_sum(F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))))
 
 
@@ -65,19 +87,23 @@ def normalize_expr(v: Column) -> Column:
     )
 
 
-def cosine_distance(a: Column, b: Column) -> Column:
+def cosine_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
     """1 − cos(a, b); zero vectors get distance 1 (normalize(0)=0 ⇒ dot 0)."""
-    denom = l2_norm(a) * l2_norm(b)
-    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b, dim) / denom)
     return F.lit(1.0) - sim
 
 
-def cosine_distance_prenormalized(a_hat: Column, b_hat: Column) -> Column:
+def cosine_distance_prenormalized(a_hat: Column, b_hat: Column, dim: "int | None" = None) -> Column:
     """Fast path when both sides carry unit vectors (basic.py:216-222)."""
-    return F.lit(1.0) - dot_product(a_hat, b_hat)
+    return F.lit(1.0) - dot_product(a_hat, b_hat, dim)
 
 
-def l2_squared_distance(a: Column, b: Column) -> Column:
+def l2_squared_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    if dim:
+        return _chain_sum(
+            [(_el(a, i) - _el(b, i)) * (_el(a, i) - _el(b, i)) for i in range(1, dim + 1)]
+        )
     return _fold_sum(
         F.zip_with(
             a,
@@ -88,16 +114,23 @@ def l2_squared_distance(a: Column, b: Column) -> Column:
     )
 
 
-def euclidean_distance(a: Column, b: Column) -> Column:
+def euclidean_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
     """sqrt of clipped squared distance — clip mirrors basic.py:245-246."""
-    return F.sqrt(F.greatest(l2_squared_distance(a, b), F.lit(0.0)))
+    return F.sqrt(F.greatest(l2_squared_distance(a, b, dim), F.lit(0.0)))
 
 
-def inner_product_distance(a: Column, b: Column) -> Column:
-    return F.lit(1.0) - dot_product(a, b)
+def inner_product_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    return F.lit(1.0) - dot_product(a, b, dim)
 
 
-def hamming_distance(a: Column, b: Column) -> Column:
+def hamming_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    if dim:
+        return _chain_sum(
+            [
+                F.when(_el(a, i) != _el(b, i), 1.0).otherwise(0.0)
+                for i in range(1, dim + 1)
+            ]
+        )
     return _fold_sum(
         F.zip_with(
             a, b, lambda x, y: F.when(x.cast("double") != y.cast("double"), 1.0).otherwise(0.0)
@@ -105,9 +138,9 @@ def hamming_distance(a: Column, b: Column) -> Column:
     )
 
 
-def tanimoto_distance(a: Column, b: Column) -> Column:
-    d = dot_product(a, b)
-    denom = sq_norm(a) + sq_norm(b) - d
+def tanimoto_distance(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    d = dot_product(a, b, dim)
+    denom = sq_norm(a, dim) + sq_norm(b, dim) - d
     sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(d / denom)
     return F.lit(1.0) - sim
 
@@ -123,9 +156,15 @@ _DISTANCE_FNS = {
 }
 
 
-def distance_expr(metric: "str | Metric", a: Column, b: Column) -> Column:
-    """Distance between two array<numeric> columns under `metric`."""
-    return _DISTANCE_FNS[Metric.from_string(metric)](a, b)
+def distance_expr(
+    metric: "str | Metric", a: Column, b: Column, dim: "int | None" = None
+) -> Column:
+    """Distance between two array<numeric> columns under `metric`.
+
+    Pass `dim` when known: the kernel is then emitted as an element_at
+    chain that stays in whole-stage codegen (same IEEE result as the
+    HOF fold — see _chain_sum)."""
+    return _DISTANCE_FNS[Metric.from_string(metric)](a, b, dim)
 
 
 def clip_distance(d: Column) -> Column:

@@ -127,6 +127,7 @@ def knn_join(
     query_vector_col: str = "qvec",
     payload_cols: Optional[Sequence[str]] = None,
     algorithm: str = "auto",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Top-k nearest neighbors of every query row over the corpus.
 
@@ -146,7 +147,7 @@ def knn_join(
             F.col(query_vector_col).alias("__qvec"),
         )
         pairs = corpus.crossJoin(F.broadcast(q))
-        dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col)))
+        dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col), dim))
         scored = pairs.withColumn("distance", dist)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col(id_col))
         ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -189,6 +190,7 @@ def threshold_join(
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
     payload_cols: Optional[Sequence[str]] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Radius search: all corpus rows with distance <= threshold.
 
@@ -202,7 +204,7 @@ def threshold_join(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("__qvec"),
     )
-    dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col)))
+    dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col), dim))
     out = (
         corpus.crossJoin(F.broadcast(q))
         .withColumn("distance", dist)

@@ -166,6 +166,7 @@ def _make_knn(metric: str, k: int = 10):
             k=k,
             metric=metric,
             algorithm="window",
+            dim=DIM,
         )
         return res.select(
             "query_id",
@@ -205,7 +206,7 @@ def knn_hamming_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = lambda c: F.transform(c, lambda x: F.when(x.cast("double") > 0.0, 1.0).otherwise(0.0))
     corpus = _emb_corpus(spark, sf_dir).withColumn("vector", bits(F.col("vector")))
     queries = _emb_queries(spark, sf_dir).withColumn("qvec", bits(F.col("qvec")))
-    res = knn_join(corpus, queries, k=10, metric="hamming", algorithm="window")
+    res = knn_join(corpus, queries, k=10, metric="hamming", algorithm="window", dim=DIM)
     return res.select(
         "query_id",
         "id",
@@ -229,7 +230,11 @@ WHERE {dist} <= {t}
 def _make_threshold(metric: str, t: float):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = threshold_join(
-            _emb_corpus(spark, sf_dir), _emb_queries(spark, sf_dir), threshold=t, metric=metric
+            _emb_corpus(spark, sf_dir),
+            _emb_queries(spark, sf_dir),
+            threshold=t,
+            metric=metric,
+            dim=DIM,
         )
         return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
 
@@ -260,7 +265,7 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    d = clip_distance(distance_expr("cosine", F.col("va"), F.col("vb")))
+    d = clip_distance(distance_expr("cosine", F.col("va"), F.col("vb"), DIM))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("distance", d)
@@ -284,11 +289,11 @@ FROM embeddings
 )
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    n = l2_norm(F.col("embedding"))
+    n = l2_norm(F.col("embedding"), DIM)
     return e.select(
         F.col("vec_id").alias("id"),
         F.round(n, 6).alias("l2_norm"),
-        F.round(sq_norm(F.col("embedding")), 6).alias("squared_norm"),
+        F.round(sq_norm(F.col("embedding"), DIM), 6).alias("squared_norm"),
         F.when(F.abs(n - 1.0) < 0.001, 1).otherwise(0).cast("long").alias("is_unit"),
     )
 
@@ -307,7 +312,7 @@ def vector_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        F.round(F.avg(l2_norm(F.col("embedding"), DIM)), 6).alias("avg_norm"),
         F.round(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first"),
         F.round(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first"),
     )
