@@ -1,0 +1,221 @@
+"""Deduplication operators for large text corpora (★ north-star ops;
+BASELINE.json: dedup is a first-class capability of the engine).
+
+All operators are pure DataFrame programs — explode/equi-join/groupBy
+shapes with no cross products — so they scale by shuffle on content
+keys (token, shingle, band-bucket), which is the plan family that
+survives 100 TB.
+
+Hashing is *portable by construction*: md5 over strings (identical in
+Spark and any ANSI engine), so every operator here is oracle-checkable
+cross-engine. At petabyte scale one would swap md5 for xxhash64 — a
+one-line change — but keep the same plans.
+
+Operators:
+- exact_dedup:        hash-groupBy (content hash → canonical id)
+- token_set / shingles: tokenization primitives
+- jaccard_pairs:      exact Jaccard over candidate (or all) pairs
+- minhash_signatures / minhash_lsh_pairs: MinHash banding → candidate
+  pairs → exact-Jaccard verification (the classic MinHash-LSH dedup)
+- simhash_fingerprints / simhash_pairs: 32-bit SimHash + Hamming pairs
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tok) — lowercase whitespace tokens, empties dropped."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+def token_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return tokens(docs, text_col, id_col).distinct()
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams via posexplode + lead."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    out = t.select("doc_id", *[c.alias(f"t{i}") for i, c in enumerate(cols)])
+    out = out.where(F.col(f"t{n - 1}").isNotNull())
+    return out.select(
+        "doc_id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle")
+    ).distinct()
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_copies, canonical_id) — exact dedup by content hash."""
+    return docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_id")
+    )
+
+
+def jaccard_pairs(
+    feature_df: DataFrame,
+    feature_col: str,
+    min_jaccard: float,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact Jaccard over pairs sharing ≥1 feature (or over explicit
+    candidate pairs). feature_df: (doc_id, <feature_col>) distinct.
+
+    Plan: equi-join on the feature → per-pair intersection counts →
+    union arithmetic from per-doc set sizes. Shuffles only on feature
+    and (id_a, id_b) keys — no cross product.
+    """
+    sizes = feature_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = feature_df.select(F.col("doc_id").alias("id_a"), F.col(feature_col))
+    b = feature_df.select(F.col("doc_id").alias("id_b"), F.col(feature_col))
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").distinct(), "id_a")
+        b = b.join(candidates.select("id_b").distinct(), "id_b")
+    inter = (
+        a.join(b, feature_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("both"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b").distinct(), ["id_a", "id_b"])
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("both").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("both")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(features: DataFrame, feature_col: str, n_hashes: int = 16) -> DataFrame:
+    """(doc_id, seed, mh) — mh = min over features of md5(seed:feature).
+
+    Lexicographic-min over md5 hex strings is a valid min-hash family
+    (md5 is uniform over hex strings) and is engine-portable.
+    """
+    spark = features.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
+    return (
+        features.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("seed").cast("string"), F.lit(":"), F.col(feature_col)).cast(
+                        "binary"
+                    )
+                )
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bkey) — hash each band of the signature."""
+    banded = signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.array_join(ordered, "|").cast("binary")).alias("bkey")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate detection, verified by exact Jaccard.
+
+    shingle → minhash → band → bucket-equi-join → candidate pairs →
+    exact Jaccard ≥ min_jaccard. Returns (id_a, id_b, jaccard).
+    """
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(sh, "shingle", n_hashes=n_hashes)
+    buckets = minhash_band_buckets(sigs, rows_per_band=rows_per_band)
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    cands = (
+        a.join(b, ["band", "bkey"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    return jaccard_pairs(sh, "shingle", min_jaccard, candidates=cands)
+
+
+# ---- SimHash -------------------------------------------------------
+
+N_SIMHASH_BITS = 32
+
+
+def _hex_digit(col, pos: int):
+    """0-15 value of the pos-th (1-based) hex char of an md5 column."""
+    return F.instr(F.lit(HEX), F.substring(col, pos, 1)) - 1
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over the distinct token set.
+
+    Bit p (p = 0..31, MSB-first within each hex digit) of each token's
+    md5 votes ±1; the fingerprint takes the sign of each bit's total.
+    Everything is md5/substring/div/mod — portable across engines.
+    """
+    ts = token_set(docs, text_col=text_col, id_col=id_col)
+    h = ts.withColumn("h", F.md5(F.col("tok").cast("binary")))
+    for d in range(8):  # first 8 hex chars → 32 bits
+        h = h.withColumn(f"d{d}", _hex_digit(F.col("h"), d + 1))
+    bit_cols = []
+    for p in range(N_SIMHASH_BITS):
+        d, j = p // 4, 3 - (p % 4)
+        bit = (F.col(f"d{d}") / (1 << j)).cast("long") % 2
+        bit_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{p}"))
+    votes = h.select("doc_id", *bit_cols)
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{p}").alias(f"s{p}") for p in range(N_SIMHASH_BITS)]
+    )
+    fp = None
+    for p in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) — fingerprint pairs within a Hamming ball.
+
+    All-pairs on fingerprints (a scalar per doc); at 100 TB this gets a
+    band-prefix blocking join (split the 32 bits into max_hamming+1
+    chunks; any pair within the ball shares one exact chunk).
+    """
+    a = fingerprints.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fingerprints.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

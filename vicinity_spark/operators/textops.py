@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines (★ north-star):
+token statistics, quality scoring, language ID, fingerprinting.
+
+All pure built-in-function DataFrame programs (split/array/md5) — no
+Python UDFs anywhere, so they run fully inside whole-stage codegen and
+scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _toks(text_col: str):
+    return F.split(F.lower(text_col), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_chars_actual)."""
+    toks = _toks(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ttr, avg_token_span, quality_pass) — type-token ratio +
+    length heuristics (C4/Gopher-style filter family)."""
+    toks = _toks(text_col)
+    s = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        F.length(text_col).alias("nc"),
+    )
+    ttr = F.col("nu").cast("double") / F.col("nt").cast("double")
+    return s.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.col("nc").cast("double") / F.col("nt").cast("double"), 6).alias(
+            "avg_token_span"
+        ),
+        F.when((F.col("nt") >= 20) & (ttr >= 0.3), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("quality_pass"),
+    )
+
+
+def langid_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, en_hits, predicted_lang) — stopword-hit language ID."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_toks(text_col)).alias("tok"),
+    )
+    scores = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok").isin(*EN_STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("en_hits"),
+        F.count("*").cast("long").alias("nt"),
+    )
+    return scores.select(
+        "doc_id",
+        "en_hits",
+        F.when(F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint) — md5 over the sorted distinct token set:
+    an order-insensitive content signature."""
+    toks = F.array_sort(F.array_distinct(_toks(text_col)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint"),
+    )

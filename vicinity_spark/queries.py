@@ -363,10 +363,9 @@ FROM documents GROUP BY md5(text)
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, keep lowest doc_id as canonical."""
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
-        F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id")
-    )
+    from vicinity_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 _TOK_SQL = "string_split(lower(text), ' ')"
@@ -395,33 +394,10 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup pairs over a doc subset: explode →
     equi-join on token → count/union arithmetic. Pure shuffle-on-token
     plan (no cross product) — the shape that survives 100 TB."""
+    from vicinity_spark.operators.dedup import jaccard_pairs, token_set
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    toks = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .distinct()
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.select(F.col("doc_id").alias("id_a"), "tok")
-    b = toks.select(F.col("doc_id").alias("id_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("both"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
-    j = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("both").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("both")).cast("double"),
-        )
-        .where(F.col("jaccard") >= 0.85)
-    )
+    j = jaccard_pairs(token_set(d), "tok", 0.85)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -454,35 +430,10 @@ WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram (shingle) Jaccard near-dup pairs — the n-gram
     Jaccard dedup entry; shingling via posexplode + window lead."""
+    from vicinity_spark.operators.dedup import jaccard_pairs, shingles
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("both"))
-    )
-    j = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("both").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("both")).cast("double"),
-        )
-        .where(F.col("jaccard") >= 0.5)
-    )
+    j = jaccard_pairs(shingles(d, n=3), "shingle", 0.5)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -499,14 +450,9 @@ FROM documents
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
-        F.length("text").cast("long").alias("n_chars_actual"),
-    )
+    from vicinity_spark.operators.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -530,25 +476,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: type-token ratio + length heuristics (the
     C4/Gopher-style rule family, minus chars we can't see in this
     vocab: punctuation/stopword ratios generalize identically)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    s = d.select(
-        "doc_id",
-        F.size(toks).alias("nt"),
-        F.size(F.array_distinct(toks)).alias("nu"),
-        F.length("text").alias("nc"),
-    )
-    ttr = F.col("nu").cast("double") / F.col("nt").cast("double")
-    return s.select(
-        "doc_id",
-        F.round(ttr, 6).alias("ttr"),
-        F.round(F.col("nc").cast("double") / F.col("nt").cast("double"), 6).alias(
-            "avg_token_span"
-        ),
-        F.when((F.col("nt") >= 20) & (ttr >= 0.3), 1).otherwise(0).cast("long").alias(
-            "quality_pass"
-        ),
-    )
+    from vicinity_spark.operators.textops import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
 
 
 _EN_STOP = ("the", "a", "of", "and", "to")
@@ -575,21 +505,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (n-gram heuristic family). The synthetic
     corpus is English-vocab with random lang labels, so the heuristic's
     value here is determinism, not accuracy."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-    scores = toks.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("tok").isin(*_EN_STOP), 1).otherwise(0)).cast("long").alias("en_hits"),
-        F.count("*").cast("long").alias("nt"),
-    )
-    return scores.select(
-        "doc_id",
-        "en_hits",
-        F.when(
-            F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en"
-        )
-        .otherwise("unknown")
-        .alias("predicted_lang"),
-    )
+    from vicinity_spark.operators.textops import langid_scores
+
+    return langid_scores(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -603,11 +521,9 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     an order-insensitive content signature for fast exact-ish dedup."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
-    return d.select(
-        "doc_id", F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint")
-    )
+    from vicinity_spark.operators.textops import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -812,6 +728,109 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
         )
     )
+
+
+
+
+# ---- MinHash-LSH near-dup (★ dedup flagship) ------------------------
+
+_MINHASH_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashes AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+  FROM hashes GROUP BY doc_id, seed // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS both
+  FROM cands c
+  JOIN dsh a ON a.doc_id = c.id_a
+  JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: shingle → 16 minhashes → 4 bands →
+    bucket-equi-join candidates → exact-Jaccard verify ≥ 0.5
+    (operators/dedup.py). Portable md5 hashing makes even the LSH
+    candidate generation oracle-checkable."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs
+
+    j = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=16, rows_per_band=4, min_jaccard=0.5
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- SimHash (★) ----------------------------------------------------
+
+def _simhash_sql() -> str:
+    digits = ",\n         ".join(
+        f"(strpos('0123456789abcdef', substring(h, {d + 1}, 1)) - 1) AS d{d}"
+        for d in range(8)
+    )
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (d{p // 4} // {1 << (3 - p % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(32))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+d AS (SELECT doc_id,
+         {digits}
+      FROM h),
+v AS (SELECT doc_id,
+         {sums}
+      FROM d GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over the distinct token set
+    (operators/dedup.py: md5-bit voting, engine-portable)."""
+    from vicinity_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH fp AS ({_simhash_sql().strip()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3."""
+    from vicinity_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+
+    return simhash_pairs(simhash_fingerprints(_t(spark, sf_dir, "documents")), max_hamming=3)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
