@@ -1,0 +1,77 @@
+"""Dedup operators on a corpus with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vicinity_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_pairs,
+    token_set,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+    (3, "completely different words about spark dataframes and shuffle partitions here"),
+    (4, "another unrelated document mentioning parquet files and columnar storage formats"),
+    (5, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    res = exact_dedup(docs_df).collect()
+    by_copies = {r.canonical_id: r.n_copies for r in res}
+    assert by_copies[0] == 2  # docs 0 and 1 identical
+    assert len(res) == 5  # 6 docs, one exact-dup pair
+
+
+def test_jaccard_pairs_exact_values(docs_df):
+    ts = token_set(docs_df)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(ts, "tok", 0.0).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # doc 2 swaps today→yesterday: 12 distinct tokens each, |inter|=11, |union|=13
+    assert pairs[(0, 2)] == pytest.approx(11 / 13)
+    assert (0, 3) not in pairs or pairs[(0, 3)] < 0.2
+
+
+def test_minhash_lsh_finds_planted_dups(docs_df):
+    res = minhash_lsh_pairs(docs_df, min_jaccard=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in res}
+    assert (0, 1) in found  # exact dup always survives banding
+    # near dups share most shingles → recovered by at least one band
+    assert (0, 2) in found or (1, 2) in found
+    # unrelated docs never verified
+    assert all(not (a in (3, 4) or b in (3, 4)) for a, b in found)
+
+
+def test_minhash_jaccard_matches_exact(docs_df):
+    sh = shingles(docs_df, n=3)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, "shingle", 0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs_df, min_jaccard=0.3).collect()
+    }
+    for pair, j in lsh.items():
+        assert exact[pair] == pytest.approx(j)  # verification is exact
+
+
+def test_simhash(docs_df):
+    fp = simhash_fingerprints(docs_df)
+    vals = {r.doc_id: r.simhash for r in fp.collect()}
+    assert vals[0] == vals[1]  # identical token sets → identical fingerprints
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(fp, max_hamming=32).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= pairs.get((3, 4), 33)  # near dups closer than unrelated

@@ -1,0 +1,100 @@
+"""Structured Streaming: windowed agg with watermark and streaming
+vector ingest with strategy layout decoration (availableNow trigger →
+deterministic, bounded micro-batch run)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vicinity_spark.streaming import (
+    stream_events,
+    stream_vector_ingest,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "events_src"
+    rows = [
+        (i, dt.datetime(2024, 1, 1, hour, minute, 0), "click" if i % 2 == 0 else "view", float(i))
+        for i, (hour, minute) in enumerate(
+            [(0, 5), (0, 25), (0, 45), (1, 10), (1, 30), (2, 0)]
+        )
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(str(src))
+
+    stream = stream_events(spark, str(src), EVENTS_SCHEMA)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from win_counts").collect()
+    got = {(r.window_start.hour, r.event_type): r.n_events for r in res}
+    assert got[(0, "click")] == 2  # events 0,2 in hour 0
+    assert got[(0, "view")] == 1
+    assert sum(r.n_events for r in res) == 6
+
+
+def test_stream_vector_ingest_with_strategy(spark, tmp_path):
+    from vicinity_spark.backends.ivf import IVFStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(3)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("vector", ArrayType(FloatType()))]
+    )
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.random(4)]) for i in range(64)], schema
+    )
+    strat = IVFStrategy(nlist=4, nprobe=4)
+    strat.build(base, Metric.EUCLIDEAN, 4).count()  # fit centroids
+
+    src = tmp_path / "vec_src"
+    out = tmp_path / "vec_store"
+    ck = tmp_path / "ck"
+    new_rows = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.random(4)]) for i in range(8)], schema
+    )
+    new_rows.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_vector_ingest(
+        stream,
+        str(out),
+        strategy=strat,
+        metric=Metric.EUCLIDEAN,
+        dim=4,
+        checkpoint=str(ck),
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(str(out))
+    assert stored.count() == 8
+    assert "__cluster" in stored.columns  # layout decorated per micro-batch
+    assert stored.where(F.col("__cluster").isNull()).count() == 0
