@@ -45,7 +45,11 @@ def test_jaccard_pairs_exact_values(docs_df):
 
 
 def test_minhash_lsh_finds_planted_dups(docs_df):
-    res = minhash_lsh_pairs(docs_df, min_jaccard=0.3).collect()
+    # 8 bands × 2 rows: detection prob at j=0.6 is 1-(1-0.36)^8 ≈ 0.97,
+    # and md5 hashing makes the outcome deterministic for fixed docs.
+    res = minhash_lsh_pairs(
+        docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3
+    ).collect()
     found = {(r.id_a, r.id_b) for r in res}
     assert (0, 1) in found  # exact dup always survives banding
     # near dups share most shingles → recovered by at least one band
