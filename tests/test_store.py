@@ -13,7 +13,7 @@ from vicinity_spark.store import VectorStore
 N = 200
 DIM = 8
 
-BACKENDS = ["basic", "lsh", "ivf"]
+BACKENDS = ["basic", "lsh", "ivf", "sq"]
 
 
 @pytest.fixture(scope="module")
@@ -35,6 +35,8 @@ def make_store(spark, data, backend, **kw):
         params = {"nlist": 8, "nprobe": 8}  # nprobe=nlist → exhaustive
     if backend == "lsh":
         params = {"n_tables": 12, "n_bits": 6}
+    if backend == "sq":
+        params = {"refine": 4}
     params.update(kw)
     return VectorStore.from_vectors_and_items(
         spark, vectors, items, backend_type=backend, metric="cosine", **params
@@ -171,7 +173,7 @@ def test_evaluate_exact_recall_one(spark, data):
     assert recall == pytest.approx(1.0)  # exact path IS the ground truth
 
 
-@pytest.mark.parametrize("backend", ["lsh", "ivf"])
+@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq"])
 def test_evaluate_ann_recall_floor(spark, data, backend):
     vectors, _, _ = data
     store = make_store(spark, data, backend)

@@ -30,9 +30,11 @@ def _register_builtin() -> None:
     # late imports avoid a cycle through MLlib-backed strategies
     from vicinity_spark.backends.ivf import IVFStrategy
     from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.backends.sq import SQStrategy
 
     _REGISTRY.setdefault(Backend.LSH, LSHStrategy)
     _REGISTRY.setdefault(Backend.IVF, IVFStrategy)
+    _REGISTRY.setdefault(Backend.SQ, SQStrategy)
 
 
 __all__ = ["IndexStrategy", "get_strategy_class", "register_strategy"]

@@ -1,0 +1,157 @@
+"""Scalar-quantization (SQ8) strategy — the Spark analog of FAISS's
+compressed indexes (`scalar` SQ8 faiss.py:93-95, and the design slot
+for `pq`/`ivfpq` faiss.py:96-110; SURVEY.md §4 "Compression" row).
+
+Build: one aggregation pass computes per-dimension min/max; vectors are
+quantized to uint8 codes (`__code: array<smallint>`), a 4× byte
+reduction of the scan payload — at 100 TB that is the difference
+between scanning 25 TB and 100 TB per query sweep. The codebook
+(mins/scales, 2×dim doubles) lives in params/metadata.
+
+Query: two-phase. Phase 1 scans only (id, __code), dequantizes in the
+vectorized partial-top-k kernel, and keeps k×refine candidates per
+query. Phase 2 re-ranks candidates with exact distances on the true
+vectors — a broadcast join against the corpus touching only the
+candidate rows. Recall is governed by `refine` (evaluate() gates it).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ShortType
+
+from vicinity_spark.backends.base import IndexStrategy
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_distances
+
+CODE_COL = "__code"
+
+
+class SQStrategy(IndexStrategy):
+    backend = Backend.SQ
+    exact = False
+
+    def __init__(self, refine: int = 4, mins=None, scales=None, **params):
+        super().__init__(refine=int(refine), mins=mins, scales=scales, **params)
+
+    def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        self.params["dim"] = int(dim)
+        # one-pass per-dimension min/max (partial-aggregated map-side)
+        stats = df.select(
+            *[F.min(F.element_at("vector", i + 1)).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(F.element_at("vector", i + 1)).alias(f"mx{i}") for i in range(dim)],
+        ).first()
+        mins = [float(stats[f"mn{i}"]) for i in range(dim)]
+        maxs = [float(stats[f"mx{i}"]) for i in range(dim)]
+        scales = [(mx - mn) / 255.0 if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+        self.params["mins"], self.params["scales"] = mins, scales
+        return df.withColumn(CODE_COL, self._encode_expr())
+
+    def _encode_expr(self):
+        mins = F.array(*[F.lit(m) for m in self.params["mins"]])
+        scales = F.array(*[F.lit(s) for s in self.params["scales"]])
+        return F.transform(
+            F.col("vector"),
+            lambda x, i: F.least(
+                F.greatest(
+                    F.round(
+                        (x.cast("double") - F.element_at(mins, i + 1))
+                        / F.element_at(scales, i + 1)
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ).cast("short"),
+        )
+
+    def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        # codebook trained once at build (FAISS trains once, adds many:
+        # faiss.py:24-32); new rows are encoded with the existing ranges
+        return new_df.withColumn(CODE_COL, self._encode_expr())
+
+    # ---- phase 1: approximate candidates over codes ------------------
+    def _candidates(
+        self, corpus: DataFrame, query_rows, k: int, metric: Metric
+    ) -> DataFrame:
+        mins = np.asarray(self.params["mins"])
+        scales = np.asarray(self.params["scales"])
+        qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
+        Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
+        kk = max(k * self.params["refine"], k)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.float64)
+                X = C * scales[None, :] + mins[None, :]  # dequantize
+                ids = pdf["id"].to_numpy()
+                D = _np_distances(metric, Q, X)
+                m = min(kk, D.shape[1])
+                idx = np.argpartition(D, m - 1, axis=1)[:, :m]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, m),
+                        "id": ids[idx.ravel()],
+                        "distance": np.take_along_axis(D, idx, axis=1).ravel(),
+                    }
+                )
+
+        return corpus.select("id", CODE_COL).mapInPandas(fn, _KNN_SCHEMA)
+
+    def knn(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        query_rows = [(r[0], list(r[1])) for r in queries.select("query_id", "qvec").collect()]
+        cand = self._candidates(corpus, query_rows, k, metric)
+        # keep k×refine best approx candidates globally per query
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        kk = max(k * self.params["refine"], k)
+        cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
+        # phase 2: exact re-rank on true vectors (candidates are tiny →
+        # broadcast them into a hash join against the corpus)
+        q = queries.select("query_id", F.col("qvec").alias("__qvec"))
+        exact = (
+            F.broadcast(cand.select("query_id", "id"))
+            .join(corpus.select("id", "vector", *(payload_cols or [])), "id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "distance",
+                clip_distance(
+                    distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
+
+    def threshold(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        threshold: float,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+        max_k: int = 100,
+    ) -> DataFrame:
+        """ANN threshold: top-max_k candidate pool then exact `<=` filter
+        (the reference's ANN backends cap candidates at max_k the same
+        way: hnsw.py:107-114, usearch.py:131-139)."""
+        res = self.knn(corpus, queries, k=max_k, metric=metric, payload_cols=payload_cols)
+        return res.where(F.col("distance") <= F.lit(float(threshold))).drop("rank")

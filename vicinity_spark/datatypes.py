@@ -60,8 +60,9 @@ class Backend(str, Enum):
     """
 
     BASIC = "basic"  # exact brute-force join plan
-    LSH = "lsh"  # MLlib BucketedRandomProjectionLSH bucketed plan
+    LSH = "lsh"  # random-projection LSH bucketed equi-join plan
     IVF = "ivf"  # MLlib KMeans cluster-pruned plan
+    SQ = "sq"  # scalar-quantized codes + exact re-rank plan
 
     @classmethod
     def from_string(cls, backend: "str | Backend") -> "Backend":
@@ -77,6 +78,9 @@ class Backend(str, Enum):
                 "flat": cls.BASIC,
                 "lsh": cls.LSH,
                 "annoy": cls.LSH,
+                "sq": cls.SQ,
+                "scalar": cls.SQ,
+                "pq": cls.SQ,
                 "ivf": cls.IVF,
                 "faiss": cls.IVF,
                 "hnsw": cls.IVF,
