@@ -55,6 +55,15 @@ def ann_lsh_batch(spark, sf_dir):
     return strat.knn(corpus, _emb_all_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
 
 
+def ann_sq_batch(spark, sf_dir):
+    from vicinity_spark.backends.sq import SQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = SQStrategy(refine=4)
+    corpus = strat.build(Q._emb_corpus(spark, sf_dir), Metric.COSINE, Q.DIM)
+    return strat.knn(corpus, _emb_all_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+
+
 def ann_ivf_batch(spark, sf_dir):
     from vicinity_spark.backends.ivf import IVFStrategy
     from vicinity_spark.datatypes import Metric
@@ -72,6 +81,7 @@ BENCH = {
     "neardup_embeddings": Q.QUERIES["neardup_embeddings"],
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,
+    "ann_sq_batch": ann_sq_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
     "text_quality": Q.QUERIES["text_quality"],

@@ -204,3 +204,19 @@ def test_metric_aliases():
         Metric.from_string("nope")
     with pytest.raises(ValueError):
         Backend.from_string("nope")
+
+
+def test_hub_stubs_gated(spark, data):
+    from vicinity_spark.sources.hub import OptionalDependencyError, load_from_hub, push_to_hub
+
+    store = make_store(spark, data, "basic")
+    try:
+        import huggingface_hub  # noqa: F401
+
+        pytest.skip("huggingface_hub installed; stub gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(OptionalDependencyError):
+        push_to_hub(store, "nobody/nothing")
+    with pytest.raises(OptionalDependencyError):
+        load_from_hub("nobody/nothing", spark)

@@ -351,6 +351,23 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register("ann_sq_knn")
+def ann_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized two-phase k-NN (backends/sq.py): candidates over
+    uint8 codes, exact re-rank. Approximate by design → rows-only."""
+    from vicinity_spark.backends.sq import SQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = SQStrategy(refine=4)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---- dedup suite (★ training-data pipeline) -------------------------
 
 @register(
