@@ -103,16 +103,14 @@ class IVFStrategy(IndexStrategy):
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
         probe = self._probe_df(queries)
+        d = clip_distance(
+            distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+        )
+        # project vectors away post-scoring; the top-k window shuffles
+        # only (query_id, id, distance) rows
         return (
             corpus.join(F.broadcast(probe), CLUSTER_COL)
-            .withColumn(
-                "distance",
-                clip_distance(
-                    distance_expr(
-                        metric, F.col("__qvec"), F.col("vector"), self.params.get("dim")
-                    )
-                ),
-            )
+            .select("query_id", "id", d.alias("distance"))
         )
 
     def knn(
@@ -129,6 +127,8 @@ class IVFStrategy(IndexStrategy):
         scored = self._scored(corpus, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        if payload_cols:
+            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(
@@ -143,4 +143,6 @@ class IVFStrategy(IndexStrategy):
         scored = self._scored(corpus, queries, metric).where(
             F.col("distance") <= F.lit(float(threshold))
         )
+        if payload_cols:
+            scored = scored.join(corpus.select("id", *payload_cols), "id", "left")
         return scored.select("query_id", "id", "distance", *(payload_cols or []))

@@ -92,18 +92,18 @@ class LSHStrategy(IndexStrategy):
 
     # ---- query plans ------------------------------------------------
     def _probe_df(self, queries: DataFrame, metric: Metric) -> DataFrame:
-        """Small side: (query_id, table, bucket) probes, built driver-side."""
-        spark = queries.sparkSession
-        rows = queries.select("query_id", "qvec").collect()
-        qids = [r[0] for r in rows]
-        Q = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-        M = self._bucket_matrix(Q, metric)
-        probes = [
-            (int(qid), int(t), int(M[i, t]))
-            for i, qid in enumerate(qids)
-            for t in range(self.params["n_tables"])
-        ]
-        return spark.createDataFrame(probes, "query_id bigint, table int, bucket bigint")
+        """(query_id, table, bucket) probes — hashed executor-side with
+        the same Arrow-vectorized kernel as build (no driver roundtrip)."""
+        strat = self
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def bucketize(v: pd.Series) -> pd.Series:
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            return pd.Series(list(strat._bucket_matrix(X, metric)))
+
+        return queries.select(
+            "query_id", F.posexplode(bucketize(F.col("qvec"))).alias("table", "bucket")
+        )
 
     def _candidates(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
         probe = self._probe_df(queries, metric)
@@ -119,17 +119,15 @@ class LSHStrategy(IndexStrategy):
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
         cand = self._candidates(corpus, queries, metric)
         q = queries.select("query_id", F.col("qvec").alias("__qvec"))
+        d = clip_distance(
+            distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+        )
+        # project vectors away immediately after scoring: downstream
+        # window/filter shuffles carry only (query_id, id, distance)
         return (
             cand.join(corpus.select("id", "vector"), "id")
             .join(F.broadcast(q), "query_id")
-            .withColumn(
-                "distance",
-                clip_distance(
-                    distance_expr(
-                        metric, F.col("__qvec"), F.col("vector"), self.params.get("dim")
-                    )
-                ),
-            )
+            .select("query_id", "id", d.alias("distance"))
         )
 
     def knn(

@@ -148,13 +148,18 @@ def knn_join(
         )
         pairs = corpus.crossJoin(F.broadcast(q))
         dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col), dim))
-        scored = pairs.withColumn("distance", dist)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col(id_col))
+        # project the vectors away BEFORE the window: the rank shuffle
+        # then moves (query_id, id, distance[, payload]) rows, not the
+        # full arrays — at dim=1024 that is a ~100× shuffle-byte cut
+        scored = pairs.select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            dist.alias("distance"),
+            *(payload_cols or []),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-        cols = ["query_id", F.col(id_col).alias("id"), "distance", "rank"]
-        if payload_cols:
-            cols += [F.col(c) for c in payload_cols]
-        return ranked.select(*cols)
+        return ranked.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     if algorithm == "partial":
         query_rows = [
