@@ -850,6 +850,154 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(simhash_fingerprints(_t(spark, sf_dir, "documents")), max_hamming=3)
 
 
+
+@register(
+    "supplier_stats_by_nation",
+    """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_acctbal,
+       round(max(s.s_acctbal), 2) AS max_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def supplier_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the props column (string JSON payload)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+@register(
+    "orders_by_month",
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+""",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function aggregation (year/month extraction)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@register(
+    "part_string_functions",
+    """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake
+FROM part WHERE p_name LIKE '%a%'
+""",
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: upper/substring/length/replace/LIKE."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey FROM orders
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT ≡ left-anti join — the reference's delete
+    shape, vicinity.py:255-283)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").cast("long").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@register(
+    "rollup_revenue",
+    """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "lineitem_stats",
+    """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/distinct-count/median."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: exact cosine k-NN top-10 on the sf0.001
     embeddings — the engine's F3 operator end-to-end."""
