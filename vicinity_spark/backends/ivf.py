@@ -86,19 +86,26 @@ class IVFStrategy(IndexStrategy):
         )
 
     def _probe_df(self, queries: DataFrame) -> DataFrame:
-        """(query_id, qvec, __cluster) for the nprobe nearest centroids."""
+        """(query_id, qvec, __cluster) for the nprobe nearest centroids.
+
+        Vectorized: one Arrow transfer of the query batch, one numpy
+        distance matrix against the (tiny) centroid matrix."""
+        import pandas as pd
+
         spark = queries.sparkSession
-        rows = queries.select("query_id", "qvec").collect()
+        qpdf = queries.select("query_id", "qvec").toPandas()
         C = self.centroids
         nprobe = min(self.params["nprobe"], len(C))
-        out = []
-        for r in rows:
-            q = np.asarray(list(r[1]), dtype=np.float64)
-            d = ((C - q) ** 2).sum(axis=1)
-            for c in np.argsort(d)[:nprobe]:
-                out.append((int(r[0]), [float(x) for x in q], int(c)))
+        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        nearest = np.argsort(D, axis=1)[:, :nprobe]
+        rows = {
+            "query_id": np.repeat(qpdf["query_id"].to_numpy(), nprobe),
+            "__qvec": [list(map(float, Q[i])) for i in range(len(Q)) for _ in range(nprobe)],
+            CLUSTER_COL: nearest.ravel().astype(int),
+        }
         return spark.createDataFrame(
-            out, f"query_id bigint, __qvec array<double>, {CLUSTER_COL} int"
+            pd.DataFrame(rows), f"query_id bigint, __qvec array<double>, {CLUSTER_COL} int"
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:

@@ -116,7 +116,8 @@ class SQStrategy(IndexStrategy):
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be greater than 0")
-        query_rows = [(r[0], list(r[1])) for r in queries.select("query_id", "qvec").collect()]
+        qpdf = queries.select("query_id", "qvec").toPandas()  # Arrow path
+        query_rows = [(int(q), list(v)) for q, v in zip(qpdf["query_id"], qpdf["qvec"])]
         cand = self._candidates(corpus, query_rows, k, metric)
         # keep k×refine best approx candidates globally per query
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))

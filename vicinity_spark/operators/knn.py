@@ -162,9 +162,10 @@ def knn_join(
         return ranked.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     if algorithm == "partial":
+        qpdf = queries.select(query_id_col, query_vector_col).toPandas()  # Arrow path
         query_rows = [
-            (r[0], list(r[1]))
-            for r in queries.select(query_id_col, query_vector_col).collect()
+            (int(qid), list(qv))
+            for qid, qv in zip(qpdf[query_id_col], qpdf[query_vector_col])
         ]
         local = _partial_topk(corpus, id_col, vector_col, query_rows, k, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
