@@ -111,7 +111,7 @@ class IVFStrategy(IndexStrategy):
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
         probe = self._probe_df(queries)
         d = clip_distance(
-            distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+            distance_expr(metric, "__qvec", "vector", self.params.get("dim"))
         )
         # project vectors away post-scoring; the top-k window shuffles
         # only (query_id, id, distance) rows

@@ -120,7 +120,7 @@ class LSHStrategy(IndexStrategy):
         cand = self._candidates(corpus, queries, metric)
         q = queries.select("query_id", F.col("qvec").alias("__qvec"))
         d = clip_distance(
-            distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+            distance_expr(metric, "__qvec", "vector", self.params.get("dim"))
         )
         # project vectors away immediately after scoring: downstream
         # window/filter shuffles carry only (query_id, id, distance)

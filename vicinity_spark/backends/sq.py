@@ -133,7 +133,7 @@ class SQStrategy(IndexStrategy):
             .withColumn(
                 "distance",
                 clip_distance(
-                    distance_expr(metric, F.col("__qvec"), F.col("vector"), self.params.get("dim"))
+                    distance_expr(metric, "__qvec", "vector", self.params.get("dim"))
                 ),
             )
         )

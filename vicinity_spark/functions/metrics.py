@@ -55,21 +55,92 @@ def _el(v: Column, i: int) -> Column:
     return F.element_at(v, i).cast("double")
 
 
+# ---- Spark-SQL string generation (fast plan construction) -----------
+# Building a dim-64 chain out of Column objects costs ~1000 py4j
+# roundtrips per query (~1-2 s of pure driver overhead). When both
+# operands are plain column names we emit the identical expression as
+# ONE SQL string and parse it with a single F.expr call. The parser
+# produces the same left-associated Add tree, so values are unchanged.
+# Double literals carry the D suffix (bare 0.0 parses as DECIMAL).
+
+def _el_sql(name: str, i: int) -> str:
+    return f"CAST(element_at(`{name}`, {i}) AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(f"({_el_sql(a, i)} * {_el_sql(b, i)})" for i in range(1, dim + 1)) + ")"
+
+
+def _sqnorm_sql(a: str, dim: int) -> str:
+    return "(" + " + ".join(f"({_el_sql(a, i)} * {_el_sql(a, i)})" for i in range(1, dim + 1)) + ")"
+
+
+def _l2sq_sql(a: str, b: str, dim: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(({_el_sql(a, i)} - {_el_sql(b, i)}) * ({_el_sql(a, i)} - {_el_sql(b, i)}))"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def _distance_sql(metric: Metric, a: str, b: str, dim: int) -> str:
+    if metric is Metric.COSINE:
+        denom = f"(SQRT({_sqnorm_sql(a, dim)}) * SQRT({_sqnorm_sql(b, dim)}))"
+        sim = f"(CASE WHEN {denom} = 0.0D THEN 0.0D ELSE ({_dot_sql(a, b, dim)} / {denom}) END)"
+        return f"(1.0D - {sim})"
+    if metric is Metric.EUCLIDEAN:
+        return f"SQRT(GREATEST({_l2sq_sql(a, b, dim)}, 0.0D))"
+    if metric is Metric.L2_SQUARED:
+        return _l2sq_sql(a, b, dim)
+    if metric is Metric.MANHATTAN:
+        return (
+            "("
+            + " + ".join(f"ABS({_el_sql(a, i)} - {_el_sql(b, i)})" for i in range(1, dim + 1))
+            + ")"
+        )
+    if metric is Metric.INNER_PRODUCT:
+        return f"(1.0D - {_dot_sql(a, b, dim)})"
+    if metric is Metric.HAMMING:
+        return (
+            "("
+            + " + ".join(
+                f"(CASE WHEN {_el_sql(a, i)} <> {_el_sql(b, i)} THEN 1.0D ELSE 0.0D END)"
+                for i in range(1, dim + 1)
+            )
+            + ")"
+        )
+    if metric is Metric.TANIMOTO:
+        dot = _dot_sql(a, b, dim)
+        denom = f"(({_sqnorm_sql(a, dim)} + {_sqnorm_sql(b, dim)}) - {dot})"
+        sim = f"(CASE WHEN {denom} = 0.0D THEN 0.0D ELSE ({dot} / {denom}) END)"
+        return f"(1.0D - {sim})"
+    raise ValueError(metric)
+
+
 def dot_product(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    if dim and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     if dim:
         return _chain_sum([_el(a, i) * _el(b, i) for i in range(1, dim + 1)])
     return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
 
-def sq_norm(v: Column, dim: "int | None" = None) -> Column:
+def sq_norm(v: "Column | str", dim: "int | None" = None) -> Column:
     """Squared L2 norm — the materialized column the euclidean expansion
     reuses (reference precomputes these: basic.py:235-239)."""
+    if dim and isinstance(v, str):
+        return F.expr(_sqnorm_sql(v, dim))
+    v = F.col(v) if isinstance(v, str) else v
     if dim:
         return _chain_sum([_el(v, i) * _el(v, i) for i in range(1, dim + 1)])
     return _fold_sum(F.transform(v, lambda x: x.cast("double") * x.cast("double")))
 
 
-def l2_norm(v: Column, dim: "int | None" = None) -> Column:
+def l2_norm(v: "Column | str", dim: "int | None" = None) -> Column:
     return F.sqrt(sq_norm(v, dim))
 
 
@@ -157,14 +228,21 @@ _DISTANCE_FNS = {
 
 
 def distance_expr(
-    metric: "str | Metric", a: Column, b: Column, dim: "int | None" = None
+    metric: "str | Metric", a: "Column | str", b: "Column | str", dim: "int | None" = None
 ) -> Column:
     """Distance between two array<numeric> columns under `metric`.
 
     Pass `dim` when known: the kernel is then emitted as an element_at
     chain that stays in whole-stage codegen (same IEEE result as the
-    HOF fold — see _chain_sum)."""
-    return _DISTANCE_FNS[Metric.from_string(metric)](a, b, dim)
+    HOF fold — see _chain_sum). When both operands are plain column
+    names, the chain is parsed from one SQL string (single py4j call —
+    see _distance_sql) instead of ~1000 Column-API roundtrips."""
+    m = Metric.from_string(metric)
+    if dim and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_distance_sql(m, a, b, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _DISTANCE_FNS[m](a, b, dim)
 
 
 def clip_distance(d: Column) -> Column:

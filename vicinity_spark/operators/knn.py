@@ -147,7 +147,7 @@ def knn_join(
             F.col(query_vector_col).alias("__qvec"),
         )
         pairs = corpus.crossJoin(F.broadcast(q))
-        dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col), dim))
+        dist = clip_distance(distance_expr(metric, "__qvec", vector_col, dim))
         # project the vectors away BEFORE the window: the rank shuffle
         # then moves (query_id, id, distance[, payload]) rows, not the
         # full arrays — at dim=1024 that is a ~100× shuffle-byte cut
@@ -210,7 +210,7 @@ def threshold_join(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("__qvec"),
     )
-    dist = clip_distance(distance_expr(metric, F.col("__qvec"), F.col(vector_col), dim))
+    dist = clip_distance(distance_expr(metric, "__qvec", vector_col, dim))
     out = (
         corpus.crossJoin(F.broadcast(q))
         .withColumn("distance", dist)

@@ -265,7 +265,7 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    d = clip_distance(distance_expr("cosine", F.col("va"), F.col("vb"), DIM))
+    d = clip_distance(distance_expr("cosine", "va", "vb", DIM))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("distance", d)
@@ -289,11 +289,11 @@ FROM embeddings
 )
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    n = l2_norm(F.col("embedding"), DIM)
+    n = l2_norm("embedding", DIM)
     return e.select(
         F.col("vec_id").alias("id"),
         F.round(n, 6).alias("l2_norm"),
-        F.round(sq_norm(F.col("embedding"), DIM), 6).alias("squared_norm"),
+        F.round(sq_norm("embedding", DIM), 6).alias("squared_norm"),
         F.when(F.abs(n - 1.0) < 0.001, 1).otherwise(0).cast("long").alias("is_unit"),
     )
 
@@ -312,7 +312,7 @@ def vector_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(l2_norm(F.col("embedding"), DIM)), 6).alias("avg_norm"),
+        F.round(F.avg(l2_norm("embedding", DIM)), 6).alias("avg_norm"),
         F.round(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first"),
         F.round(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first"),
     )
