@@ -697,7 +697,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly",
     """
-SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_epoch, event_type,
+SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS hour_epoch, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
@@ -707,7 +707,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the batch shape of the streaming
     windowed agg in streaming/). `ts` arrives as int64 nanos (see _t)."""
     e = _t(spark, sf_dir, "events")
-    hour = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long") * 3600
+    # ns → µs first (DuckDB timestamps are µs precision), then hour
+    hour = F.expr("((ts div 1000) div 3600000000) * 3600")
     return (
         e.groupBy(hour.alias("hour_epoch"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -719,8 +720,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH marked AS (
   SELECT user_id, ts,
-         CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   > 1800000000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
@@ -733,10 +734,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag window —
     the batch analog of a session window in Structured Streaming.
     `ts` is int64 nanos (see _t); gap math is integer-exact."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    prev = F.lag("ts").over(w)
-    new_s = F.when(prev.isNull() | ((F.col("ts") - prev) > 1_800_000_000_000), 1).otherwise(0)
+    e = _t(spark, sf_dir, "events").withColumn("tus", F.expr("ts div 1000"))
+    # order and gap math in µs — DuckDB timestamp precision
+    w = Window.partitionBy("user_id").orderBy(F.col("tus"), F.col("event_id"))
+    prev = F.lag("tus").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("tus") - prev) > 1_800_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_s)
         .groupBy("user_id")
@@ -995,6 +997,60 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+
+@register(
+    "events_asof_join",
+    """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_tus,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+filled AS (
+  SELECT user_id, tus, purchase_id,
+         max(click_tus) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click_tus
+  FROM tagged
+)
+SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(last_click_tus AS BIGINT) AS last_click_tus
+FROM filled WHERE purchase_id IS NOT NULL
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    strictly-prior click — the union+running-max window formulation, the
+    shuffle-once plan that scales (one sort per user partition, no range
+    join explosion). `ts` is int64 nanos (see _t)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .withColumn("tus", F.expr("ts div 1000"))  # µs — DuckDB precision
+    )
+    tagged = e.select(
+        "user_id",
+        "tus",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("tus")).alias("click_tus"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = tagged.withColumn("last_click_tus", F.max("click_tus").over(w))
+    return filled.where(F.col("purchase_id").isNotNull()).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("last_click_tus").cast("long").alias("last_click_tus"),
     )
 
 
