@@ -78,6 +78,46 @@ ann_sq_batch = _ann_batch("sq")
 ann_ivf_batch = _ann_batch("ivf")
 
 
+def _synth_vectors(spark, n=200_000, dim=64, parts=32):
+    """Deterministic synthetic corpus (seeded rand per column) — the
+    vector tables in testdata are small at sf0.1, so this entry shows
+    the k-NN plans at a corpus size where the partial-top-k and LSH
+    candidate plans actually matter."""
+    from pyspark.sql import functions as F
+
+    cols = F.array(*[F.rand(seed=1000 + i) for i in range(dim)])
+    return (
+        spark.range(0, n, 1, parts)
+        .select(F.col("id"), cols.cast("array<float>").alias("vector"))
+    )
+
+
+def knn_scale_200k(spark, sf_dir):
+    """100 queries × 200k corpus, exact partial top-k."""
+    from vicinity_spark.operators.knn import knn_join
+
+    corpus = _synth_vectors(spark).cache()
+    corpus.count()
+    queries = _synth_vectors(spark, n=100).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    return lambda s, d: knn_join(corpus, queries, k=10, metric="cosine", algorithm="partial")
+
+
+def lsh_scale_200k(spark, sf_dir):
+    """100 queries × 200k corpus via LSH bucket equi-join."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(n_tables=8, n_bits=12)
+    corpus = strat.build(_synth_vectors(spark), Metric.COSINE, 64).cache()
+    corpus.count()
+    queries = _synth_vectors(spark, n=100).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    return lambda s, d: strat.knn(corpus, queries, k=10, metric=Metric.COSINE)
+
+
 BENCH = {
     "knn_batch_full": knn_batch_full,
     "knn_cosine": Q.QUERIES["knn_cosine"],
@@ -97,6 +137,8 @@ BENCH = {
     "top_parts_per_brand": Q.QUERIES["top_parts_per_brand"],
     "events_hourly": Q.QUERIES["events_hourly"],
     "events_sessionize": Q.QUERIES["events_sessionize"],
+    "knn_scale_200k": knn_scale_200k,
+    "lsh_scale_200k": lsh_scale_200k,
 }
 
 
@@ -112,7 +154,7 @@ def main():
 
     timings = {}
     for name, fn in BENCH.items():
-        if name.startswith("ann_"):
+        if name.startswith("ann_") or name.endswith("_scale_200k"):
             fn = fn(spark, sf_dir)  # untimed index build + cache
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()

@@ -77,9 +77,10 @@ def test_query_threshold(store, data):
     assert all(d <= 0.7 for _, d in res[0])
 
 
-def test_insert_then_query_finds_item(spark, data):
+@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq"])
+def test_insert_then_query_finds_item(spark, data, backend):
     vectors, items, qvec = data
-    store = make_store(spark, data, "basic")
+    store = make_store(spark, data, backend)
     store.insert([f"item{N + 1}"], qvec)
     assert len(store) == N + 1
     res = store.query(qvec, k=5)
@@ -96,9 +97,12 @@ def test_insert_validation(spark, data):
         store.insert(["a"], np.random.default_rng(0).random((1, 3)))
 
 
-def test_delete(spark, data):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_delete(spark, data, backend):
     vectors, items, _ = data
-    store = make_store(spark, data, "basic")
+    # the reference supports delete only on BASIC (SURVEY §2.3); the
+    # anti-join formulation works uniformly across every strategy here
+    store = make_store(spark, data, backend)
     store.delete(["item2"])
     assert len(store) == N - 1
     res = store.query(vectors[1], k=3)  # item2's own vector

@@ -64,6 +64,12 @@ class LSHStrategy(IndexStrategy):
         """(n, L) int64 bucket ids."""
         L, B = self.params["n_tables"], self.params["n_bits"]
         planes = self._planes(X.shape[1])
+        means = self.params.get("means")
+        if means is not None:
+            # mean-centering before sign hashing: without it, corpora
+            # that live in one orthant (e.g. all-positive features) hash
+            # into a handful of buckets and candidate sets explode
+            X = X - np.asarray(means, dtype=np.float64)[None, :]
         proj = np.einsum("nd,lbd->nlb", X, planes)  # n × L × B
         if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED, Metric.MANHATTAN):
             w = self.params["bucket_width"]
@@ -80,6 +86,13 @@ class LSHStrategy(IndexStrategy):
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
+        if self.params.get("means") is None:
+            # one map-side-combined pass; means persist in params so
+            # probes and inserted rows hash identically forever
+            row = df.select(
+                *[F.avg(F.element_at("vector", i + 1)).alias(f"m{i}") for i in range(dim)]
+            ).first()
+            self.params["means"] = [float(row[f"m{i}"]) for i in range(dim)]
         strat = self
 
         @F.pandas_udf(ArrayType(LongType()))
