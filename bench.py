@@ -75,6 +75,7 @@ def _ann_batch(strategy_name):
 
 ann_lsh_batch = _ann_batch("lsh")
 ann_sq_batch = _ann_batch("sq")
+ann_pq_batch = _ann_batch("pq")
 ann_ivf_batch = _ann_batch("ivf")
 
 
@@ -127,6 +128,7 @@ BENCH = {
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,
     "ann_sq_batch": ann_sq_batch,
+    "ann_pq_batch": ann_pq_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
     "text_quality": Q.QUERIES["text_quality"],

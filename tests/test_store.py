@@ -13,7 +13,7 @@ from vicinity_spark.store import VectorStore
 N = 200
 DIM = 8
 
-BACKENDS = ["basic", "lsh", "ivf", "sq"]
+BACKENDS = ["basic", "lsh", "ivf", "sq", "pq"]
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +37,8 @@ def make_store(spark, data, backend, **kw):
         params = {"n_tables": 12, "n_bits": 6}
     if backend == "sq":
         params = {"refine": 4}
+    if backend == "pq":
+        params = {"m": 4, "ksub": 32, "refine": 8}  # dim 8 → 4 subspaces
     params.update(kw)
     return VectorStore.from_vectors_and_items(
         spark, vectors, items, backend_type=backend, metric="cosine", **params
@@ -77,7 +79,7 @@ def test_query_threshold(store, data):
     assert all(d <= 0.7 for _, d in res[0])
 
 
-@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq"])
+@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq", "pq"])
 def test_insert_then_query_finds_item(spark, data, backend):
     vectors, items, qvec = data
     store = make_store(spark, data, backend)
@@ -177,7 +179,7 @@ def test_evaluate_exact_recall_one(spark, data):
     assert recall == pytest.approx(1.0)  # exact path IS the ground truth
 
 
-@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq"])
+@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq"])
 def test_evaluate_ann_recall_floor(spark, data, backend):
     vectors, _, _ = data
     store = make_store(spark, data, backend)

@@ -1,0 +1,227 @@
+"""Product-quantization (PQ) strategy — the Spark analog of FAISS's
+`pq`/`ivfpq` indexes (faiss.py:96-110; SURVEY.md §4 "Compression:
+product quantization … per-subspace KMeans codebooks + byte codes").
+
+Train: sample the corpus to the driver (PQ codebooks are always trained
+on a sample), run seeded Lloyd iterations per subspace in numpy, store
+the m × ksub × dsub codebook in params (it reloads from metadata, no
+binary files). Encode: one Arrow pass assigns each subvector its
+nearest centroid id → `__pqcode: array<smallint>` (m bytes per vector —
+a dim×4/m byte reduction, 32× at dim=64, m=8).
+
+Query: ADC (asymmetric distance computation). Per query batch the
+kernel precomputes the m × ksub table of squared distances from the
+query's subvectors to every centroid; each corpus row's approximate
+distance is then m table lookups — no per-pair float math at all.
+Top k×refine candidates per partition → exact re-rank on true vectors
+(same two-phase shape as SQ). Cosine is served by normalizing at train/
+encode/probe time: squared-euclidean ADC ranking on unit vectors is
+cosine ranking (‖q−x‖² = 2·(1−cos) on the unit sphere).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ShortType
+
+from vicinity_spark.backends.base import IndexStrategy
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+from vicinity_spark.operators.knn import _KNN_SCHEMA
+
+CODE_COL = "__pqcode"
+
+_ANGULAR = (Metric.COSINE, Metric.INNER_PRODUCT, Metric.TANIMOTO)
+
+
+def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Seeded Lloyd iterations (kmeans++-lite init via distinct sample)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+class PQStrategy(IndexStrategy):
+    backend = Backend.PQ
+    exact = False
+
+    def __init__(
+        self,
+        m: int = 8,
+        ksub: int = 256,
+        refine: int = 8,
+        train_sample: int = 20_000,
+        seed: int = 42,
+        codebooks=None,
+        **params,
+    ):
+        super().__init__(
+            m=int(m),
+            ksub=int(ksub),
+            refine=int(refine),
+            train_sample=int(train_sample),
+            seed=int(seed),
+            codebooks=codebooks,
+            **params,
+        )
+
+    # ---- helpers -----------------------------------------------------
+    def _normalize_if_angular(self, X: np.ndarray, metric: Metric) -> np.ndarray:
+        if metric in _ANGULAR:
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            return np.divide(X, n, out=np.zeros_like(X), where=n != 0)
+        return X
+
+    def _codebooks(self) -> np.ndarray:
+        return np.asarray(self.params["codebooks"], dtype=np.float64)
+
+    def _encode_kernel(self, metric: Metric):
+        m = self.params["m"]
+        books = self._codebooks()  # m × ksub × dsub
+        strat = self
+
+        @F.pandas_udf(ArrayType(ShortType()))
+        def encode(v: pd.Series) -> pd.Series:
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            X = strat._normalize_if_angular(X, metric)
+            dsub = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return encode
+
+    # ---- build -------------------------------------------------------
+    def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        self.params["dim"] = int(dim)
+        m = self.params["m"]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        if self.params.get("codebooks") is None:
+            n = df.count()
+            frac = min(1.0, self.params["train_sample"] / max(n, 1))
+            sample = df.select("vector").sample(fraction=frac, seed=self.params["seed"])
+            S = np.vstack(sample.toPandas()["vector"].to_numpy()).astype(np.float64)
+            S = self._normalize_if_angular(S, metric)
+            dsub = dim // m
+            books = [
+                _kmeans_np(
+                    S[:, j * dsub : (j + 1) * dsub],
+                    self.params["ksub"],
+                    self.params["seed"] + j,
+                )
+                for j in range(m)
+            ]
+            ksub = min(self.params["ksub"], min(len(b) for b in books))
+            self.params["codebooks"] = [
+                [[float(x) for x in c] for c in b[:ksub]] for b in books
+            ]
+        return df.withColumn(CODE_COL, self._encode_kernel(metric)(F.col("vector")))
+
+    def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        # codebooks train once (faiss.py:24-32); new rows encode with them
+        return new_df.withColumn(CODE_COL, self._encode_kernel(metric)(F.col("vector")))
+
+    # ---- query: ADC candidates + exact re-rank -----------------------
+    def _candidates(self, corpus: DataFrame, query_rows, k: int, metric: Metric) -> DataFrame:
+        books = self._codebooks()
+        m = self.params["m"]
+        qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
+        Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
+        Q = self._normalize_if_angular(Q, metric)
+        dsub = Q.shape[1] // m
+        # per-query ADC lookup tables: nq × m × ksub
+        tables = np.stack(
+            [
+                ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        kk = max(k * self.params["refine"], k)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.int64)  # n × m
+                ids = pdf["id"].to_numpy()
+                # D[q, n] = Σ_j tables[q, j, codes[n, j]] — pure lookups:
+                # index arrays (m,) and (n, m) broadcast to (n, m), so
+                # tables[:, ·, ·] yields (nq, n, m); sum over subspaces
+                D = tables[:, np.arange(m), codes].sum(axis=2)
+                cap = min(kk, D.shape[1])
+                idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, cap),
+                        "id": ids[idx.ravel()],
+                        "distance": np.take_along_axis(D, idx, axis=1).ravel(),
+                    }
+                )
+
+        return corpus.select("id", CODE_COL).mapInPandas(fn, _KNN_SCHEMA)
+
+    def knn(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        qpdf = queries.select("query_id", "qvec").toPandas()
+        query_rows = [(int(q), list(v)) for q, v in zip(qpdf["query_id"], qpdf["qvec"])]
+        cand = self._candidates(corpus, query_rows, k, metric)
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        kk = max(k * self.params["refine"], k)
+        cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
+        q = queries.select("query_id", F.col("qvec").alias("__qvec"))
+        exact = (
+            F.broadcast(cand.select("query_id", "id"))
+            .join(corpus.select("id", "vector", *(payload_cols or [])), "id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "distance",
+                clip_distance(distance_expr(metric, "__qvec", "vector", self.params.get("dim"))),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
+
+    def threshold(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        threshold: float,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+        max_k: int = 100,
+    ) -> DataFrame:
+        """Top-max_k candidate pool then exact `<=` filter (ANN threshold
+        semantics: hnsw.py:107-114, usearch.py:131-139)."""
+        res = self.knn(corpus, queries, k=max_k, metric=metric, payload_cols=payload_cols)
+        return res.where(F.col("distance") <= F.lit(float(threshold))).drop("rank")

@@ -63,6 +63,7 @@ class Backend(str, Enum):
     LSH = "lsh"  # random-projection LSH bucketed equi-join plan
     IVF = "ivf"  # MLlib KMeans cluster-pruned plan
     SQ = "sq"  # scalar-quantized codes + exact re-rank plan
+    PQ = "pq"  # product-quantized codes + ADC lookup plan
 
     @classmethod
     def from_string(cls, backend: "str | Backend") -> "Backend":
@@ -80,7 +81,7 @@ class Backend(str, Enum):
                 "annoy": cls.LSH,
                 "sq": cls.SQ,
                 "scalar": cls.SQ,
-                "pq": cls.SQ,
+                "pq": cls.PQ,
                 "ivf": cls.IVF,
                 "faiss": cls.IVF,
                 "hnsw": cls.IVF,

@@ -368,6 +368,22 @@ def ann_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_knn")
+def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC k-NN (backends/pq.py): per-subspace
+    codebook lookups, exact re-rank. Approximate → rows-only."""
+    from vicinity_spark.backends.pq import PQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = PQStrategy(m=8, ksub=64, refine=8)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---- dedup suite (★ training-data pipeline) -------------------------
 
 @register(
