@@ -13,7 +13,7 @@ from vicinity_spark.store import VectorStore
 N = 200
 DIM = 8
 
-BACKENDS = ["basic", "lsh", "ivf", "sq", "pq"]
+BACKENDS = ["basic", "lsh", "ivf", "sq", "pq", "ivfpq"]
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +39,8 @@ def make_store(spark, data, backend, **kw):
         params = {"refine": 4}
     if backend == "pq":
         params = {"m": 4, "ksub": 32, "refine": 8}  # dim 8 → 4 subspaces
+    if backend == "ivfpq":
+        params = {"m": 4, "ksub": 32, "refine": 8, "nlist": 8, "nprobe": 8}
     params.update(kw)
     return VectorStore.from_vectors_and_items(
         spark, vectors, items, backend_type=backend, metric="cosine", **params
@@ -179,7 +181,7 @@ def test_evaluate_exact_recall_one(spark, data):
     assert recall == pytest.approx(1.0)  # exact path IS the ground truth
 
 
-@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq"])
+@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq", "ivfpq"])
 def test_evaluate_ann_recall_floor(spark, data, backend):
     vectors, _, _ = data
     store = make_store(spark, data, backend)

@@ -30,6 +30,7 @@ def _register_builtin() -> None:
     # late imports avoid a cycle through MLlib-backed strategies
     from vicinity_spark.backends.ivf import IVFStrategy
     from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.backends.ivfpq import IVFPQStrategy
     from vicinity_spark.backends.pq import PQStrategy
     from vicinity_spark.backends.sq import SQStrategy
 
@@ -37,6 +38,7 @@ def _register_builtin() -> None:
     _REGISTRY.setdefault(Backend.IVF, IVFStrategy)
     _REGISTRY.setdefault(Backend.SQ, SQStrategy)
     _REGISTRY.setdefault(Backend.PQ, PQStrategy)
+    _REGISTRY.setdefault(Backend.IVFPQ, IVFPQStrategy)
 
 
 __all__ = ["IndexStrategy", "get_strategy_class", "register_strategy"]

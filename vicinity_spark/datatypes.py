@@ -64,6 +64,7 @@ class Backend(str, Enum):
     IVF = "ivf"  # MLlib KMeans cluster-pruned plan
     SQ = "sq"  # scalar-quantized codes + exact re-rank plan
     PQ = "pq"  # product-quantized codes + ADC lookup plan
+    IVFPQ = "ivfpq"  # KMeans inverted lists + PQ codes (ADC within probed lists)
 
     @classmethod
     def from_string(cls, backend: "str | Backend") -> "Backend":
@@ -82,6 +83,10 @@ class Backend(str, Enum):
                 "sq": cls.SQ,
                 "scalar": cls.SQ,
                 "pq": cls.PQ,
+                "pqr": cls.PQ,
+                "ivfpq": cls.IVFPQ,
+                "ivfpqr": cls.IVFPQ,
+                "ivf_scalar": cls.IVFPQ,
                 "ivf": cls.IVF,
                 "faiss": cls.IVF,
                 "hnsw": cls.IVF,
