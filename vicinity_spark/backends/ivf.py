@@ -34,7 +34,7 @@ class IVFStrategy(IndexStrategy):
     backend = Backend.IVF
     exact = False
 
-    def __init__(self, nlist: int = 32, nprobe: int = 4, seed: int = 42, centroids=None, **params):
+    def __init__(self, nlist: int = 32, nprobe: int = 8, seed: int = 42, centroids=None, **params):
         super().__init__(
             nlist=int(nlist), nprobe=int(nprobe), seed=int(seed), centroids=centroids, **params
         )

@@ -20,6 +20,14 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     )
+    # Python workers unpickle mapInPandas kernels by module reference;
+    # make vicinity_spark importable for them regardless of driver cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

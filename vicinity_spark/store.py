@@ -273,7 +273,8 @@ class VectorStore:
     def delete(self, items: Sequence[Any]) -> None:
         """Delete by item equality; duplicates all removed; missing
         tokens raise (vicinity.py:255-283)."""
-        tokens = [_dump_item(t) for t in items]
+        by_token = {_dump_item(t): t for t in items}
+        tokens = list(by_token)
         present = {
             r[0]
             for r in self.df.where(F.col("item_json").isin(tokens))
@@ -281,7 +282,7 @@ class VectorStore:
             .distinct()
             .collect()
         }
-        missing = [t for t in tokens if t not in present]
+        missing = [by_token[t] for t in tokens if t not in present]
         if missing:
             raise ValueError(f"Tokens {missing} were not in the store.")
         removed = self.df.where(F.col("item_json").isin(tokens)).count()
