@@ -119,12 +119,53 @@ def lsh_scale_200k(spark, sf_dir):
     return lambda s, d: strat.knn(corpus, queries, k=10, metric=Metric.COSINE)
 
 
+def neardup_vectorized(spark, sf_dir):
+    """Embedding near-dup pairs (same semantics as the oracle-checked
+    neardup_embeddings query) with the vectorized block kernel: each
+    corpus partition sweeps the broadcast corpus matrix in numpy. The
+    expression-chain form in queries.py exists for bit-exact oracle
+    parity; this is the kernel you would run at scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    e = Q._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()
+    ids_all = pdf["vec_id"].to_numpy()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
+    T = Q._NEARDUP_T
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids_b = b["vec_id"].to_numpy()
+            Xb = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+            Xbh = Xb / np.linalg.norm(Xb, axis=1, keepdims=True)
+            D = 1.0 - Xbh @ Xh.T
+            mask = (ids_b[:, None] < ids_all[None, :]) & (D <= T)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ids_b[ai], "id_b": ids_all[bi], "distance": D[ai, bi]}
+            )
+
+    return e.repartition(32).mapInPandas(kernel, schema)
+
+
 BENCH = {
     "knn_batch_full": knn_batch_full,
     "knn_cosine": Q.QUERIES["knn_cosine"],
     "knn_euclidean": Q.QUERIES["knn_euclidean"],
     "threshold_cosine": Q.QUERIES["threshold_cosine"],
-    "neardup_embeddings": Q.QUERIES["neardup_embeddings"],
+    "neardup_embeddings": neardup_vectorized,
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,
     "ann_sq_batch": ann_sq_batch,
