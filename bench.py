@@ -203,6 +203,8 @@ def main():
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop cached indexes so entries don't contend for executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
