@@ -130,18 +130,34 @@ class LSHStrategy(IndexStrategy):
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
+        """Score candidates with the vectorized row-wise numpy kernel
+        (Arrow batches): the candidate set can be large (queries ×
+        bucket sizes), and a per-row JVM evaluation of the dim-wide
+        distance expression is the bottleneck there. Query vectors ride
+        in via the kernel closure (one Arrow transfer of the batch).
+        Downstream shuffles carry only (query_id, id, distance)."""
+        from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_pairwise
+
+        qpdf = queries.select("query_id", "qvec").toPandas()
+        qindex = {int(q): i for i, q in enumerate(qpdf["query_id"])}
+        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+
         cand = self._candidates(corpus, queries, metric)
-        q = queries.select("query_id", F.col("qvec").alias("__qvec"))
-        d = clip_distance(
-            distance_expr(metric, "__qvec", "vector", self.params.get("dim"))
-        )
-        # project vectors away immediately after scoring: downstream
-        # window/filter shuffles carry only (query_id, id, distance)
-        return (
-            cand.join(corpus.select("id", "vector"), "id")
-            .join(F.broadcast(q), "query_id")
-            .select("query_id", "id", d.alias("distance"))
-        )
+        joined = cand.join(corpus.select("id", "vector"), "id")
+
+        def kernel(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                qids = b["query_id"].to_numpy()
+                X = np.vstack(b["vector"].to_numpy()).astype(np.float64)
+                A = Q[[qindex[int(q)] for q in qids]]
+                d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
+                yield pd.DataFrame(
+                    {"query_id": qids, "id": b["id"].to_numpy(), "distance": d}
+                )
+
+        return joined.select("query_id", "id", "vector").mapInPandas(kernel, _KNN_SCHEMA)
 
     def knn(
         self,

@@ -75,6 +75,34 @@ def _np_distances(metric: Metric, Q: np.ndarray, X: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported metric {metric}")
 
 
+def _np_pairwise(metric: Metric, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise distances between aligned matrices (n × dim each) —
+    the vectorized kernel for re-scoring candidate pairs."""
+    if metric is Metric.COSINE:
+        an = np.linalg.norm(A, axis=1)
+        bn = np.linalg.norm(B, axis=1)
+        denom = an * bn
+        dot = (A * B).sum(axis=1)
+        sim = np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0)
+        return 1.0 - sim
+    if metric is Metric.INNER_PRODUCT:
+        return 1.0 - (A * B).sum(axis=1)
+    if metric is Metric.EUCLIDEAN:
+        return np.sqrt(((A - B) ** 2).sum(axis=1))
+    if metric is Metric.L2_SQUARED:
+        return ((A - B) ** 2).sum(axis=1)
+    if metric is Metric.MANHATTAN:
+        return np.abs(A - B).sum(axis=1)
+    if metric is Metric.HAMMING:
+        return (A != B).sum(axis=1).astype(np.float64)
+    if metric is Metric.TANIMOTO:
+        dot = (A * B).sum(axis=1)
+        denom = (A * A).sum(axis=1) + (B * B).sum(axis=1) - dot
+        sim = np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0)
+        return 1.0 - sim
+    raise ValueError(f"unsupported metric {metric}")
+
+
 _KNN_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
