@@ -109,36 +109,15 @@ class IVFStrategy(IndexStrategy):
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
-        """Probed-cluster rows scored with the vectorized row-wise numpy
-        kernel (see lsh._scored — same rationale: the probed set is
-        queries × inverted-list sizes, too large for per-row JVM
-        evaluation of a dim-wide expression). The probe side carries
-        only (query_id, __cluster); query vectors ride in the closure.
+        """Probed-cluster rows re-scored by the shared vectorized kernel
+        (operators/knn.py score_joined). The probe side carries only
+        (query_id, __cluster); query vectors ride in the kernel closure.
         Downstream shuffles carry only (query_id, id, distance)."""
-        import pandas as pd
-
-        from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_pairwise
-
-        qpdf = queries.select("query_id", "qvec").toPandas()
-        qindex = {int(q): i for i, q in enumerate(qpdf["query_id"])}
-        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+        from vicinity_spark.operators.knn import score_joined
 
         probe = self._probe_df(queries).select("query_id", CLUSTER_COL)
         joined = corpus.join(F.broadcast(probe), CLUSTER_COL)
-
-        def kernel(batches):
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                qids = b["query_id"].to_numpy()
-                X = np.vstack(b["vector"].to_numpy()).astype(np.float64)
-                A = Q[[qindex[int(q)] for q in qids]]
-                d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
-                yield pd.DataFrame(
-                    {"query_id": qids, "id": b["id"].to_numpy(), "distance": d}
-                )
-
-        return joined.select("query_id", "id", "vector").mapInPandas(kernel, _KNN_SCHEMA)
+        return score_joined(joined, queries, metric)
 
     def knn(
         self,

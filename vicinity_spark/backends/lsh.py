@@ -130,34 +130,16 @@ class LSHStrategy(IndexStrategy):
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
-        """Score candidates with the vectorized row-wise numpy kernel
-        (Arrow batches): the candidate set can be large (queries ×
-        bucket sizes), and a per-row JVM evaluation of the dim-wide
-        distance expression is the bottleneck there. Query vectors ride
-        in via the kernel closure (one Arrow transfer of the batch).
-        Downstream shuffles carry only (query_id, id, distance)."""
-        from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_pairwise
-
-        qpdf = queries.select("query_id", "qvec").toPandas()
-        qindex = {int(q): i for i, q in enumerate(qpdf["query_id"])}
-        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+        """Candidates re-scored by the shared vectorized kernel
+        (operators/knn.py score_joined): candidate volume is queries ×
+        bucket sizes, where per-row JVM evaluation of the dim-wide
+        distance expression dominates. Downstream shuffles carry only
+        (query_id, id, distance)."""
+        from vicinity_spark.operators.knn import score_joined
 
         cand = self._candidates(corpus, queries, metric)
         joined = cand.join(corpus.select("id", "vector"), "id")
-
-        def kernel(batches):
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                qids = b["query_id"].to_numpy()
-                X = np.vstack(b["vector"].to_numpy()).astype(np.float64)
-                A = Q[[qindex[int(q)] for q in qids]]
-                d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
-                yield pd.DataFrame(
-                    {"query_id": qids, "id": b["id"].to_numpy(), "distance": d}
-                )
-
-        return joined.select("query_id", "id", "vector").mapInPandas(kernel, _KNN_SCHEMA)
+        return score_joined(joined, queries, metric)
 
     def knn(
         self,

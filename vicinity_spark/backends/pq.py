@@ -197,18 +197,16 @@ class PQStrategy(IndexStrategy):
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
-        q = queries.select("query_id", F.col("qvec").alias("__qvec"))
-        exact = (
-            F.broadcast(cand.select("query_id", "id"))
-            .join(corpus.select("id", "vector", *(payload_cols or [])), "id")
-            .join(F.broadcast(q), "query_id")
-            .withColumn(
-                "distance",
-                clip_distance(distance_expr(metric, "__qvec", "vector", self.params.get("dim"))),
-            )
+        from vicinity_spark.operators.knn import score_joined
+
+        joined = F.broadcast(cand.select("query_id", "id")).join(
+            corpus.select("id", "vector"), "id"
         )
+        exact = score_joined(joined, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         out = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        if payload_cols:
+            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(

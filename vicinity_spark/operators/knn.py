@@ -112,6 +112,42 @@ _KNN_SCHEMA = StructType(
 )
 
 
+def score_joined(
+    joined: DataFrame,
+    queries: DataFrame,
+    metric: "str | Metric",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """(query_id, id, vector) rows → (query_id, id, distance), scored by
+    the vectorized row-wise numpy kernel (Arrow batches; query vectors
+    ride in the closure). Used by every ANN strategy to re-score its
+    candidate set: candidate volumes are queries × bucket/list sizes,
+    where per-row JVM evaluation of a dim-wide expression dominates.
+    Distances are clipped ≥ 0 (facade contract, vicinity.py:135)."""
+    metric = Metric.from_string(metric)
+    qpdf = queries.select("query_id", "qvec").toPandas()
+    qindex = {int(q): i for i, q in enumerate(qpdf["query_id"])}
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            qids = b["query_id"].to_numpy()
+            X = np.vstack(b[vector_col].to_numpy()).astype(np.float64)
+            A = Q[[qindex[int(q)] for q in qids]]
+            d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
+            yield pd.DataFrame(
+                {"query_id": qids, "id": b[id_col].to_numpy(), "distance": d}
+            )
+
+    return joined.select("query_id", F.col(id_col).alias("id"), vector_col).mapInPandas(
+        kernel, _KNN_SCHEMA
+    )
+
+
 def _partial_topk(
     corpus: DataFrame,
     id_col: str,
