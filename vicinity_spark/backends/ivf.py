@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import clip_distance, distance_expr
+from vicinity_spark.functions.metrics import distance_expr
 
 CLUSTER_COL = "__cluster"
 

@@ -20,7 +20,7 @@ polynomially per table.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -30,7 +30,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import clip_distance, distance_expr
 
 BUCKETS_COL = "__buckets"
 _MOD = (1 << 61) - 1

@@ -31,7 +31,6 @@ from pyspark.sql.types import ArrayType, ShortType
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import clip_distance, distance_expr
 from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 CODE_COL = "__pqcode"

@@ -23,11 +23,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, ShortType
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import clip_distance, distance_expr
 from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_distances
 
 CODE_COL = "__code"
