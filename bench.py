@@ -62,10 +62,20 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.sq import SQStrategy
 
             strat = SQStrategy(refine=4)
-        else:
+        elif strategy_name == "pq":
+            from vicinity_spark.backends.pq import PQStrategy
+
+            strat = PQStrategy(m=8, ksub=64, refine=8)
+        elif strategy_name == "ivfpq":
+            from vicinity_spark.backends.ivfpq import IVFPQStrategy
+
+            strat = IVFPQStrategy(nlist=32, nprobe=8, m=8, ksub=64, refine=8)
+        elif strategy_name == "ivf":
             from vicinity_spark.backends.ivf import IVFStrategy
 
             strat = IVFStrategy(nlist=32, nprobe=4)
+        else:
+            raise ValueError(f"unknown ANN strategy {strategy_name!r}")
         corpus = strat.build(Q._emb_corpus(spark, sf_dir), Metric.COSINE, Q.DIM).cache()
         corpus.count()
         return lambda s, d: strat.knn(corpus, _emb_all_queries(s, d), k=10, metric=Metric.COSINE)
@@ -77,6 +87,7 @@ ann_lsh_batch = _ann_batch("lsh")
 ann_sq_batch = _ann_batch("sq")
 ann_pq_batch = _ann_batch("pq")
 ann_ivf_batch = _ann_batch("ivf")
+ann_ivfpq_batch = _ann_batch("ivfpq")
 
 
 def _synth_vectors(spark, n=200_000, dim=64, parts=32):
@@ -170,6 +181,7 @@ BENCH = {
     "ann_ivf_batch": ann_ivf_batch,
     "ann_sq_batch": ann_sq_batch,
     "ann_pq_batch": ann_pq_batch,
+    "ann_ivfpq_batch": ann_ivfpq_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
     "text_quality": Q.QUERIES["text_quality"],

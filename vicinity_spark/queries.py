@@ -384,6 +384,23 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfpq_knn")
+def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite k-NN (backends/ivfpq.py — FAISS `ivfpq` analog,
+    faiss.py:105-110): coarse KMeans inverted lists + PQ ADC scan,
+    exact re-rank."""
+    from vicinity_spark.backends.ivfpq import IVFPQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = IVFPQStrategy(nlist=8, nprobe=4, m=8, ksub=64, refine=8)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---- dedup suite (★ training-data pipeline) -------------------------
 
 @register(
@@ -966,7 +983,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, vicinity.py:255-283)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("c_custkey"))
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").cast("long").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    # custkey is unique in customer, so EXCEPT ≡ left_anti here — and
+    # left_anti is the plan that scales (no aggregation of the big side)
+    return c.join(o, "c_custkey", "left_anti").distinct()
 
 
 @register(
