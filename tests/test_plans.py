@@ -67,6 +67,20 @@ def test_lsh_candidate_plan_is_equijoin(spark, corpus_df, queries_df):
     assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
 
 
+def test_simhash_pairs_plan_is_blocking_equijoin(spark):
+    from vicinity_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+    from vicinity_spark.queries import _t
+
+    fp = simhash_fingerprints(_t(spark, SF_DIR, "documents"))
+    df = simhash_pairs(fp, max_hamming=3)
+    s = explain_str(df, "simple")
+    # the Hamming-ball pair search must block on bit chunks (equi-join),
+    # never enumerate all fingerprint pairs
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
+
+
 def test_partial_topk_shuffle_is_bounded(spark, corpus_df, queries_df):
     from vicinity_spark.operators.knn import knn_join
 

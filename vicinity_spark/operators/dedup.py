@@ -204,18 +204,48 @@ def simhash_fingerprints(
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def _simhash_chunks(fingerprints: DataFrame, n_chunks: int, width: int) -> DataFrame:
+    """(doc_id, simhash, chunk, cval) — the fingerprint split into
+    n_chunks bit-slices of `width` bits (last slice may be narrower)."""
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    return fingerprints.select(
+        "doc_id", "simhash", F.posexplode(slices).alias("chunk", "cval")
+    )
+
+
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) — fingerprint pairs within a Hamming ball.
 
-    All-pairs on fingerprints (a scalar per doc); at 100 TB this gets a
-    band-prefix blocking join (split the 32 bits into max_hamming+1
-    chunks; any pair within the ball shares one exact chunk).
+    Blocking equi-join (the plan that survives 100 TB): split the 32
+    bits into max_hamming+1 chunks; by pigeonhole, any pair with
+    hamming <= max_hamming differs in at most max_hamming chunks, so it
+    agrees *exactly* on at least one chunk. Candidates are therefore an
+    equi-join on (chunk_idx, chunk_value) — no cross product — followed
+    by the exact Hamming filter. Output is identical to the all-pairs
+    form; only the physical plan changes.
     """
-    a = fingerprints.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = fingerprints.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    n_chunks = max_hamming + 1
+    width = -(-N_SIMHASH_BITS // n_chunks)  # ceil
+    a = _simhash_chunks(fingerprints, n_chunks, width).select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "chunk", "cval"
+    )
+    b = _simhash_chunks(fingerprints, n_chunks, width).select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "chunk", "cval"
+    )
+    cands = (
+        a.join(b, ["chunk", "cval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # a pair may agree on several chunks
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
+        cands.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
