@@ -10,9 +10,10 @@ Centroids are stored in params (nlist × dim doubles — tiny), so the
 index reloads from metadata alone and inserts assign clusters without
 refitting.
 
-Query = probe the nprobe nearest centroids per query (driver-side
-numpy on the tiny centroid matrix) → equi-join corpus on `__cluster`
-(Catalyst prunes every other cluster's partitions) → exact re-rank.
+Query = probe the nprobe nearest centroids per query (executor-side
+pandas UDF; the tiny centroid matrix rides in the closure) → equi-join
+corpus on `__cluster` (Catalyst prunes every other cluster's
+partitions) → exact re-rank.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,26 +88,25 @@ class IVFStrategy(IndexStrategy):
         )
 
     def _probe_df(self, queries: DataFrame) -> DataFrame:
-        """(query_id, qvec, __cluster) for the nprobe nearest centroids.
+        """(query_id, __cluster) for the nprobe nearest centroids —
+        computed *executor-side* in an Arrow-vectorized pandas UDF with
+        the tiny centroid matrix riding in the closure (same pattern as
+        LSH's _probe_df): no driver collect, so a 10M-row query table
+        probes in parallel instead of bottlenecking the driver."""
+        from pyspark.sql.types import ArrayType, IntegerType
 
-        Vectorized: one Arrow transfer of the query batch, one numpy
-        distance matrix against the (tiny) centroid matrix."""
-        import pandas as pd
-
-        spark = queries.sparkSession
-        qpdf = queries.select("query_id", "qvec").toPandas()
         C = self.centroids
         nprobe = min(self.params["nprobe"], len(C))
-        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
-        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        nearest = np.argsort(D, axis=1)[:, :nprobe]
-        rows = {
-            "query_id": np.repeat(qpdf["query_id"].to_numpy(), nprobe),
-            "__qvec": [list(map(float, Q[i])) for i in range(len(Q)) for _ in range(nprobe)],
-            CLUSTER_COL: nearest.ravel().astype(int),
-        }
-        return spark.createDataFrame(
-            pd.DataFrame(rows), f"query_id bigint, __qvec array<double>, {CLUSTER_COL} int"
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe(v: pd.Series) -> pd.Series:
+            Q = np.vstack(v.to_numpy()).astype(np.float64)
+            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argsort(D, axis=1)[:, :nprobe].astype(np.int32)
+            return pd.Series(list(nearest))
+
+        return queries.select(
+            "query_id", F.explode(probe(F.col("qvec"))).alias(CLUSTER_COL)
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
@@ -115,7 +116,7 @@ class IVFStrategy(IndexStrategy):
         Downstream shuffles carry only (query_id, id, distance)."""
         from vicinity_spark.operators.knn import score_joined
 
-        probe = self._probe_df(queries).select("query_id", CLUSTER_COL)
+        probe = self._probe_df(queries)
         joined = corpus.join(F.broadcast(probe), CLUSTER_COL)
         return score_joined(joined, queries, metric)
 

@@ -14,17 +14,15 @@ code, independent of dim.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
 from vicinity_spark.backends.pq import CODE_COL, PQStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import clip_distance, distance_expr
 from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 
@@ -55,26 +53,22 @@ class IVFPQStrategy(PQStrategy):
         D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return np.argsort(D, axis=1)[:, :nprobe]
 
-    def _candidates(self, corpus: DataFrame, query_rows, k: int, metric: Metric) -> DataFrame:
-        books = self._codebooks()
-        m = self.params["m"]
-        qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
-        Qraw = np.asarray([q[1] for q in query_rows], dtype=np.float64)
-        probes = self._probe_sets(Qraw)  # nq × nprobe cluster ids (on raw space)
-        Q = self._normalize_if_angular(Qraw, metric)
-        dsub = Q.shape[1] // m
-        tables = np.stack(
-            [
-                ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                for j in range(m)
-            ],
-            axis=1,
+    def _query_payload(self, queries: DataFrame, metric: Metric):
+        """Broadcast[(qids, tables, probes)] — ADC tables plus each
+        query's nprobe cluster set (probed on the raw space)."""
+        from vicinity_spark.operators.knn import query_matrix
+
+        qids, Qraw = query_matrix(queries)
+        return queries.sparkSession.sparkContext.broadcast(
+            (qids, self._adc_tables(Qraw, metric), self._probe_sets(Qraw))
         )
+
+    def _candidates(self, corpus: DataFrame, bt, k: int, metric: Metric) -> DataFrame:
+        m = self.params["m"]
         kk = max(k * self.params["refine"], k)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids, tables, probes = bt.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue

@@ -138,15 +138,14 @@ class PQStrategy(IndexStrategy):
         return new_df.withColumn(CODE_COL, self._encode_kernel(metric)(F.col("vector")))
 
     # ---- query: ADC candidates + exact re-rank -----------------------
-    def _candidates(self, corpus: DataFrame, query_rows, k: int, metric: Metric) -> DataFrame:
+    def _adc_tables(self, Q: np.ndarray, metric: Metric) -> np.ndarray:
+        """Per-query ADC lookup tables, nq × m × ksub (squared-L2 to
+        every sub-centroid; see class docstring for the cosine trick)."""
         books = self._codebooks()
         m = self.params["m"]
-        qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
-        Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
         Q = self._normalize_if_angular(Q, metric)
         dsub = Q.shape[1] // m
-        # per-query ADC lookup tables: nq × m × ksub
-        tables = np.stack(
+        return np.stack(
             [
                 ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
                     axis=2
@@ -155,9 +154,24 @@ class PQStrategy(IndexStrategy):
             ],
             axis=1,
         )
+
+    def _query_payload(self, queries: DataFrame, metric: Metric):
+        """Broadcast[(qids, tables)] — everything the ADC kernel needs."""
+        from vicinity_spark.operators.knn import query_matrix
+
+        qids, Q = query_matrix(queries)
+        return queries.sparkSession.sparkContext.broadcast(
+            (qids, self._adc_tables(Q, metric))
+        )
+
+    def _candidates(self, corpus: DataFrame, bt, k: int, metric: Metric) -> DataFrame:
+        """bt: Broadcast[(qids, tables)] — ADC tables ship as a torrent
+        broadcast (one copy per executor), not a per-task closure."""
+        m = self.params["m"]
         kk = max(k * self.params["refine"], k)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids, tables = bt.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -190,9 +204,8 @@ class PQStrategy(IndexStrategy):
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be greater than 0")
-        qpdf = queries.select("query_id", "qvec").toPandas()
-        query_rows = [(int(q), list(v)) for q, v in zip(qpdf["query_id"], qpdf["qvec"])]
-        cand = self._candidates(corpus, query_rows, k, metric)
+        bt = self._query_payload(queries, metric)
+        cand = self._candidates(corpus, bt, k, metric)
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)

@@ -74,16 +74,15 @@ class SQStrategy(IndexStrategy):
         return new_df.withColumn(CODE_COL, self._encode_expr())
 
     # ---- phase 1: approximate candidates over codes ------------------
-    def _candidates(
-        self, corpus: DataFrame, query_rows, k: int, metric: Metric
-    ) -> DataFrame:
+    def _candidates(self, corpus: DataFrame, bq, k: int, metric: Metric) -> DataFrame:
+        """bq: Broadcast[(qids, Q)] — the query matrix ships as a torrent
+        broadcast (one copy per executor), not a per-task closure."""
         mins = np.asarray(self.params["mins"])
         scales = np.asarray(self.params["scales"])
-        qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
-        Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
         kk = max(k * self.params["refine"], k)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids, Q = bq.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -114,9 +113,10 @@ class SQStrategy(IndexStrategy):
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be greater than 0")
-        qpdf = queries.select("query_id", "qvec").toPandas()  # Arrow path
-        query_rows = [(int(q), list(v)) for q, v in zip(qpdf["query_id"], qpdf["qvec"])]
-        cand = self._candidates(corpus, query_rows, k, metric)
+        from vicinity_spark.operators.knn import collect_query_matrix
+
+        bq = collect_query_matrix(queries)
+        cand = self._candidates(corpus, bq, k, metric)
         # keep k×refine best approx candidates globally per query
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         kk = max(k * self.params["refine"], k)

@@ -121,30 +121,51 @@ def score_joined(
     vector_col: str = "vector",
 ) -> DataFrame:
     """(query_id, id, vector) rows → (query_id, id, distance), scored by
-    the vectorized row-wise numpy kernel (Arrow batches; query vectors
-    ride in the closure). Used by every ANN strategy to re-score its
-    candidate set: candidate volumes are queries × bucket/list sizes,
-    where per-row JVM evaluation of a dim-wide expression dominates.
+    the vectorized row-wise numpy kernel (Arrow batches). Used by every
+    ANN strategy to re-score its candidate set: candidate volumes are
+    queries × bucket/list sizes, where per-row JVM evaluation of a
+    dim-wide expression dominates. Query vectors arrive by *joining* the
+    query DataFrame on query_id — no driver collect, so the plan holds
+    at any query count (AQE broadcasts the query side when it is small).
     Distances are clipped ≥ 0 (facade contract, vicinity.py:135)."""
     metric = Metric.from_string(metric)
-    qpdf = queries.select("query_id", "qvec").toPandas()
-    qindex = {int(q): i for i, q in enumerate(qpdf["query_id"])}
-    Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b) == 0:
                 continue
-            qids = b["query_id"].to_numpy()
             X = np.vstack(b[vector_col].to_numpy()).astype(np.float64)
-            A = Q[[qindex[int(q)] for q in qids]]
+            A = np.vstack(b["__qvec"].to_numpy()).astype(np.float64)
             d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
             yield pd.DataFrame(
-                {"query_id": qids, "id": b[id_col].to_numpy(), "distance": d}
+                {
+                    "query_id": b["query_id"].to_numpy(),
+                    "id": b[id_col].to_numpy(),
+                    "distance": d,
+                }
             )
 
-    return joined.select("query_id", F.col(id_col).alias("id"), vector_col).mapInPandas(
-        kernel, _KNN_SCHEMA
+    q = queries.select("query_id", F.col("qvec").alias("__qvec"))
+    withq = joined.select("query_id", F.col(id_col).alias("id"), vector_col).join(
+        q, "query_id"
+    )
+    return withq.mapInPandas(kernel, _KNN_SCHEMA)
+
+
+def query_matrix(queries: DataFrame, id_col: str = "query_id", vec_col: str = "qvec"):
+    """(qids, Q) numpy arrays of the query batch, via the Arrow path."""
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy().astype(np.int64)
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    return qids, Q
+
+
+def collect_query_matrix(queries: DataFrame, id_col: str = "query_id", vec_col: str = "qvec"):
+    """Collect the query batch (Arrow path) and ship it as a torrent
+    broadcast: one copy per executor instead of a pickled closure copy
+    per task — the pattern that holds for large query batches."""
+    return queries.sparkSession.sparkContext.broadcast(
+        query_matrix(queries, id_col, vec_col)
     )
 
 
@@ -152,15 +173,14 @@ def _partial_topk(
     corpus: DataFrame,
     id_col: str,
     vector_col: str,
-    query_rows: "list[tuple[int, list[float]]]",
+    bq,  # Broadcast[(qids, Q)]
     k: int,
     metric: Metric,
 ) -> DataFrame:
     """Per-partition vectorized top-k: emits ≤ q×k rows per Arrow batch."""
-    qids = np.asarray([q[0] for q in query_rows], dtype=np.int64)
-    Q = np.asarray([q[1] for q in query_rows], dtype=np.float64)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Q = bq.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -226,12 +246,8 @@ def knn_join(
         return ranked.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     if algorithm == "partial":
-        qpdf = queries.select(query_id_col, query_vector_col).toPandas()  # Arrow path
-        query_rows = [
-            (int(qid), list(qv))
-            for qid, qv in zip(qpdf[query_id_col], qpdf[query_vector_col])
-        ]
-        local = _partial_topk(corpus, id_col, vector_col, query_rows, k, metric)
+        bq = collect_query_matrix(queries, query_id_col, query_vector_col)
+        local = _partial_topk(corpus, id_col, vector_col, bq, k, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         merged = (
             local.withColumn("rank", F.row_number().over(w))
