@@ -1,0 +1,45 @@
+"""functions/stats.py — single-pass vector stats used by LSH/SQ builds."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vicinity_spark.functions.stats import vector_stats
+
+
+def _synth(spark, n=300, dim=512, parts=7):
+    cols = F.array(*[F.rand(seed=i) for i in range(dim)])
+    return spark.range(0, n, 1, parts).select(
+        "id", cols.cast("array<double>").alias("vector")
+    )
+
+
+def test_vector_stats_matches_numpy(spark):
+    df = _synth(spark, n=200, dim=32, parts=5).cache()
+    X = np.vstack(df.toPandas()["vector"].to_numpy())
+    st = vector_stats(df)
+    assert st.count == 200
+    np.testing.assert_allclose(st.mean, X.mean(axis=0), rtol=1e-12)
+    np.testing.assert_array_equal(st.min, X.min(axis=0))
+    np.testing.assert_array_equal(st.max, X.max(axis=0))
+
+
+def test_vector_stats_empty_raises(spark):
+    df = _synth(spark, n=10, dim=4).where(F.col("id") < 0)
+    with pytest.raises(ValueError):
+        vector_stats(df)
+
+
+def test_lsh_and_sq_build_at_dim_512(spark):
+    """Build plans must stay narrow at high dim (no per-dim aggregates)."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.backends.sq import SQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    df = _synth(spark, n=120, dim=512, parts=4)
+    lsh = LSHStrategy(n_tables=2, n_bits=4)
+    assert lsh.build(df, Metric.COSINE, 512).count() == 120
+    assert len(lsh.params["means"]) == 512
+    sq = SQStrategy(refine=2)
+    assert sq.build(df, Metric.COSINE, 512).count() == 120
+    assert len(sq.params["mins"]) == len(sq.params["scales"]) == 512

@@ -86,12 +86,12 @@ class LSHStrategy(IndexStrategy):
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
         if self.params.get("means") is None:
-            # one map-side-combined pass; means persist in params so
-            # probes and inserted rows hash identically forever
-            row = df.select(
-                *[F.avg(F.element_at("vector", i + 1)).alias(f"m{i}") for i in range(dim)]
-            ).first()
-            self.params["means"] = [float(row[f"m{i}"]) for i in range(dim)]
+            # one mapInPandas partial-agg pass (functions/stats.py): plan
+            # width independent of dim; means persist in params so probes
+            # and inserted rows hash identically forever
+            from vicinity_spark.functions.stats import vector_stats
+
+            self.params["means"] = [float(m) for m in vector_stats(df, "vector").mean]
         strat = self
 
         @F.pandas_udf(ArrayType(LongType()))

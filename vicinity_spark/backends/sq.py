@@ -40,13 +40,13 @@ class SQStrategy(IndexStrategy):
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
-        # one-pass per-dimension min/max (partial-aggregated map-side)
-        stats = df.select(
-            *[F.min(F.element_at("vector", i + 1)).alias(f"mn{i}") for i in range(dim)],
-            *[F.max(F.element_at("vector", i + 1)).alias(f"mx{i}") for i in range(dim)],
-        ).first()
-        mins = [float(stats[f"mn{i}"]) for i in range(dim)]
-        maxs = [float(stats[f"mx{i}"]) for i in range(dim)]
+        # one mapInPandas partial-agg pass (functions/stats.py): plan
+        # width independent of dim, unlike 2×dim aggregate expressions
+        from vicinity_spark.functions.stats import vector_stats
+
+        stats = vector_stats(df, "vector")
+        mins = [float(x) for x in stats.min]
+        maxs = [float(x) for x in stats.max]
         scales = [(mx - mn) / 255.0 if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
         self.params["mins"], self.params["scales"] = mins, scales
         return df.withColumn(CODE_COL, self._encode_expr())
