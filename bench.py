@@ -116,6 +116,27 @@ def knn_scale_200k(spark, sf_dir):
     return lambda s, d: knn_join(corpus, queries, k=10, metric="cosine", algorithm="partial")
 
 
+def lsh_neardup_200k(spark, sf_dir):
+    """Near-dup pair mining at 200k rows: 199k base vectors + 1000
+    planted near-copies (tiny per-dim noise). The all-pairs form is
+    2×10^10 candidate pairs — infeasible; the LSH bucket self-join
+    (backends/lsh.py neardup_pairs) finds the planted pairs through an
+    equi-join whose candidate volume is bucket-bounded."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    base = _synth_vectors(spark, n=199_000)
+    noise = F.array(*[(F.rand(seed=5000 + i) - 0.5) * 0.01 for i in range(64)])
+    dups = base.where(F.col("id") < 1000).select(
+        (F.col("id") + 199_000).alias("id"),
+        F.zip_with("vector", noise, lambda x, y: x + y).cast("array<float>").alias("vector"),
+    )
+    strat = LSHStrategy(n_tables=6, n_bits=16)
+    corpus = strat.build(base.unionByName(dups), Metric.COSINE, 64).cache()
+    corpus.count()
+    return lambda s, d: strat.neardup_pairs(corpus, 0.1, Metric.COSINE)
+
+
 def lsh_scale_200k(spark, sf_dir):
     """100 queries × 200k corpus via LSH bucket equi-join."""
     from vicinity_spark.backends.lsh import LSHStrategy
@@ -133,9 +154,10 @@ def lsh_scale_200k(spark, sf_dir):
 def neardup_vectorized(spark, sf_dir):
     """Embedding near-dup pairs (same semantics as the oracle-checked
     neardup_embeddings query) with the vectorized block kernel: each
-    corpus partition sweeps the broadcast corpus matrix in numpy. The
-    expression-chain form in queries.py exists for bit-exact oracle
-    parity; this is the kernel you would run at scale."""
+    corpus partition sweeps the corpus matrix shipped in the closure.
+    Valid only while the corpus fits in memory (exact all-pairs sweep);
+    the honest scale path is the LSH-bucketed candidate join — see
+    lsh_neardup_200k below and queries.py ann_lsh_neardup."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -194,6 +216,7 @@ BENCH = {
     "events_sessionize": Q.QUERIES["events_sessionize"],
     "knn_scale_200k": knn_scale_200k,
     "lsh_scale_200k": lsh_scale_200k,
+    "lsh_neardup_200k": lsh_neardup_200k,
 }
 
 
@@ -209,7 +232,7 @@ def main():
 
     timings = {}
     for name, fn in BENCH.items():
-        if name.startswith("ann_") or name.endswith("_scale_200k"):
+        if name.startswith("ann_") or name.endswith("_200k"):
             fn = fn(spark, sf_dir)  # untimed index build + cache
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()

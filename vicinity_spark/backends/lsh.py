@@ -160,6 +160,40 @@ class LSHStrategy(IndexStrategy):
             )
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
+    def neardup_pairs(
+        self, corpus: DataFrame, threshold: float, metric: Metric
+    ) -> DataFrame:
+        """(id_a, id_b, distance) — near-duplicate pairs of a *built*
+        corpus with distance <= threshold, as a bucket self-join.
+
+        The scale path for embedding near-dup: candidates are corpus
+        rows sharing an LSH bucket in any table (equi-join on (table,
+        bucket) — never an all-pairs theta join), verified by the exact
+        vectorized distance. Recall is governed by (n_tables, n_bits);
+        candidates that survive verification are exact, so with
+        full-recall parameters the output is identical to the all-pairs
+        form while the plan stays equi-join shaped.
+        """
+        from vicinity_spark.operators.knn import score_pairs
+
+        exploded = corpus.select("id", F.posexplode(BUCKETS_COL).alias("table", "bucket"))
+        a = exploded.select(F.col("id").alias("id_a"), "table", "bucket")
+        b = exploded.select(F.col("id").alias("id_b"), "table", "bucket")
+        cands = (
+            a.join(b, ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cands.join(
+            corpus.select(F.col("id").alias("id_a"), F.col("vector").alias("va")), "id_a"
+        ).join(
+            corpus.select(F.col("id").alias("id_b"), F.col("vector").alias("vb")), "id_b"
+        )
+        return score_pairs(pairs, metric).where(
+            F.col("distance") <= F.lit(float(threshold))
+        )
+
     def threshold(
         self,
         corpus: DataFrame,

@@ -169,6 +169,46 @@ def collect_query_matrix(queries: DataFrame, id_col: str = "query_id", vec_col: 
     )
 
 
+def score_pairs(
+    pairs: DataFrame,
+    metric: "str | Metric",
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    va_col: str = "va",
+    vb_col: str = "vb",
+) -> DataFrame:
+    """(id_a, id_b, va, vb) rows → (id_a, id_b, distance) via the
+    row-wise vectorized kernel — the re-scorer for candidate *pairs*
+    (near-dup verification), sibling of score_joined's query/corpus
+    form. Distances clipped ≥ 0."""
+    metric = Metric.from_string(metric)
+    schema = StructType(
+        [
+            StructField(a_col, LongType()),
+            StructField(b_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            A = np.vstack(b[va_col].to_numpy()).astype(np.float64)
+            B = np.vstack(b[vb_col].to_numpy()).astype(np.float64)
+            d = np.clip(_np_pairwise(metric, A, B), 0.0, None)
+            yield pd.DataFrame(
+                {
+                    a_col: b[a_col].to_numpy(),
+                    b_col: b[b_col].to_numpy(),
+                    "distance": d,
+                }
+            )
+
+    return pairs.select(a_col, b_col, va_col, vb_col).mapInPandas(kernel, schema)
+
+
 def _partial_topk(
     corpus: DataFrame,
     id_col: str,

