@@ -79,3 +79,35 @@ def test_simhash(docs_df):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(fp, max_hamming=32).collect()}
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] <= pairs.get((3, 4), 33)  # near dups closer than unrelated
+
+
+def test_jaccard_max_df_drops_stop_features(spark):
+    # two docs share ONLY a stopword-like token that appears in every
+    # doc; with the hot-key cap the stop token leaves the feature
+    # universe, so the pair disappears and set sizes shrink
+    docs = spark.createDataFrame(
+        [
+            (0, "stop alpha beta"),
+            (1, "stop alpha beta"),
+            (2, "stop gamma delta"),
+            (3, "stop epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    ts = token_set(docs)
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(ts, "tok", 0.0).collect()}
+    assert uncapped[(2, 3)] == pytest.approx(1 / 5)  # joined only via 'stop'
+    capped = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(ts, "tok", 0.0, max_df=3).collect()}
+    assert (2, 3) not in capped  # stop token (df=4 > 3) no longer joins them
+    assert capped[(0, 1)] == pytest.approx(1.0)  # rare-feature pairs intact
+
+
+def test_jaccard_max_df_plan_has_no_hot_feature(spark):
+    from vicinity_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"stop word{i} other{i}") for i in range(6)], "doc_id long, text string"
+    )
+    df = jaccard_pairs(token_set(docs), "tok", 0.0, max_df=3)
+    s = explain_str(df, "simple")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s

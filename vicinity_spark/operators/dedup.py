@@ -71,6 +71,7 @@ def jaccard_pairs(
     feature_col: str,
     min_jaccard: float,
     candidates: Optional[DataFrame] = None,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact Jaccard over pairs sharing ≥1 feature (or over explicit
     candidate pairs). feature_df: (doc_id, <feature_col>) distinct.
@@ -78,7 +79,24 @@ def jaccard_pairs(
     Plan: equi-join on the feature → per-pair intersection counts →
     union arithmetic from per-doc set sizes. Shuffles only on feature
     and (id_a, id_b) keys — no cross product.
+
+    max_df: drop features whose document frequency exceeds the cap
+    *before* the equi-join — the standard hot-key (stop-shingle) skew
+    guard: one feature shared by f docs contributes f² join rows, so a
+    single stopword-like shingle dominates the shuffle at corpus scale.
+    Capped features leave the feature universe entirely (set sizes are
+    computed after the filter), i.e. Jaccard over the rare-feature space.
     """
+    if max_df is not None:
+        # the features ABOVE the cap are few by construction → broadcast
+        # anti-join (a broadcast of all sub-cap features would not scale)
+        hot = (
+            feature_df.groupBy(feature_col)
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > int(max_df))
+            .select(feature_col)
+        )
+        feature_df = feature_df.join(F.broadcast(hot), feature_col, "left_anti")
     sizes = feature_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = feature_df.select(F.col("doc_id").alias("id_a"), F.col(feature_col))
     b = feature_df.select(F.col("doc_id").alias("id_b"), F.col(feature_col))

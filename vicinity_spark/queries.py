@@ -490,6 +490,40 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "dedup_token_jaccard_capped",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+),
+dtoks0 AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+hot AS (SELECT tok FROM dtoks0 GROUP BY tok HAVING count(*) > 100),
+dtoks AS (SELECT * FROM dtoks0 WHERE tok NOT IN (SELECT tok FROM hot)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dtoks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.6
+""",
+)
+def dedup_token_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token Jaccard over the full corpus with the hot-key guard
+    *binding* (max_df=100 drops stopword-like tokens shared by >100
+    docs before the equi-join — the skew cap a production dedup runs
+    at 100 TB). The oracle applies the identical cap, so the guard
+    itself is hash-verified, not just a no-op flag."""
+    from vicinity_spark.operators.dedup import jaccard_pairs, token_set
+
+    d = _t(spark, sf_dir, "documents")
+    j = jaccard_pairs(token_set(d), "tok", 0.6, max_df=100)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---- text analysis suite (★) ---------------------------------------
 
 @register(
