@@ -64,3 +64,71 @@ def test_knn_payload_cols(corpus_df, queries_df):
     assert len(res) == 3
     for r in res:
         assert (r.item_str is not None) or (r.item_name is not None)
+
+
+def test_pq_inner_product_recall_with_varied_norms(spark):
+    """IP ADC must keep high-norm corpus rows as candidates: under the
+    old normalize-everything scheme the norm information was destroyed
+    before candidate selection and recall collapsed for inner product."""
+    import numpy as np
+    from vicinity_spark.backends.pq import PQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((400, 16))
+    X *= rng.uniform(0.1, 10.0, size=(400, 1))  # norms vary 100×
+    Qm = rng.standard_normal((5, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))], "id long, vector array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in Qm[i]]) for i in range(len(Qm))],
+        "query_id long, qvec array<float>",
+    )
+    strat = PQStrategy(m=4, ksub=32, refine=8)
+    built = strat.build(corpus, Metric.INNER_PRODUCT, 16)
+    got = strat.knn(built, queries, k=10, metric=Metric.INNER_PRODUCT)
+    # exact IP top-10 per query in numpy (float32-rounded corpus)
+    Xf = np.vstack([np.asarray(r["vector"], dtype=np.float64) for r in corpus.orderBy("id").collect()])
+    hits = 0
+    rows = got.collect()
+    for q in range(len(Qm)):
+        Qf = np.asarray(queries.where(F.col("query_id") == q).collect()[0]["qvec"], dtype=np.float64)
+        exact = set(np.argsort(-(Xf @ Qf))[:10].tolist())
+        mine = {r["id"] for r in rows if r["query_id"] == q}
+        hits += len(exact & mine)
+    assert hits / 50 >= 0.8, f"IP recall {hits/50}"
+
+
+def test_lsh_hamming_bit_sampling_recall(spark):
+    """Hamming metric must use the bit-sampling family: binary corpus
+    with planted near copies; LSH top-k vs exact top-k recall floor."""
+    import numpy as np
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(11)
+    base = (rng.random((300, 32)) > 0.5).astype(np.float64)
+    # 30 planted near-copies of rows 0..29 (flip 2 of 32 bits)
+    planted = base[:30].copy()
+    for i in range(30):
+        flips = rng.choice(32, size=2, replace=False)
+        planted[i, flips] = 1.0 - planted[i, flips]
+    X = np.vstack([base, planted])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))], "id long, vector array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(10)],
+        "query_id long, qvec array<float>",
+    )
+    strat = LSHStrategy(n_tables=16, n_bits=6)
+    built = strat.build(corpus, Metric.HAMMING, 32)
+    got = strat.knn(built, queries, k=5, metric=Metric.HAMMING).collect()
+    hits = 0
+    for q in range(10):
+        d = (X != base[q][None, :]).sum(axis=1)
+        exact = set(np.lexsort((np.arange(len(X)), d))[:5].tolist())
+        mine = {r["id"] for r in got if r["query_id"] == q}
+        hits += len(exact & mine)
+    assert hits / 50 >= 0.8, f"hamming LSH recall {hits/50}"

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
-from vicinity_spark.functions.metrics import distance_expr
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
 
 CLUSTER_COL = "__cluster"
 
@@ -133,7 +133,11 @@ class IVFStrategy(IndexStrategy):
             raise ValueError("k must be greater than 0")
         scored = self._scored(corpus, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
         if payload_cols:
             out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
@@ -147,8 +151,10 @@ class IVFStrategy(IndexStrategy):
         *,
         payload_cols: Optional[Sequence[str]] = None,
     ) -> DataFrame:
-        scored = self._scored(corpus, queries, metric).where(
-            F.col("distance") <= F.lit(float(threshold))
+        scored = (
+            self._scored(corpus, queries, metric)
+            .where(F.col("distance") <= F.lit(float(threshold)))
+            .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
             scored = scored.join(corpus.select("id", *payload_cols), "id", "left")

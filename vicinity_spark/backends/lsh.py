@@ -14,8 +14,10 @@ Design (100 TB posture):
   bucket-matched rows, which is what makes LSH the scale path.
 
 Metrics: cosine/inner-product use sign-bit hashing (SimHash family);
-euclidean/l2sq use p-stable floor((a·x+b)/w) hashing combined
-polynomially per table.
+euclidean/l2sq/manhattan use p-stable floor((a·x+b)/w) hashing combined
+polynomially per table; hamming/tanimoto use bit-sampling (each table
+hashes n_bits sampled coordinates — the classic Hamming LSH family;
+the reference treats these as first-class metrics, usearch.py:27-34).
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance
 
 BUCKETS_COL = "__buckets"
 _MOD = (1 << 61) - 1
@@ -59,9 +62,22 @@ class LSHStrategy(IndexStrategy):
         w = self.params["bucket_width"]
         return rng.uniform(0.0, w, (self.params["n_tables"], self.params["n_bits"]))
 
+    def _sampled_coords(self, dim: int) -> np.ndarray:
+        """(L, B) coordinate indices for bit-sampling (Hamming LSH)."""
+        rng = np.random.default_rng(self.params["seed"] + 2)
+        return rng.integers(0, dim, size=(self.params["n_tables"], self.params["n_bits"]))
+
     def _bucket_matrix(self, X: np.ndarray, metric: Metric) -> np.ndarray:
         """(n, L) int64 bucket ids."""
         L, B = self.params["n_tables"], self.params["n_bits"]
+        if metric in (Metric.HAMMING, Metric.TANIMOTO):
+            # bit-sampling on the RAW (binary-ish) coordinates: two
+            # vectors within Hamming radius r collide on a table with
+            # prob (1 - r/dim)^B — no centering, no projections
+            coords = self._sampled_coords(X.shape[1])
+            bits = (X[:, coords] > 0).astype(np.int64)  # n × L × B
+            weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
+            return (bits * weights).sum(axis=2)
         planes = self._planes(X.shape[1])
         means = self.params.get("means")
         if means is not None:
@@ -153,7 +169,11 @@ class LSHStrategy(IndexStrategy):
             raise ValueError("k must be greater than 0")
         scored = self._scored(corpus, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
         if payload_cols:
             out = F.broadcast(out.select("query_id", "id", "distance", "rank")).join(
                 corpus.select("id", *payload_cols), "id", "left"
@@ -203,8 +223,10 @@ class LSHStrategy(IndexStrategy):
         *,
         payload_cols: Optional[Sequence[str]] = None,
     ) -> DataFrame:
-        scored = self._scored(corpus, queries, metric).where(
-            F.col("distance") <= F.lit(float(threshold))
+        scored = (
+            self._scored(corpus, queries, metric)
+            .where(F.col("distance") <= F.lit(float(threshold)))
+            .withColumn("distance", clip_distance(F.col("distance")))
         )
         cols = ["query_id", "id", "distance"] + list(payload_cols or [])
         if payload_cols:

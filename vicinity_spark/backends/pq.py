@@ -31,11 +31,19 @@ from pyspark.sql.types import ArrayType, ShortType
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance
 from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 CODE_COL = "__pqcode"
 
-_ANGULAR = (Metric.COSINE, Metric.INNER_PRODUCT, Metric.TANIMOTO)
+# Only cosine is served by unit-normalization (‖q−x‖² = 2·(1−cos) on
+# the unit sphere). INNER_PRODUCT must NOT be normalized: the high-norm
+# corpus vectors that dominate the true IP top-k would be pruned before
+# the exact re-rank ever sees them — IP gets sign-flipped dot-product
+# ADC tables instead. TANIMOTO uses raw-space L2 ADC as a candidate
+# heuristic (no exact subspace decomposition exists); its recall is
+# governed by `refine` and gated in evaluate()/tests like any ANN path.
+_NORMALIZED = (Metric.COSINE,)
 
 
 def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
@@ -79,7 +87,7 @@ class PQStrategy(IndexStrategy):
 
     # ---- helpers -----------------------------------------------------
     def _normalize_if_angular(self, X: np.ndarray, metric: Metric) -> np.ndarray:
-        if metric in _ANGULAR:
+        if metric in _NORMALIZED:
             n = np.linalg.norm(X, axis=1, keepdims=True)
             return np.divide(X, n, out=np.zeros_like(X), where=n != 0)
         return X
@@ -139,12 +147,22 @@ class PQStrategy(IndexStrategy):
 
     # ---- query: ADC candidates + exact re-rank -----------------------
     def _adc_tables(self, Q: np.ndarray, metric: Metric) -> np.ndarray:
-        """Per-query ADC lookup tables, nq × m × ksub (squared-L2 to
-        every sub-centroid; see class docstring for the cosine trick)."""
+        """Per-query ADC lookup tables, nq × m × ksub.
+
+        COSINE: squared-L2 tables on unit-normalized vectors (ranking ≡
+        cosine). INNER_PRODUCT: sign-flipped dot tables — Σ_j −q_j·c ≈
+        −q·x̂, so ascending order is descending approximate IP and
+        high-norm corpus rows keep their rightful candidate slots.
+        Everything else: squared-L2 on the raw space."""
         books = self._codebooks()
         m = self.params["m"]
         Q = self._normalize_if_angular(Q, metric)
         dsub = Q.shape[1] // m
+        if metric is Metric.INNER_PRODUCT:
+            return np.stack(
+                [-(Q[:, j * dsub : (j + 1) * dsub] @ books[j].T) for j in range(m)],
+                axis=1,
+            )
         return np.stack(
             [
                 ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
@@ -216,7 +234,11 @@ class PQStrategy(IndexStrategy):
         )
         exact = score_joined(joined, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        out = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        out = (
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
         if payload_cols:
             out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance
 from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_distances
 
 CODE_COL = "__code"
@@ -131,7 +132,11 @@ class SQStrategy(IndexStrategy):
         )
         exact = score_joined(joined, queries, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        out = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        out = (
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
         if payload_cols:
             out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))

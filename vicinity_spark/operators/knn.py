@@ -127,7 +127,10 @@ def score_joined(
     dim-wide expression dominates. Query vectors arrive by *joining* the
     query DataFrame on query_id — no driver collect, so the plan holds
     at any query count (AQE broadcasts the query side when it is small).
-    Distances are clipped ≥ 0 (facade contract, vicinity.py:135)."""
+    Distances are RAW (callers rank on them first and clip only the
+    returned values, the reference's argsort-then-clip order,
+    basic.py:202 / vicinity.py:135 — clipping before the rank would tie
+    every dot>1 inner-product hit at 0)."""
     metric = Metric.from_string(metric)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +139,7 @@ def score_joined(
                 continue
             X = np.vstack(b[vector_col].to_numpy()).astype(np.float64)
             A = np.vstack(b["__qvec"].to_numpy()).astype(np.float64)
-            d = np.clip(_np_pairwise(metric, A, X), 0.0, None)
+            d = _np_pairwise(metric, A, X)
             yield pd.DataFrame(
                 {
                     "query_id": b["query_id"].to_numpy(),
@@ -271,7 +274,11 @@ def knn_join(
             F.col(query_vector_col).alias("__qvec"),
         )
         pairs = corpus.crossJoin(F.broadcast(q))
-        dist = clip_distance(distance_expr(metric, "__qvec", vector_col, dim))
+        # rank by the RAW distance, clip only the output — the
+        # reference argsorts raw distances and clips the returned
+        # values (basic.py:202, vicinity.py:135); clipped ranking would
+        # collapse every dot>1 inner-product hit into a tie at 0
+        dist = distance_expr(metric, "__qvec", vector_col, dim)
         # project the vectors away BEFORE the window: the rank shuffle
         # then moves (query_id, id, distance[, payload]) rows, not the
         # full arrays — at dim=1024 that is a ~100× shuffle-byte cut
@@ -282,7 +289,11 @@ def knn_join(
             *(payload_cols or []),
         )
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        ranked = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
         return ranked.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     if algorithm == "partial":

@@ -88,8 +88,13 @@ def sql_hamming_bits(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
-def sql_distance(metric: str, a: str, b: str, dim: int = DIM) -> str:
-    """greatest(distance, 0) — mirrors clip_distance(distance_expr(...))."""
+def sql_distance(metric: str, a: str, b: str, dim: int = DIM, clip: bool = True) -> str:
+    """Distance chain; clip=True wraps greatest(d, 0) — mirrors
+    clip_distance(distance_expr(...)). Ranking uses the RAW distance
+    (clip=False) to match the reference, which argsorts raw distances
+    and clips only the returned values (basic.py:202, vicinity.py:135)
+    — under clipped ranking every dot>1 inner-product hit would tie at
+    0 and rank by id instead of by similarity."""
     dot = sql_dot(a, b, dim)
     if metric == "cosine":
         d = f"(1.0 - ({dot} / (sqrt({sql_sqnorm(a, dim)}) * sqrt({sql_sqnorm(b, dim)}))))"
@@ -106,7 +111,7 @@ def sql_distance(metric: str, a: str, b: str, dim: int = DIM) -> str:
         d = f"(1.0 - ({dot} / {denom}))"
     else:
         raise ValueError(metric)
-    return f"greatest({d}, 0.0)"
+    return f"greatest({d}, 0.0)" if clip else d
 
 
 # --------------------------------------------------------------------
@@ -142,7 +147,9 @@ def _emb_queries(spark, sf_dir) -> DataFrame:
 # ---- k-NN per metric (F3 / S4-S10) ---------------------------------
 
 def _knn_sql(metric: str, k: int = 10) -> str:
-    dist = sql_distance(metric, "q.qv", "e.embedding")
+    # rank by the RAW distance, clip only the output — the reference's
+    # argsort-then-clip order (basic.py:202, vicinity.py:135)
+    dist = sql_distance(metric, "q.qv", "e.embedding", clip=False)
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
 pairs AS (
@@ -154,7 +161,7 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
   FROM pairs
 )
-SELECT query_id, id, round(d, 6) AS distance, rank FROM ranked WHERE rank <= {k}
+SELECT query_id, id, round(greatest(d, 0.0), 6) AS distance, rank FROM ranked WHERE rank <= {k}
 """
 
 
