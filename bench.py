@@ -70,6 +70,10 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.ivfpq import IVFPQStrategy
 
             strat = IVFPQStrategy(nlist=32, nprobe=8, m=8, ksub=64, refine=8)
+        elif strategy_name == "graph":
+            from vicinity_spark.backends.graph import GraphStrategy
+
+            strat = GraphStrategy(k_build=12, iters=1, beam=32, expansions=2)
         elif strategy_name == "ivf":
             from vicinity_spark.backends.ivf import IVFStrategy
 
@@ -88,6 +92,7 @@ ann_sq_batch = _ann_batch("sq")
 ann_pq_batch = _ann_batch("pq")
 ann_ivf_batch = _ann_batch("ivf")
 ann_ivfpq_batch = _ann_batch("ivfpq")
+ann_graph_batch = _ann_batch("graph")
 
 
 def _synth_vectors(spark, n=200_000, dim=64, parts=32):
@@ -204,6 +209,7 @@ BENCH = {
     "ann_sq_batch": ann_sq_batch,
     "ann_pq_batch": ann_pq_batch,
     "ann_ivfpq_batch": ann_ivfpq_batch,
+    "ann_graph_batch": ann_graph_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
     "text_quality": Q.QUERIES["text_quality"],

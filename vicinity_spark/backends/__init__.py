@@ -28,6 +28,7 @@ def get_strategy_class(backend: "str | Backend") -> "type[IndexStrategy]":
 
 def _register_builtin() -> None:
     # late imports avoid a cycle through MLlib-backed strategies
+    from vicinity_spark.backends.graph import GraphStrategy
     from vicinity_spark.backends.ivf import IVFStrategy
     from vicinity_spark.backends.lsh import LSHStrategy
     from vicinity_spark.backends.ivfpq import IVFPQStrategy
@@ -39,6 +40,7 @@ def _register_builtin() -> None:
     _REGISTRY.setdefault(Backend.SQ, SQStrategy)
     _REGISTRY.setdefault(Backend.PQ, PQStrategy)
     _REGISTRY.setdefault(Backend.IVFPQ, IVFPQStrategy)
+    _REGISTRY.setdefault(Backend.GRAPH, GraphStrategy)
 
 
 __all__ = ["IndexStrategy", "get_strategy_class", "register_strategy"]

@@ -1,0 +1,221 @@
+"""Graph ANN strategy — the Spark-native answer to the reference's
+graph-backed indexes (hnsw.py, pynndescent.py, usearch/voyager: all
+k-NN-graph searchers; SURVEY.md §2.3 B3-B7).
+
+A literal HNSW port would be wrong here: its build and search are
+sequential pointer-chasing, the opposite of a shuffle-friendly plan.
+Instead:
+
+- **Build = NN-descent as an iterative DataFrame program** (Dong et
+  al., WWW'11 — the algorithm behind PyNNDescent): start from a seeded
+  pseudo-random neighbor ring, then repeat "score neighbors-of-
+  neighbors, keep the K best" — each round is explode → equi-join →
+  vectorized re-score (score_pairs kernel) → per-node top-K window.
+  Every step shuffles at most n×K² candidate edges; nothing is ever
+  all-pairs. The finished graph is one `__nbrs: array<bigint>` layout
+  column (distance-sorted), so it persists with the corpus parquet and
+  reloads from metadata alone.
+
+- **Query = batched beam expansion**: all queries advance together.
+  Score the seeded entry points, then repeat "expand the current best
+  `beam` rows through their adjacency lists, score the newly touched
+  rows" (`expansions` rounds). Each round is a join corpus⋈frontier +
+  one Arrow-vectorized scoring pass over |queries|×beam×K candidate
+  rows — a bounded, shuffle-bounded plan that serves an arbitrarily
+  large query batch in parallel (single-query greedy descent would
+  serialize on the driver).
+
+Inserted rows (on_insert) get entry-point adjacency and an
+`__inserted` flag; the flagged rows join every search frontier so they
+stay reachable without rewiring stored rows' neighbor lists. Like any
+incremental graph index, heavy insert churn degrades locality —
+rebuild periodically (the reference's trainable backends share this
+train-once posture, faiss.py:24-32).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vicinity_spark.backends.base import IndexStrategy
+from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import clip_distance
+
+NBRS_COL = "__nbrs"
+INSERTED_COL = "__inserted"
+
+
+class GraphStrategy(IndexStrategy):
+    backend = Backend.GRAPH
+    exact = False
+
+    def __init__(
+        self,
+        k_build: int = 16,
+        iters: int = 2,
+        beam: int = 64,
+        expansions: int = 3,
+        n_entries: int = 8,
+        seed: int = 42,
+        entry_ids=None,
+        **params,
+    ):
+        super().__init__(
+            k_build=int(k_build),
+            iters=int(iters),
+            beam=int(beam),
+            expansions=int(expansions),
+            n_entries=int(n_entries),
+            seed=int(seed),
+            entry_ids=entry_ids,
+            **params,
+        )
+
+    # ---- build: NN-descent ------------------------------------------
+    def _scored_edges(self, cand: DataFrame, vectors: DataFrame, metric: Metric) -> DataFrame:
+        from vicinity_spark.operators.knn import score_pairs
+
+        pairs = cand.join(
+            vectors.select("id", F.col("vector").alias("va")), "id"
+        ).join(
+            vectors.select(F.col("id").alias("nbr"), F.col("vector").alias("vb")), "nbr"
+        )
+        return score_pairs(pairs, metric, a_col="id", b_col="nbr")
+
+    def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        self.params["dim"] = int(dim)
+        K = self.params["k_build"]
+        n = df.count()
+        vectors = df.select("id", "vector")
+        rng = np.random.default_rng(self.params["seed"])
+        k0 = min(K, max(n - 1, 1))
+        offsets = (rng.choice(max(n - 1, 1), size=k0, replace=False) + 1).tolist()
+        # seeded pseudo-random ring: nbr_j = (id + off_j) mod n — no
+        # shuffle at all for the initial graph
+        edges = df.select(
+            "id", F.explode(F.array(*[F.lit(int(o)) for o in offsets])).alias("__off")
+        ).select("id", F.pmod(F.col("id") + F.col("__off"), F.lit(int(n))).alias("nbr"))
+        scored = self._scored_edges(edges, vectors, metric)
+        w = Window.partitionBy("id").orderBy(F.col("distance"), F.col("nbr"))
+        for _ in range(self.params["iters"]):
+            top = (
+                scored.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= K)
+                .select("id", "nbr")
+                .localCheckpoint(eager=True)  # bound the iterative lineage
+            )
+            rev = top.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+            two_hop = (
+                top.alias("e1")
+                .join(rev.alias("e2"), F.col("e1.nbr") == F.col("e2.id"))
+                .select(F.col("e1.id").alias("id"), F.col("e2.nbr").alias("nbr"))
+            )
+            cand = (
+                top.unionByName(rev)
+                .unionByName(two_hop)
+                .where(F.col("id") != F.col("nbr"))
+                .distinct()
+            )
+            scored = self._scored_edges(cand, vectors, metric)
+        final = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= K)
+        nbrs = final.groupBy("id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("distance", "nbr"))),
+                lambda s: s["nbr"],
+            ).alias(NBRS_COL)
+        )
+        if self.params.get("entry_ids") is None:
+            m = self.params["n_entries"]
+            self.params["entry_ids"] = [
+                int(r["id"]) for r in df.select("id").orderBy("id").limit(m).collect()
+            ]
+        return (
+            df.join(nbrs, "id", "left")
+            .withColumn(NBRS_COL, F.coalesce(F.col(NBRS_COL), F.array().cast("array<bigint>")))
+            .withColumn(INSERTED_COL, F.lit(False))
+        )
+
+    def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        entries = F.array(*[F.lit(int(i)) for i in self.params["entry_ids"]])
+        return new_df.withColumn(NBRS_COL, entries.cast("array<bigint>")).withColumn(
+            INSERTED_COL, F.lit(True)
+        )
+
+    # ---- query: batched beam expansion ------------------------------
+    def _searched(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
+        """(query_id, id, distance) — the visited set after beam search."""
+        from vicinity_spark.operators.knn import score_joined
+
+        spark = corpus.sparkSession
+        qids = queries.select("query_id")
+        entry_df = spark.createDataFrame(
+            [(int(i),) for i in self.params["entry_ids"]], "id bigint"
+        )
+        seeds = entry_df.unionByName(corpus.where(F.col(INSERTED_COL)).select("id"))
+        frontier = qids.crossJoin(F.broadcast(seeds.distinct()))
+        # localCheckpoint each round: the visited set feeds the beam
+        # window, the anti-join AND the next round — materializing once
+        # beats re-running the scoring kernels per consumer (measured
+        # ~25% faster than the checkpoint-free plan at 2000 queries)
+        visited = score_joined(
+            frontier.join(corpus.select("id", "vector"), "id"), queries, metric
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        for _ in range(self.params["expansions"]):
+            beam = (
+                visited.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= self.params["beam"])
+                .select("query_id", "id")
+            )
+            nxt = (
+                beam.join(corpus.select("id", NBRS_COL), "id")
+                .select("query_id", F.explode(NBRS_COL).alias("id"))
+                .distinct()
+                .join(visited.select("query_id", "id"), ["query_id", "id"], "left_anti")
+            )
+            newly = score_joined(
+                nxt.join(corpus.select("id", "vector"), "id"), queries, metric
+            )
+            visited = visited.unionByName(newly).localCheckpoint(eager=True)
+        return visited
+
+    def knn(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        visited = self._searched(corpus, queries, metric)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = (
+            visited.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
+        if payload_cols:
+            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
+
+    def threshold(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        threshold: float,
+        metric: Metric,
+        *,
+        payload_cols: Optional[Sequence[str]] = None,
+        max_k: int = 100,
+    ) -> DataFrame:
+        """ANN threshold: top-max_k pool then exact `<=` filter (the
+        reference's graph backends cap the same way, hnsw.py:107-114)."""
+        res = self.knn(corpus, queries, k=max_k, metric=metric, payload_cols=payload_cols)
+        return res.where(F.col("distance") <= F.lit(float(threshold))).drop("rank")

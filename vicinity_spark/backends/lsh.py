@@ -210,8 +210,10 @@ class LSHStrategy(IndexStrategy):
         ).join(
             corpus.select(F.col("id").alias("id_b"), F.col("vector").alias("vb")), "id_b"
         )
-        return score_pairs(pairs, metric).where(
-            F.col("distance") <= F.lit(float(threshold))
+        return (
+            score_pairs(pairs, metric)
+            .where(F.col("distance") <= F.lit(float(threshold)))
+            .withColumn("distance", clip_distance(F.col("distance")))
         )
 
     def threshold(

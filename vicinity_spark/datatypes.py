@@ -53,10 +53,11 @@ class Metric(str, Enum):
 class Backend(str, Enum):
     """Physical plan strategies (reference enum: vicinity/datatypes.py:20-27).
 
-    The reference's seven native-library backends collapse into three
-    Spark-native strategies; graph-ANN backends (hnsw/annoy/usearch/
-    voyager/pynndescent) are satisfied behaviorally by LSH/IVF at a
-    declared recall floor (SURVEY.md §2.3 B3-B7).
+    The reference's native-library backends map onto seven Spark-native
+    strategies: graph-ANN backends (hnsw/usearch/voyager/pynndescent)
+    are served by the NN-descent GRAPH strategy, annoy's projection
+    forest by LSH — each at a declared recall floor (SURVEY.md §2.3
+    B3-B7: recall is the contract, not the algorithm).
     """
 
     BASIC = "basic"  # exact brute-force join plan
@@ -65,6 +66,7 @@ class Backend(str, Enum):
     SQ = "sq"  # scalar-quantized codes + exact re-rank plan
     PQ = "pq"  # product-quantized codes + ADC lookup plan
     IVFPQ = "ivfpq"  # KMeans inverted lists + PQ codes (ADC within probed lists)
+    GRAPH = "graph"  # NN-descent k-NN graph + batched beam-expansion search
 
     @classmethod
     def from_string(cls, backend: "str | Backend") -> "Backend":
@@ -89,10 +91,15 @@ class Backend(str, Enum):
                 "ivf_scalar": cls.IVFPQ,
                 "ivf": cls.IVF,
                 "faiss": cls.IVF,
-                "hnsw": cls.IVF,
-                "usearch": cls.IVF,
-                "voyager": cls.IVF,
-                "pynndescent": cls.IVF,
+                # graph-ANN backends → the NN-descent graph strategy
+                # (hnsw.py / pynndescent.py / usearch / voyager are all
+                # k-NN-graph searchers; backends/graph.py)
+                "graph": cls.GRAPH,
+                "hnsw": cls.GRAPH,
+                "usearch": cls.GRAPH,
+                "voyager": cls.GRAPH,
+                "pynndescent": cls.GRAPH,
+                "nndescent": cls.GRAPH,
             }
             if key in aliases:
                 return aliases[key]

@@ -183,8 +183,9 @@ def score_pairs(
 ) -> DataFrame:
     """(id_a, id_b, va, vb) rows → (id_a, id_b, distance) via the
     row-wise vectorized kernel — the re-scorer for candidate *pairs*
-    (near-dup verification), sibling of score_joined's query/corpus
-    form. Distances clipped ≥ 0."""
+    (near-dup verification, NN-descent edges), sibling of
+    score_joined's query/corpus form. Distances are RAW — callers rank
+    or filter first and clip only returned values (see score_joined)."""
     metric = Metric.from_string(metric)
     schema = StructType(
         [
@@ -200,7 +201,7 @@ def score_pairs(
                 continue
             A = np.vstack(b[va_col].to_numpy()).astype(np.float64)
             B = np.vstack(b[vb_col].to_numpy()).astype(np.float64)
-            d = np.clip(_np_pairwise(metric, A, B), 0.0, None)
+            d = _np_pairwise(metric, A, B)
             yield pd.DataFrame(
                 {
                     a_col: b[a_col].to_numpy(),

@@ -401,12 +401,21 @@ def _ivfpq_strategy():
     return IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24)
 
 
+def _graph_strategy():
+    """NN-descent graph + batched beam expansion (backends/graph.py —
+    the hnsw/pynndescent/usearch/voyager family, SURVEY §2.3 B3-B7)."""
+    from vicinity_spark.backends.graph import GraphStrategy
+
+    return GraphStrategy(k_build=16, iters=2, beam=64, expansions=3, n_entries=8)
+
+
 for _name, _mk in [
     ("ann_lsh_knn", _lsh_strategy),
     ("ann_ivf_knn", _ivf_strategy),
     ("ann_sq_knn", _sq_strategy),
     ("ann_pq_knn", _pq_strategy),
     ("ann_ivfpq_knn", _ivfpq_strategy),
+    ("ann_graph_knn", _graph_strategy),
 ]:
     register(_name, _knn_sql("cosine"))(_ann_entry(_mk))
 
