@@ -98,3 +98,63 @@ def test_stream_vector_ingest_with_strategy(spark, tmp_path):
     assert stored.count() == 8
     assert "__cluster" in stored.columns  # layout decorated per micro-batch
     assert stored.where(F.col("__cluster").isNull()).count() == 0
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap-closed
+    sessions emitted in append mode; state carries the open session."""
+    import datetime as dt
+
+    from vicinity_spark.streaming import sessionize_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions split by a 60-min silence
+        (1, at(0), 1.0),
+        (1, at(10), 2.0),
+        (1, at(70), 4.0),  # closes session 1 (gap 60 > 30)
+        (1, at(75), 8.0),
+        # user 2: one long session, never closed in-batch
+        (2, at(0), 1.0),
+        (2, at(20), 1.0),
+    ]
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = stream_events(spark, str(src), schema)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+    out = tmp_path / "sess_out"
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).collect()
+    by_key = {(r["key"], r["session_start"]): r for r in got}
+    # user 1's first session closed by the in-batch gap
+    r = by_key[(1, at(0))]
+    assert r["session_end"] == at(10)
+    assert r["n_events"] == 2
+    assert r["total_value"] == pytest.approx(3.0)
+    # user 2's session is flushed by the EVENT-TIME TIMEOUT: the final
+    # watermark (max_ts 75 - 10min = 65) passes its last_ts+gap (50)
+    r2 = by_key[(2, at(0))]
+    assert r2["session_end"] == at(20)
+    assert r2["n_events"] == 2
+    assert r2["total_value"] == pytest.approx(2.0)
+    # user 1's second session stays open (timeout 75+30=105 > watermark)
+    assert (1, at(70)) not in by_key
