@@ -111,3 +111,19 @@ def test_jaccard_max_df_plan_has_no_hot_feature(spark):
     df = jaccard_pairs(token_set(docs), "tok", 0.0, max_df=3)
     s = explain_str(df, "simple")
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_subword_token_stats_values(spark):
+    from vicinity_spark.operators.textops import subword_token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "Hello world 42!"), (1, "a.b"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in subword_token_stats(docs).collect()}
+    # "hello" + " world" + " 42" + "!" = 4 subword tokens
+    assert got[0].n_subword_tokens == 4
+    assert got[0].chars_per_token == pytest.approx(15 / 4, abs=1e-6)
+    # "a" + "." + "b" = 3
+    assert got[1].n_subword_tokens == 3
+    assert got[2].n_subword_tokens == 0 and got[2].chars_per_token == 0.0

@@ -82,3 +82,26 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, punctuation
+# runs, each absorbing one leading space — the GPT-2 pre-tokenizer shape
+# restricted to constructs shared by Java regex and RE2 (no lookahead),
+# so the same pattern runs in Spark and any RE2-based SQL engine.
+SUBWORD_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def subword_token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_subword_tokens, chars_per_token) — LLM-token-count
+    estimate via BPE-style pre-tokenization (pure regexp built-ins; the
+    ratio is the standard compression/quality signal of a corpus)."""
+    n = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_subword_tokens"),
+        F.round(
+            F.when(n > 0, F.length(text_col).cast("double") / n.cast("double")).otherwise(0.0), 6
+        ).alias("chars_per_token"),
+    )

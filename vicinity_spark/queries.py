@@ -406,7 +406,7 @@ def _graph_strategy():
     the hnsw/pynndescent/usearch/voyager family, SURVEY §2.3 B3-B7)."""
     from vicinity_spark.backends.graph import GraphStrategy
 
-    return GraphStrategy(k_build=16, iters=2, beam=64, expansions=3, n_entries=8)
+    return GraphStrategy(k_build=16, iters=1, beam=64, expansions=3, n_entries=8)
 
 
 for _name, _mk in [
@@ -556,6 +556,28 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vicinity_spark.operators.textops import token_stats
 
     return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_subword_tokens",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT)
+         AS n_subword_tokens,
+       round(
+         CASE WHEN len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) > 0
+              THEN length(text)::DOUBLE
+                   / len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))::DOUBLE
+              ELSE 0.0 END, 6) AS chars_per_token
+FROM documents
+""",
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-count estimate: BPE-style pre-tokenization regex (the
+    brief's 'BPE-ish regex' token counter) + chars-per-token ratio."""
+    from vicinity_spark.operators.textops import subword_token_stats
+
+    return subword_token_stats(_t(spark, sf_dir, "documents"))
 
 
 @register(
