@@ -142,3 +142,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.where(F.col("media_type") == "video").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table derived from the documents corpus
+    (payload = utf-8 bytes of the text): exercises the binary-column
+    data model end-to-end without codec libraries. media_type cycles
+    image/audio/video by id so type-dispatching operators see all arms."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        mt.alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, media_type, n_bytes, payload_md5) — pure built-in
+    metadata extraction over the opaque binary column (length + content
+    hash): the dedup/bookkeeping layer of a multimodal pipeline, fully
+    engine-portable (no codecs touched)."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -669,6 +669,89 @@ def docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column bookkeeping: documents → deterministic
+    media table (payload = utf-8 bytes) → metadata extraction (length +
+    content hash). The codec-free slice of the multimodal pipeline,
+    oracle-checked end to end (operators/multimodal.py)."""
+    from vicinity_spark.operators.multimodal import media_from_documents, media_metadata
+
+    return media_metadata(media_from_documents(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "lineitem_quantiles",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: exact interpolated percentiles + distinct
+    counts per group. At 100 TB the same plan swaps percentile →
+    approx_percentile (t-digest/GK sketch) and count(DISTINCT) →
+    approx_count_distinct (HyperLogLog) — one-word changes that turn a
+    full sort per group into mergeable sketches; the exact forms here
+    are the oracle-checkable twins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(F.percentile(F.col("l_extendedprice"), F.lit(q)), 6)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        p(0.5).alias("p50_price"),
+        p(0.9).alias("p90_price"),
+        p(0.99).alias("p99_price"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+    )
+
+
+@register(
+    "orders_running_revenue",
+    """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(sum(o_totalprice) OVER w, 6) AS running_revenue,
+       round(coalesce(lag(o_totalprice) OVER w, 0.0), 6) AS prev_price,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregation + lag window breadth: cumulative revenue and
+    previous order price per customer in order-date sequence."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_revenue"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(wl), F.lit(0.0)), 6).alias("prev_price"),
+        F.row_number().over(wl).cast("long").alias("order_seq"),
+    )
+
+
 # ---- relational breadth / data prep (★) ----------------------------
 
 @register(
