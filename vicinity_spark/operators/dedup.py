@@ -166,13 +166,25 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection, verified by exact Jaccard.
 
     shingle → minhash → band → bucket-equi-join → candidate pairs →
     exact Jaccard ≥ min_jaccard. Returns (id_a, id_b, jaccard).
+    max_df (hot-key guard) drops stop-shingles from the feature universe
+    BEFORE signatures, so both the MinHash buckets and the verification
+    see the same capped feature space (see jaccard_pairs).
     """
     sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > int(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sigs = minhash_signatures(sh, "shingle", n_hashes=n_hashes)
     buckets = minhash_band_buckets(sigs, rows_per_band=rows_per_band)
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
