@@ -238,3 +238,27 @@ def test_hub_stubs_gated(spark, data):
         push_to_hub(store, "nobody/nothing")
     with pytest.raises(OptionalDependencyError):
         load_from_hub("nobody/nothing", spark)
+
+
+def test_ivf_save_partitions_inverted_lists(spark, data, tmp_path):
+    """IVF/IVFPQ stores persist partitionBy(__cluster): inverted lists
+    are parquet partition dirs, and reload + cluster filter prunes at
+    the FILE level (PartitionFilters), not just rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = make_store(spark, data, "ivf")
+    path = str(tmp_path / "ivf_part")
+    store.save(path)
+    subdirs = [
+        d for d in os.listdir(os.path.join(path, "store.parquet")) if d.startswith("__cluster=")
+    ]
+    assert len(subdirs) >= 2, subdirs
+    loaded = VectorStore.load(path, spark)
+    pruned = loaded.df.where(F.col("__cluster") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters")[1][:200]
+    # and query results are unchanged by the partitioned layout
+    _, _, qvec = data
+    assert loaded.query(qvec, k=3) == store.query(qvec, k=3)

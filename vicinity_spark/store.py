@@ -292,10 +292,22 @@ class VectorStore:
 
     # ---- persistence (F11/F12) -------------------------------------
     def save(self, folder: str, overwrite: bool = False) -> None:
+        """Persist corpus + layout columns as parquet. When the layout
+        has an inverted-list column (IVF/IVFPQ `__cluster`), the store
+        is written `partitionBy(__cluster)`: each inverted list becomes
+        its own parquet directory, so at reload the nprobe probe join
+        prunes whole FILES (dynamic partition pruning), not just rows —
+        at 100 TB that is the difference between scanning nprobe/nlist
+        of the corpus and scanning all of it."""
         if os.path.exists(os.path.join(folder, META_FILE)) and not overwrite:
             raise ValueError(f"Store already exists at {folder} (pass overwrite=True)")
         os.makedirs(folder, exist_ok=True)
-        self.df.write.mode("overwrite").parquet(os.path.join(folder, STORE_DIR))
+        writer = self.df.write.mode("overwrite")
+        from vicinity_spark.backends.ivf import CLUSTER_COL
+
+        if CLUSTER_COL in self.df.columns:
+            writer = writer.partitionBy(CLUSTER_COL)
+        writer.parquet(os.path.join(folder, STORE_DIR))
         meta = {
             "engine": "vicinity_spark",
             "metric": self._metric.value,
