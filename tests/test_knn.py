@@ -132,3 +132,26 @@ def test_lsh_hamming_bit_sampling_recall(spark):
         mine = {r["id"] for r in got if r["query_id"] == q}
         hits += len(exact & mine)
     assert hits / 50 >= 0.8, f"hamming LSH recall {hits/50}"
+
+
+def test_graph_tiny_corpus_and_k_clamp(spark):
+    """Graph strategy degrades gracefully: corpus smaller than k_build,
+    k larger than the corpus (clamped by rank), single-row corpus."""
+    from vicinity_spark.backends.graph import GraphStrategy
+    from vicinity_spark.datatypes import Metric
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "id long, vector array<float>"
+    )
+    queries = spark.createDataFrame([(0, [0.1, 0.0])], "query_id long, qvec array<float>")
+    strat = GraphStrategy(k_build=16, iters=1, beam=8, expansions=2, n_entries=2)
+    built = strat.build(corpus, Metric.EUCLIDEAN, 2)
+    res = strat.knn(built, queries, k=10, metric=Metric.EUCLIDEAN).collect()
+    assert len(res) == 3  # k clamps to corpus size
+    assert [r["id"] for r in sorted(res, key=lambda r: r["rank"])] == [0, 1, 2]
+
+    one = spark.createDataFrame([(7, [1.0, 1.0])], "id long, vector array<float>")
+    s1 = GraphStrategy(k_build=4, iters=1, beam=4, expansions=1, n_entries=1)
+    b1 = s1.build(one, Metric.COSINE, 2)
+    r1 = s1.knn(b1, queries, k=5, metric=Metric.COSINE).collect()
+    assert len(r1) == 1 and r1[0]["id"] == 7
