@@ -83,7 +83,7 @@ def test_query_threshold(store, data):
     assert all(d <= 0.7 for _, d in res[0])
 
 
-@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq", "pq", "graph"])
+@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "graph"])
 def test_insert_then_query_finds_item(spark, data, backend):
     vectors, items, qvec = data
     store = make_store(spark, data, backend)

@@ -1,15 +1,28 @@
 """IVF-PQ composite strategy — the Spark analog of FAISS `ivfpq`
 (faiss.py:105-110: coarse KMeans inverted lists + product-quantized
-residual codes; here codes quantize the raw vectors for simplicity,
-like FAISS's `IndexIVFPQ` without residual encoding refinements).
+RESIDUAL codes, the IndexIVFPQ design).
 
-Build = IVF build (KMeans `__cluster` layout, centroids in metadata)
-then PQ encode (`__pqcode`). Query = per-query nprobe cluster sets are
-shipped into the ADC kernel, which masks rows outside the query's
-probed clusters before the lookup-table scan — so each query pays only
-for its inverted lists even within a shared partition scan — then the
-usual exact re-rank. Scan payload per row: 4 bytes cluster + m bytes
-code, independent of dim.
+Build: the corpus is transformed into the metric space (cosine →
+unit-normalized, L2 family → identity), coarse-clustered there (MLlib
+KMeans, `__cluster` layout + centroids in metadata), and each row's
+*residual* (transformed vector − its centroid) is product-quantized to
+`__pqcode`. Residual encoding is what makes IVFPQ better than plain PQ
+at the same byte budget: residual magnitudes are much smaller than
+vector magnitudes, so the per-subspace codebooks spend their 8 bits on
+the fine structure instead of re-describing the coarse position.
+
+Query: probe the nprobe nearest centroids in the metric space, then
+precompute per-(query, probed-cluster) ADC tables of the query residual
+against every sub-centroid (nq × nprobe × m × ksub — shipped as one
+torrent broadcast). The scan kernel masks rows outside each query's
+probes and scores the rest with m table lookups; the usual exact
+re-rank on true vectors follows. Scan payload per row: 4 bytes cluster
++ m bytes code, independent of dim.
+
+Metrics without a clean residual-L2 decomposition (inner product,
+hamming, tanimoto, manhattan) fall back to the non-residual path of
+the parent PQStrategy (metric-aware ADC on whole vectors, same probed-
+list masking), so every metric stays served.
 """
 
 from __future__ import annotations
@@ -19,66 +32,188 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ShortType
 
 from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
-from vicinity_spark.backends.pq import CODE_COL, PQStrategy
+from vicinity_spark.backends.pq import CODE_COL, PQStrategy, _kmeans_np
 from vicinity_spark.datatypes import Backend, Metric
+from vicinity_spark.functions.metrics import normalize_expr
 from vicinity_spark.operators.knn import _KNN_SCHEMA
+
+_RESIDUAL_METRICS = (Metric.COSINE, Metric.EUCLIDEAN, Metric.L2_SQUARED)
 
 
 class IVFPQStrategy(PQStrategy):
     backend = Backend.IVFPQ
     exact = False
 
-    def __init__(self, nlist: int = 32, nprobe: int = 4, centroids=None, **params):
+    def __init__(self, nlist: int = 32, nprobe: int = 4, residual: bool = True, centroids=None, **params):
         super().__init__(centroids=centroids, **params)
         self.params["nlist"] = int(nlist)
         self.params["nprobe"] = int(nprobe)
+        self.params["residual"] = bool(residual)
         self._ivf = IVFStrategy(
             nlist=int(nlist), nprobe=int(nprobe), seed=self.params["seed"], centroids=centroids
         )
 
+    # ---- residual machinery -----------------------------------------
+    def _use_residual(self, metric: Metric) -> bool:
+        return self.params["residual"] and metric in _RESIDUAL_METRICS
+
+    def _t_expr(self, col, metric: Metric):
+        """Metric-space transform: unit sphere for cosine, identity else."""
+        c = F.col(col) if isinstance(col, str) else col
+        return normalize_expr(c) if metric is Metric.COSINE else c.cast("array<double>")
+
+    def _t_np(self, X: np.ndarray, metric: Metric) -> np.ndarray:
+        if metric is Metric.COSINE:
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            return np.divide(X, n, out=np.zeros_like(X), where=n != 0)
+        return X
+
+    def _residual_encode_kernel(self):
+        m = self.params["m"]
+        books = self._codebooks()
+        C = np.asarray(self.params["centroids"], dtype=np.float64)
+
+        @F.pandas_udf(ArrayType(ShortType()))
+        def encode(tv: pd.Series, cl: pd.Series) -> pd.Series:
+            X = np.vstack(tv.to_numpy()).astype(np.float64)
+            R = X - C[cl.to_numpy().astype(int)]
+            dsub = R.shape[1] // m
+            codes = np.empty((len(R), m), dtype=np.int16)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return encode
+
+    # ---- build -------------------------------------------------------
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
-        out = self._ivf.build(df, metric, dim)  # __cluster + centroids
+        if not self._use_residual(metric):
+            out = self._ivf.build(df, metric, dim)
+            self.params["centroids"] = self._ivf.params["centroids"]
+            return super().build(out, metric, dim)
+        self.params["dim"] = int(dim)
+        m = self.params["m"]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        # coarse-cluster the metric-space vectors; keep the original
+        # vector column untouched for the exact re-rank / payload
+        tdf = (
+            df.withColumn("__tvec", self._t_expr("vector", metric))
+            .withColumnRenamed("vector", "__orig")
+            .withColumnRenamed("__tvec", "vector")
+        )
+        out = self._ivf.build(tdf, metric, dim)
         self.params["centroids"] = self._ivf.params["centroids"]
-        return super().build(out, metric, dim)  # codebooks + __pqcode
+        out = out.withColumnRenamed("vector", "__tvec").withColumnRenamed("__orig", "vector")
+        if self.params.get("codebooks") is None:
+            n = out.count()
+            frac = min(1.0, self.params["train_sample"] / max(n, 1))
+            sample = out.select("__tvec", CLUSTER_COL).sample(
+                fraction=frac, seed=self.params["seed"]
+            ).toPandas()
+            S = np.vstack(sample["__tvec"].to_numpy()).astype(np.float64)
+            C = np.asarray(self.params["centroids"], dtype=np.float64)
+            R = S - C[sample[CLUSTER_COL].to_numpy().astype(int)]
+            dsub = dim // m
+            books = [
+                _kmeans_np(
+                    R[:, j * dsub : (j + 1) * dsub],
+                    self.params["ksub"],
+                    self.params["seed"] + j,
+                )
+                for j in range(m)
+            ]
+            ksub = min(self.params["ksub"], min(len(b) for b in books))
+            self.params["codebooks"] = [
+                [[float(x) for x in c] for c in b[:ksub]] for b in books
+            ]
+        enc = self._residual_encode_kernel()
+        return out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL))).drop("__tvec")
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self._ivf.params["centroids"] = self.params["centroids"]
-        return super().on_insert(self._ivf.on_insert(new_df, metric, dim), metric, dim)
+        if not self._use_residual(metric):
+            return super().on_insert(self._ivf.on_insert(new_df, metric, dim), metric, dim)
+        tdf = (
+            new_df.withColumn("__tvec", self._t_expr("vector", metric))
+            .withColumnRenamed("vector", "__orig")
+            .withColumnRenamed("__tvec", "vector")
+        )
+        out = self._ivf.on_insert(tdf, metric, dim)
+        out = out.withColumnRenamed("vector", "__tvec").withColumnRenamed("__orig", "vector")
+        enc = self._residual_encode_kernel()
+        return out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL))).drop("__tvec")
 
-    def _probe_sets(self, Q: np.ndarray) -> "dict[int, np.ndarray]":
+    # ---- query -------------------------------------------------------
+    def _probe_sets(self, Q: np.ndarray) -> np.ndarray:
         C = np.asarray(self.params["centroids"], dtype=np.float64)
         nprobe = min(self.params["nprobe"], len(C))
         D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return np.argsort(D, axis=1)[:, :nprobe]
 
     def _query_payload(self, queries: DataFrame, metric: Metric):
-        """Broadcast[(qids, tables, probes)] — ADC tables plus each
-        query's nprobe cluster set (probed on the raw space)."""
+        """Broadcast[(qids, tables, probes, residual)] — residual mode
+        ships per-(query, probed-cluster) residual ADC tables
+        (nq × nprobe × m × ksub); plain mode ships whole-vector tables
+        (nq × m × ksub). Probing always happens in the metric space the
+        clustering ran in."""
         from vicinity_spark.operators.knn import query_matrix
 
         qids, Qraw = query_matrix(queries)
-        return queries.sparkSession.sparkContext.broadcast(
-            (qids, self._adc_tables(Qraw, metric), self._probe_sets(Qraw))
-        )
+        if not self._use_residual(metric):
+            payload = (qids, self._adc_tables(Qraw, metric), self._probe_sets(Qraw), False)
+            return queries.sparkSession.sparkContext.broadcast(payload)
+        m = self.params["m"]
+        books = self._codebooks()
+        Qt = self._t_np(Qraw, metric)
+        probes = self._probe_sets(Qt)  # nq × nprobe (metric space)
+        C = np.asarray(self.params["centroids"], dtype=np.float64)
+        R = (Qt[:, None, :] - C[probes]).reshape(-1, Qt.shape[1])  # (nq*nprobe) × dim
+        dsub = Qt.shape[1] // m
+        flat = np.stack(
+            [
+                ((R[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                for j in range(m)
+            ],
+            axis=1,
+        )  # (nq*nprobe) × m × ksub
+        tables = flat.reshape(len(Qt), probes.shape[1], m, flat.shape[2])
+        return queries.sparkSession.sparkContext.broadcast((qids, tables, probes, True))
 
     def _candidates(self, corpus: DataFrame, bt, k: int, metric: Metric) -> DataFrame:
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids, tables, probes = bt.value
+            qids, tables, probes, residual = bt.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 codes = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.int64)
                 clusters = pdf[CLUSTER_COL].to_numpy()
                 ids = pdf["id"].to_numpy()
-                D = tables[:, np.arange(m), codes].sum(axis=2)  # nq × n
-                # inverted-list pruning: +inf outside each query's probes
-                for qi in range(D.shape[0]):
-                    D[qi, ~np.isin(clusters, probes[qi])] = np.inf
+                nq = len(qids)
+                if residual:
+                    # per-(query, probe) residual tables: rows outside a
+                    # query's probed lists stay at +inf
+                    D = np.full((nq, len(ids)), np.inf)
+                    for qi in range(nq):
+                        for p, c in enumerate(probes[qi]):
+                            sel = clusters == c
+                            if sel.any():
+                                D[qi, sel] = tables[qi, p][np.arange(m), codes[sel]].sum(axis=1)
+                else:
+                    D = tables[:, np.arange(m), codes].sum(axis=2)  # nq × n
+                    for qi in range(nq):
+                        D[qi, ~np.isin(clusters, probes[qi])] = np.inf
                 cap = min(kk, D.shape[1])
                 idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
                 dd = np.take_along_axis(D, idx, axis=1)

@@ -395,10 +395,14 @@ def _pq_strategy():
 
 def _ivfpq_strategy():
     """IVF-PQ composite (backends/ivfpq.py — FAISS ivfpq analog,
-    faiss.py:105-110)."""
+    faiss.py:105-110). The gate entry pins residual=False: the
+    whole-vector ADC path reaches verified recall 1.0 at the oracle
+    scales with pruning still on (nprobe < nlist), while the
+    residual-encoding default (higher quality per byte at production
+    scale) is recall-floor gated in tests and measured in bench.py."""
     from vicinity_spark.backends.ivfpq import IVFPQStrategy
 
-    return IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24)
+    return IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24, residual=False)
 
 
 def _graph_strategy():
