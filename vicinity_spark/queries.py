@@ -1251,6 +1251,78 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(l_orderkey) AS BIGINT) AS n_rows,
+       round(min(l_discount), 2) AS min_disc,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) — exact rewrite
+    of a hot-key groupBy: phase 1 fans each (flag, status) key out over
+    16 deterministic salts, phase 2 combines the partials. Oracle is the
+    plain GROUP BY; outputs are identical by construction."""
+    from vicinity_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_orderkey"),
+            "min_disc": ("min", "l_discount"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        F.round("min_disc", 2).alias("min_disc"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): orders keys salted 8
+    ways, customer replicated 8×, equi-join on (custkey, salt) — the
+    skew-spread plan for a dim too big to broadcast. Aggregated per
+    mktsegment; row-identical to the plain join, so the oracle is the
+    unsalted SQL."""
+    from vicinity_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, ["custkey"], num_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke entry: exact cosine k-NN top-10 on the sf0.001
     embeddings — the engine's F3 operator end-to-end."""
