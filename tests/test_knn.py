@@ -155,3 +155,49 @@ def test_graph_tiny_corpus_and_k_clamp(spark):
     b1 = s1.build(one, Metric.COSINE, 2)
     r1 = s1.knn(b1, queries, k=5, metric=Metric.COSINE).collect()
     assert len(r1) == 1 and r1[0]["id"] == 7
+
+
+def test_graph_non_contiguous_ids(spark):
+    """Regression (r2 ADVICE): the NN-descent seed ring must not assume
+    dense ids 0..n-1. With sparse/arbitrary ids (monotonically_increasing_id
+    shape) every node still gets a full neighbor list and full-recall
+    params still reproduce the exact top-k."""
+    import numpy as np
+
+    from vicinity_spark.backends.graph import NBRS_COL, GraphStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 6
+    X = rng.random((n, dim))
+    # ids shaped like monotonically_increasing_id across partitions:
+    # huge non-contiguous gaps
+    ids = [(p << 33) + j for p, j in zip(rng.integers(0, 4, n).tolist(), range(n))]
+    corpus = spark.createDataFrame(
+        [(ids[i], [float(x) for x in X[i]]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+    strat = GraphStrategy(k_build=12, iters=2, beam=48, expansions=3, n_entries=4)
+    built = strat.build(corpus, Metric.EUCLIDEAN, dim)
+
+    # every node has a fully-populated, in-corpus neighbor list
+    idset = set(ids)
+    for r in built.select("id", NBRS_COL).collect():
+        nbrs = r[NBRS_COL]
+        assert len(nbrs) == 12, f"degenerate neighbor list for id {r['id']}"
+        assert set(nbrs) <= idset and r["id"] not in nbrs
+
+    q = X[:10]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in q[i]]) for i in range(10)],
+        "query_id long, qvec array<float>",
+    )
+    got = strat.knn(built, queries, k=5, metric=Metric.EUCLIDEAN).collect()
+    hits = 0
+    for qi in range(10):
+        d = np.sqrt(((X - q[qi][None, :]) ** 2).sum(axis=1))
+        order = np.lexsort((np.array(ids), d))
+        exact = {ids[j] for j in order[:5]}
+        mine = {r["id"] for r in got if r["query_id"] == qi}
+        hits += len(exact & mine)
+    assert hits / 50 == 1.0, f"graph recall with sparse ids {hits/50}"

@@ -86,6 +86,31 @@ class GraphStrategy(IndexStrategy):
         )
         return score_pairs(pairs, metric, a_col="id", b_col="nbr")
 
+    @staticmethod
+    def _dense_rank_map(df: DataFrame) -> DataFrame:
+        """(id, __rank) with __rank dense in 0..n-1, for ARBITRARY ids.
+
+        Scale-safe: per-partition row_number + broadcast cumulative
+        partition offsets — the driver collects one row per partition,
+        never per data row (no global single-partition sort). The
+        numbered frame is localCheckpoint'ed so the partition ids seen
+        by the offsets job and the downstream join are the same
+        materialization.
+        """
+        part = df.select("id").withColumn("__part", F.spark_partition_id())
+        w = Window.partitionBy("__part").orderBy("id")
+        numbered = part.withColumn("__pr", F.row_number().over(w)).localCheckpoint(eager=True)
+        counts = numbered.groupBy("__part").agg(F.count("*").alias("__cnt")).collect()
+        acc, rows = 0, []
+        for r in sorted(counts, key=lambda r: r["__part"]):
+            rows.append((int(r["__part"]), acc))
+            acc += int(r["__cnt"])
+        spark = df.sparkSession
+        offsets = spark.createDataFrame(rows, "__part int, __base bigint")
+        return numbered.join(F.broadcast(offsets), "__part").select(
+            "id", (F.col("__pr") - 1 + F.col("__base")).alias("__rank")
+        )
+
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
         K = self.params["k_build"]
@@ -94,11 +119,25 @@ class GraphStrategy(IndexStrategy):
         rng = np.random.default_rng(self.params["seed"])
         k0 = min(K, max(n - 1, 1))
         offsets = (rng.choice(max(n - 1, 1), size=k0, replace=False) + 1).tolist()
-        # seeded pseudo-random ring: nbr_j = (id + off_j) mod n — no
-        # shuffle at all for the initial graph
-        edges = df.select(
-            "id", F.explode(F.array(*[F.lit(int(o)) for o in offsets])).alias("__off")
-        ).select("id", F.pmod(F.col("id") + F.col("__off"), F.lit(int(n))).alias("nbr"))
+        # seeded pseudo-random ring in DENSE-RANK space (ids may be
+        # arbitrary/non-contiguous — e.g. monotonically_increasing_id):
+        # nbr of the node ranked r is the node ranked (r + off_j) mod n.
+        # One bounded equi-join (n×k0 edges) translates ranks back to
+        # real ids; ring targets therefore always exist.
+        rank_map = self._dense_rank_map(df)
+        edges = (
+            rank_map.select(
+                "id",
+                F.explode(F.array(*[F.lit(int(o)) for o in offsets])).alias("__off"),
+                "__rank",
+            )
+            .select("id", F.pmod(F.col("__rank") + F.col("__off"), F.lit(int(n))).alias("__nr"))
+            .join(
+                rank_map.select(F.col("__rank").alias("__nr"), F.col("id").alias("nbr")),
+                "__nr",
+            )
+            .select("id", "nbr")
+        )
         scored = self._scored_edges(edges, vectors, metric)
         w = Window.partitionBy("id").orderBy(F.col("distance"), F.col("nbr"))
         for _ in range(self.params["iters"]):
