@@ -158,3 +158,68 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert r2["total_value"] == pytest.approx(2.0)
     # user 1's second session stays open (timeout 75+30=105 > watermark)
     assert (1, at(70)) not in by_key
+
+
+def test_sessionize_late_event_does_not_regress_session(spark, tmp_path):
+    """Regression (r2 ADVICE): a watermark-admitted LATE event arriving
+    in a later micro-batch must fold into the open session with min/max
+    bounds — it extends session_start backwards and must NOT drag
+    session_end (and the event-time flush timeout) backwards."""
+    import datetime as dt
+    import os
+    import time
+
+    from vicinity_spark.streaming import sessionize_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: open session [40, 50] for user 1
+    spark.createDataFrame(
+        [(1, at(40), 1.0), (1, at(50), 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # batch 2: late event at 35 (> watermark 50-20=30, admitted) plus a
+    # watermark pusher on another key at 105
+    spark.createDataFrame(
+        [(1, at(35), 4.0), (9, at(105), 0.5)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    now = time.time()
+    for i, d in enumerate(["b1", "b2"]):
+        for f in (src / d).iterdir():
+            os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="20 minutes")
+    out = tmp_path / "late_out"
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r for r in spark.read.parquet(str(out)).collect()}
+    # user 1 flushed by timeout (watermark 105-20=85 > last 50 + gap 30)
+    r = got[1]
+    assert r["session_start"] == at(35)  # extended backwards by the late event
+    assert r["session_end"] == at(50)  # NOT dragged back to 35
+    assert r["n_events"] == 3
+    assert r["total_value"] == pytest.approx(7.0)

@@ -13,6 +13,13 @@ with no successor event are flushed by an event-time timeout.
 Output (append mode) emits only *closed* sessions: a session closes
 when a later event for the same key arrives past the gap, or when the
 event-time timeout fires (watermark passed last_ts + gap).
+
+Late-data semantics: a watermark-admitted late event folds into the
+currently-open session with min/max bounds (it can extend
+session_start backwards; it never drags session_end or the flush
+timeout backwards). An event older than an already-*emitted* session
+cannot reopen it — append mode can't retract output — so it joins the
+open session instead; that is the standard append-mode trade-off.
 """
 
 from __future__ import annotations
@@ -66,10 +73,14 @@ def sessionize_stream(
         for ts, val in zip(rows[ts_col], rows[value_col]):
             if last is not None and (ts - last) > gap:
                 closed.append([k, s, last, n, v])
-                s, n, v = None, 0, 0.0
-            if s is None:
-                s = ts
-            last = ts
+                s, last, n, v = None, None, 0, 0.0
+            # fold with min/max: a watermark-admitted late event (ts
+            # before the open session's bounds, arriving in a LATER
+            # micro-batch) must extend the session backwards, never
+            # drag `last` — and the event-time timeout — backwards
+            # into a premature flush
+            s = ts if s is None else min(s, ts)
+            last = ts if last is None else max(last, ts)
             n += 1
             v += float(val) if val is not None else 0.0
         state.update((s.to_pydatetime(), last.to_pydatetime(), int(n), float(v)))
