@@ -112,3 +112,47 @@ def test_salt_expr_range_and_determinism(spark):
     mn, mx = s.agg(F.min("s"), F.max("s")).first()
     assert 0 <= mn and mx <= 15
     assert s.distinct().count() > 1  # actually spreads
+
+
+def test_salted_aggregate_key_only_salt_fans_out(spark):
+    """Regression (r2 ADVICE): count(*) by a hot key — the canonical
+    skew case — referenced only key columns, so the default salt hashed
+    the keys and was constant per group (silent no-op). The row-level
+    fallback must spread a hot key across many salts AND stay exact."""
+    from vicinity_spark.operators.skew import _resolve_salt
+
+    li = _lineitem(spark)
+    # count(*)-shaped agg: aggregates reference only the key column
+    salted = salted_aggregate(
+        li, ["l_returnflag"], {"n_rows": ("count", "l_returnflag")}, num_salts=16
+    )
+    plain = li.groupBy("l_returnflag").agg(F.count("l_returnflag").alias("n_rows"))
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+    # the resolved salt is NOT constant per key group
+    spread = (
+        li.withColumn("__salt", _resolve_salt(li, ["l_returnflag"], None, 16))
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("__salt").alias("nsalts"))
+        .collect()
+    )
+    assert all(r["nsalts"] > 8 for r in spread), spread
+
+
+def test_salted_aggregate_warns_on_key_subset_salt_cols(spark):
+    import warnings
+
+    li = _lineitem(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n_rows": ("count", "l_returnflag")},
+            num_salts=8,
+            salt_cols=["l_returnflag"],
+        )
+        rows = _sorted_rows(out)
+    assert any("subset of the grouping keys" in str(x.message) for x in w)
+    plain = li.groupBy("l_returnflag").agg(F.count("l_returnflag").alias("n_rows"))
+    assert rows == _sorted_rows(plain)

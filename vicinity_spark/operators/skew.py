@@ -59,6 +59,37 @@ def salt_expr(num_salts: int, *cols: str) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts)).cast("int")
 
 
+def _resolve_salt(
+    df: DataFrame, keys: Sequence[str], salt_cols: Optional[Sequence[str]], num_salts: int
+) -> Column:
+    """Salt column that is guaranteed to vary WITHIN a key group.
+
+    If ``salt_cols`` (explicit or defaulted) is a subset of the grouping
+    keys, xxhash64 of them is constant per group — every row of a hot
+    key would still land on one reducer and the guard would be a silent
+    no-op (the canonical case: plain count(*) by a hot key). Fall back
+    to a row-level source: xxhash64 over ALL columns plus
+    spark_partition_id(), which also separates fully-identical rows
+    that live in different input partitions while staying deterministic
+    for a fixed input partitioning (replay/speculation-safe).
+    """
+    if salt_cols and not (set(salt_cols) <= set(keys)):
+        return salt_expr(num_salts, *salt_cols)
+    if salt_cols:  # explicitly passed, but constant per group
+        import warnings
+
+        warnings.warn(
+            f"salt_cols {list(salt_cols)} is a subset of the grouping keys "
+            "— the salt would be constant per group; falling back to a "
+            "row-level salt (all columns + partition id)",
+            stacklevel=3,
+        )
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(num_salts),
+    ).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -83,11 +114,9 @@ def salted_aggregate(
         if fn not in _DECOMPOSABLE and fn != "avg":
             raise ValueError(f"{name}: '{fn}' is not decomposable (use sum/count/min/max/avg)")
     if salt_cols is None:
-        salt_cols = sorted(
-            {c for _, c in aggs.values() if c != "*"} - set(keys)
-        ) or list(keys)
+        salt_cols = sorted({c for _, c in aggs.values() if c != "*"} - set(keys))
 
-    salted = df.withColumn("__salt", salt_expr(num_salts, *salt_cols))
+    salted = df.withColumn("__salt", _resolve_salt(df, keys, salt_cols, num_salts))
 
     partials: "list[Column]" = []
     finals: "list[Column]" = []
@@ -127,8 +156,8 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins (dim side is replicated)")
     on = list(on)
-    salt_src = list(fact_salt_cols) if fact_salt_cols else [c for c in fact.columns if c not in on] or on
-    f_salted = fact.withColumn("__salt", salt_expr(num_salts, *salt_src))
+    salt_src = list(fact_salt_cols) if fact_salt_cols else [c for c in fact.columns if c not in on]
+    f_salted = fact.withColumn("__salt", _resolve_salt(fact, on, salt_src, num_salts))
     d_repl = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
