@@ -201,3 +201,44 @@ def test_graph_non_contiguous_ids(spark):
         mine = {r["id"] for r in got if r["query_id"] == qi}
         hits += len(exact & mine)
     assert hits / 50 == 1.0, f"graph recall with sparse ids {hits/50}"
+
+
+def test_pq_paths_never_collect_query_table(spark, monkeypatch):
+    """The PQ/IVFPQ query path computes ADC tables executor-side from
+    closure codebooks + joined query blocks (r2 VERDICT item 4). Guard
+    the property structurally: poison the driver-collect helpers — the
+    whole knn job must still run."""
+    import numpy as np
+
+    import vicinity_spark.operators.knn as knn_mod
+    from vicinity_spark.backends.ivfpq import IVFPQStrategy
+    from vicinity_spark.backends.pq import PQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    def boom(*a, **k):
+        raise AssertionError("driver collect of the query table on a PQ path")
+
+    monkeypatch.setattr(knn_mod, "query_matrix", boom)
+    monkeypatch.setattr(knn_mod, "collect_query_matrix", boom)
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 8
+    X = rng.random((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], "id long, vector array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(20)],
+        "query_id long, qvec array<float>",
+    )
+    for strat in (
+        PQStrategy(m=4, ksub=32, refine=8),
+        IVFPQStrategy(nlist=8, nprobe=8, m=4, ksub=32, refine=8),
+    ):
+        built = strat.build(corpus, Metric.COSINE, dim)
+        got = strat.knn(built, queries, k=5, metric=Metric.COSINE).collect()
+        assert len(got) == 100  # 20 queries × k=5
+        # self-queries find themselves at distance ~0
+        top = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+        hits = sum(1 for q, i in top.items() if q == i)
+        assert hits >= 18

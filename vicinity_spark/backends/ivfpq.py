@@ -11,13 +11,15 @@ at the same byte budget: residual magnitudes are much smaller than
 vector magnitudes, so the per-subspace codebooks spend their 8 bits on
 the fine structure instead of re-describing the coarse position.
 
-Query: probe the nprobe nearest centroids in the metric space, then
-precompute per-(query, probed-cluster) ADC tables of the query residual
-against every sub-centroid (nq × nprobe × m × ksub — shipped as one
-torrent broadcast). The scan kernel masks rows outside each query's
-probes and scores the rest with m table lookups; the usual exact
-re-rank on true vectors follows. Scan payload per row: 4 bytes cluster
-+ m bytes code, independent of dim.
+Query: a cluster-keyed block grid. Each inverted list's codes fold
+into one block row; query blocks join ONLY the clusters they probe
+(nprobe pruning expressed at the block level), and each grid cell
+computes its queries' residual ADC tables against that single centroid
+executor-side — centroids and codebooks ride in the task closure, the
+query vectors arrive through the join. Nothing collects to the driver,
+so the path holds at any query-batch size. The usual exact re-rank on
+true vectors follows. Scan payload per row: 4 bytes cluster + m bytes
+code, independent of dim.
 
 Metrics without a clean residual-L2 decomposition (inner product,
 hamming, tanimoto, manhattan) fall back to the non-residual path of
@@ -157,73 +159,97 @@ class IVFPQStrategy(PQStrategy):
         D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return np.argsort(D, axis=1)[:, :nprobe]
 
-    def _query_payload(self, queries: DataFrame, metric: Metric):
-        """Broadcast[(qids, tables, probes, residual)] — residual mode
-        ships per-(query, probed-cluster) residual ADC tables
-        (nq × nprobe × m × ksub); plain mode ships whole-vector tables
-        (nq × m × ksub). Probing always happens in the metric space the
-        clustering ran in."""
-        from vicinity_spark.operators.knn import query_matrix
+    def _candidates(
+        self, corpus: DataFrame, queries: DataFrame, k: int, metric: Metric
+    ) -> DataFrame:
+        """Cluster-keyed block grid: one code block per inverted list,
+        joined ONLY to the query blocks that probe it — the block-level
+        expression of nprobe pruning, so an unprobed list ships nowhere.
 
-        qids, Qraw = query_matrix(queries)
-        if not self._use_residual(metric):
-            payload = (qids, self._adc_tables(Qraw, metric), self._probe_sets(Qraw), False)
-            return queries.sparkSession.sparkContext.broadcast(payload)
-        m = self.params["m"]
-        books = self._codebooks()
-        Qt = self._t_np(Qraw, metric)
-        probes = self._probe_sets(Qt)  # nq × nprobe (metric space)
-        C = np.asarray(self.params["centroids"], dtype=np.float64)
-        R = (Qt[:, None, :] - C[probes]).reshape(-1, Qt.shape[1])  # (nq*nprobe) × dim
-        dsub = Qt.shape[1] // m
-        flat = np.stack(
-            [
-                ((R[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                for j in range(m)
-            ],
-            axis=1,
-        )  # (nq*nprobe) × m × ksub
-        tables = flat.reshape(len(Qt), probes.shape[1], m, flat.shape[2])
-        return queries.sparkSession.sparkContext.broadcast((qids, tables, probes, True))
+        The (query-block → probed clusters) pairs come from an
+        executor-side pandas UDF over the block's own query vectors
+        (centroids ride in the closure — nlist × dim doubles); the cell
+        kernel re-derives per-query probes (cheap) to score only the
+        queries whose probe set contains the cell's cluster, computing
+        residual ADC tables against that single centroid. No driver
+        collect of the query table; no +inf masking — a cell only ever
+        scores its own inverted list."""
+        from pyspark.sql.types import ArrayType, IntegerType
 
-    def _candidates(self, corpus: DataFrame, bt, k: int, metric: Metric) -> DataFrame:
+        from vicinity_spark.backends.pq import _cell_arrays, cell_topk, query_blocks
+
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
+        residual = self._use_residual(metric)
+        strat = self
+        C = np.asarray(self.params["centroids"], dtype=np.float64)
+        nprobe = min(self.params["nprobe"], len(C))
+
+        cb = (
+            corpus.select("id", CODE_COL, CLUSTER_COL)
+            .groupBy(CLUSTER_COL)
+            .agg(
+                F.collect_list("id").alias("__cids"),
+                F.collect_list(CODE_COL).alias("__ccodes"),
+            )
+        )
+
+        # probing space matches the space the lists were clustered in:
+        # metric space for residual mode, raw for the fallback
+        def _probe_space(Q: np.ndarray) -> np.ndarray:
+            return strat._t_np(Q, metric) if residual else Q
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def block_probes(qv: pd.Series) -> pd.Series:
+            out = []
+            for vecs in qv:
+                Q = np.vstack([np.asarray(v) for v in vecs]).astype(np.float64)
+                P = _probe_space(Q)
+                D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                ps = np.argsort(D, axis=1)[:, :nprobe]
+                out.append(np.unique(ps).astype(np.int32))
+            return pd.Series(out)
+
+        qb = query_blocks(queries)
+        grid = (
+            qb.withColumn("__probes", block_probes("__qvecs"))
+            .select("*", F.explode("__probes").alias(CLUSTER_COL))
+            .drop("__probes")
+            .join(cb, CLUSTER_COL)
+        )
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids, tables, probes, residual = bt.value
+            books = strat._codebooks()
+            dsub = None
             for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                codes = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.int64)
-                clusters = pdf[CLUSTER_COL].to_numpy()
-                ids = pdf["id"].to_numpy()
-                nq = len(qids)
-                if residual:
-                    # per-(query, probe) residual tables: rows outside a
-                    # query's probed lists stay at +inf
-                    D = np.full((nq, len(ids)), np.inf)
-                    for qi in range(nq):
-                        for p, c in enumerate(probes[qi]):
-                            sel = clusters == c
-                            if sel.any():
-                                D[qi, sel] = tables[qi, p][np.arange(m), codes[sel]].sum(axis=1)
-                else:
-                    D = tables[:, np.arange(m), codes].sum(axis=2)  # nq × n
-                    for qi in range(nq):
-                        D[qi, ~np.isin(clusters, probes[qi])] = np.inf
-                cap = min(kk, D.shape[1])
-                idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
-                dd = np.take_along_axis(D, idx, axis=1)
-                keep = np.isfinite(dd)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids, cap)[keep.ravel()],
-                        "id": ids[idx.ravel()][keep.ravel()],
-                        "distance": dd.ravel()[keep.ravel()],
-                    }
-                )
+                for i in range(len(pdf)):
+                    ids, codes, qids, Q = _cell_arrays(pdf, i)
+                    cluster = int(pdf[CLUSTER_COL].iloc[i])
+                    P = _probe_space(Q)
+                    D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    probes = np.argsort(D, axis=1)[:, :nprobe]
+                    mask = (probes == cluster).any(axis=1)
+                    if not mask.any():
+                        continue
+                    if residual:
+                        R = P[mask] - C[cluster]
+                        if dsub is None:
+                            dsub = R.shape[1] // m
+                        tables = np.stack(
+                            [
+                                (
+                                    (
+                                        R[:, j * dsub : (j + 1) * dsub][:, None, :]
+                                        - books[j][None, :, :]
+                                    )
+                                    ** 2
+                                ).sum(axis=2)
+                                for j in range(m)
+                            ],
+                            axis=1,
+                        )
+                    else:
+                        tables = strat._adc_tables(Q[mask], metric)
+                    yield cell_topk(qids[mask], ids, codes, tables, m, kk)
 
-        return corpus.select("id", CODE_COL, CLUSTER_COL).mapInPandas(fn, _KNN_SCHEMA)
+        return grid.mapInPandas(fn, _KNN_SCHEMA)

@@ -9,14 +9,27 @@ binary files). Encode: one Arrow pass assigns each subvector its
 nearest centroid id → `__pqcode: array<smallint>` (m bytes per vector —
 a dim×4/m byte reduction, 32× at dim=64, m=8).
 
-Query: ADC (asymmetric distance computation). Per query batch the
-kernel precomputes the m × ksub table of squared distances from the
-query's subvectors to every centroid; each corpus row's approximate
-distance is then m table lookups — no per-pair float math at all.
-Top k×refine candidates per partition → exact re-rank on true vectors
-(same two-phase shape as SQ). Cosine is served by normalizing at train/
-encode/probe time: squared-euclidean ADC ranking on unit vectors is
-cosine ranking (‖q−x‖² = 2·(1−cos) on the unit sphere).
+Query: ADC (asymmetric distance computation) as a BLOCK GRID — corpus
+code blocks × query blocks via crossJoin, every ADC table computed
+*executor-side* inside the grid kernel from the broadcast codebooks
+(they ride in the task closure: m × ksub × dsub doubles, ≤ a few
+hundred KB) and the block's own query vectors. No driver collect of
+the query table anywhere on the path, so a 10M-row query batch
+distributes instead of materializing nq×dim on the driver. Each grid
+cell emits its per-query top-k×refine candidates pre-ranked (the
+chunked argpartition runs inside the kernel); the only later shuffle
+is the bounded candidate merge (≤ kk × n_corpus_blocks rows per
+query — the same partial-top-k merge shape as the exact plan) followed
+by the exact re-rank on true vectors. Cosine is served by normalizing
+at train/encode/query time: squared-euclidean ADC ranking on unit
+vectors is cosine ranking (‖q−x‖² = 2·(1−cos) on the unit sphere).
+
+Scale envelope: the grid replicates the compact code blocks once per
+query block (ceil(nq/512)); with m-byte codes that is a dim·4/m-fold
+smaller payload than replicating vectors, and it beats the broadcast
+alternative (nq × m × ksub tables to every executor) as soon as the
+query batch is large. For full-corpus × huge-query sweeps prefer
+IVFPQ, whose grid joins only probed (cluster, query-block) pairs.
 """
 
 from __future__ import annotations
@@ -35,6 +48,66 @@ from vicinity_spark.functions.metrics import clip_distance
 from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 CODE_COL = "__pqcode"
+
+_QBLOCK = 512  # queries per grid block
+_CCHUNK = 8_192  # corpus rows ADC-scored per in-kernel slice (bounds D to nqb×8192 doubles)
+
+
+def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
+    """(__qb, __qids, __qvecs) — the query table folded into
+    ceil(nq/qblock) block rows by hashing query_id. Built with one
+    distributed count + one groupBy; nothing touches the driver."""
+    import math
+
+    nq = queries.count()
+    nqb = max(1, math.ceil(nq / qblock))
+    return (
+        queries.select(
+            F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("__qb"),
+            "query_id",
+            "qvec",
+        )
+        .groupBy("__qb")
+        .agg(
+            F.collect_list("query_id").alias("__qids"),
+            F.collect_list("qvec").alias("__qvecs"),
+        )
+    )
+
+
+def cell_topk(qids, ids, codes, tables, m: int, kk: int):
+    """Per-query top-kk of one grid cell, chunked so the distance
+    matrix never exceeds nq_block × _CCHUNK doubles. Emits pre-ranked
+    candidate rows; downstream only merges bounded per-cell winners."""
+    parts_d, parts_i = [], []
+    for s in range(0, len(ids), _CCHUNK):
+        D = tables[:, np.arange(m), codes[s : s + _CCHUNK]].sum(axis=2)
+        cap = min(kk, D.shape[1])
+        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+        parts_d.append(np.take_along_axis(D, idx, axis=1))
+        parts_i.append(idx + s)
+    Dall = np.concatenate(parts_d, axis=1)
+    Iall = np.concatenate(parts_i, axis=1)
+    cap = min(kk, Dall.shape[1])
+    sel = np.argpartition(Dall, cap - 1, axis=1)[:, :cap]
+    dd = np.take_along_axis(Dall, sel, axis=1)
+    ii = np.take_along_axis(Iall, sel, axis=1)
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),
+            "id": np.asarray(ids, dtype=np.int64)[ii.ravel()],
+            "distance": dd.ravel(),
+        }
+    )
+
+
+def _cell_arrays(pdf: pd.DataFrame, i: int):
+    """Decode one grid-cell row back to numpy (ids, codes, qids, Q)."""
+    ids = np.asarray(pdf["__cids"].iloc[i], dtype=np.int64)
+    codes = np.vstack([np.asarray(c) for c in pdf["__ccodes"].iloc[i]]).astype(np.int64)
+    qids = np.asarray(pdf["__qids"].iloc[i], dtype=np.int64)
+    Q = np.vstack([np.asarray(v) for v in pdf["__qvecs"].iloc[i]]).astype(np.float64)
+    return ids, codes, qids, Q
 
 # Only cosine is served by unit-normalization (‖q−x‖² = 2·(1−cos) on
 # the unit sphere). INNER_PRODUCT must NOT be normalized: the high-norm
@@ -173,43 +246,40 @@ class PQStrategy(IndexStrategy):
             axis=1,
         )
 
-    def _query_payload(self, queries: DataFrame, metric: Metric):
-        """Broadcast[(qids, tables)] — everything the ADC kernel needs."""
-        from vicinity_spark.operators.knn import query_matrix
+    def _candidates(
+        self, corpus: DataFrame, queries: DataFrame, k: int, metric: Metric
+    ) -> DataFrame:
+        """Block-grid ADC scan: corpus code blocks × query blocks.
 
-        qids, Q = query_matrix(queries)
-        return queries.sparkSession.sparkContext.broadcast(
-            (qids, self._adc_tables(Q, metric))
-        )
-
-    def _candidates(self, corpus: DataFrame, bt, k: int, metric: Metric) -> DataFrame:
-        """bt: Broadcast[(qids, tables)] — ADC tables ship as a torrent
-        broadcast (one copy per executor), not a per-task closure."""
+        Corpus codes fold into ~numPartitions hash blocks (narrow
+        shuffle of m-byte codes); the grid is a crossJoin against the
+        query blocks. Each cell computes its queries' ADC tables from
+        the closure codebooks — D[q, n] = Σ_j tables[q, j, codes[n, j]],
+        pure lookups — and emits per-query top-kk via chunked
+        argpartition. No driver collect of the query table."""
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
+        strat = self
+        ncb = max(1, corpus.rdd.getNumPartitions())
+        cb = (
+            corpus.select("id", CODE_COL)
+            .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))
+            .groupBy("__cb")
+            .agg(
+                F.collect_list("id").alias("__cids"),
+                F.collect_list(CODE_COL).alias("__ccodes"),
+            )
+        )
+        grid = cb.crossJoin(query_blocks(queries))
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids, tables = bt.value
             for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                codes = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.int64)  # n × m
-                ids = pdf["id"].to_numpy()
-                # D[q, n] = Σ_j tables[q, j, codes[n, j]] — pure lookups:
-                # index arrays (m,) and (n, m) broadcast to (n, m), so
-                # tables[:, ·, ·] yields (nq, n, m); sum over subspaces
-                D = tables[:, np.arange(m), codes].sum(axis=2)
-                cap = min(kk, D.shape[1])
-                idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids, cap),
-                        "id": ids[idx.ravel()],
-                        "distance": np.take_along_axis(D, idx, axis=1).ravel(),
-                    }
-                )
+                for i in range(len(pdf)):
+                    ids, codes, qids, Q = _cell_arrays(pdf, i)
+                    tables = strat._adc_tables(Q, metric)
+                    yield cell_topk(qids, ids, codes, tables, m, kk)
 
-        return corpus.select("id", CODE_COL).mapInPandas(fn, _KNN_SCHEMA)
+        return grid.mapInPandas(fn, _KNN_SCHEMA)
 
     def knn(
         self,
@@ -222,8 +292,7 @@ class PQStrategy(IndexStrategy):
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be greater than 0")
-        bt = self._query_payload(queries, metric)
-        cand = self._candidates(corpus, bt, k, metric)
+        cand = self._candidates(corpus, queries, k, metric)
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
