@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 from vicinity_spark.operators.knn import knn_join, threshold_join
 
 
-@pytest.mark.parametrize("algorithm", ["window", "partial"])
+@pytest.mark.parametrize("algorithm", ["window", "partial", "grid"])
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
 def test_knn_matches_numpy_oracle(corpus_df, queries_df, np_oracle, metric, algorithm):
     k = 10
@@ -34,7 +34,7 @@ def test_knn_k_below_one_raises(corpus_df, queries_df):
         knn_join(corpus_df, queries_df, k=0)
 
 
-@pytest.mark.parametrize("algorithm", ["window", "partial"])
+@pytest.mark.parametrize("algorithm", ["window", "partial", "grid"])
 def test_knn_duplicate_queries_identical(corpus_df, queries_df, algorithm):
     # determinism: duplicated query rows give identical results
     # (reference tests/test_vicinity.py:58-64)

@@ -176,7 +176,8 @@ class IVFPQStrategy(PQStrategy):
         scores its own inverted list."""
         from pyspark.sql.types import ArrayType, IntegerType
 
-        from vicinity_spark.backends.pq import _cell_arrays, cell_topk, query_blocks
+        from vicinity_spark.backends.pq import _cell_arrays
+        from vicinity_spark.operators.grid import cell_topk, query_blocks
 
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)

@@ -49,65 +49,13 @@ from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 CODE_COL = "__pqcode"
 
-_QBLOCK = 512  # queries per grid block
-_CCHUNK = 8_192  # corpus rows ADC-scored per in-kernel slice (bounds D to nqb×8192 doubles)
-
-
-def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
-    """(__qb, __qids, __qvecs) — the query table folded into
-    ceil(nq/qblock) block rows by hashing query_id. Built with one
-    distributed count + one groupBy; nothing touches the driver."""
-    import math
-
-    nq = queries.count()
-    nqb = max(1, math.ceil(nq / qblock))
-    return (
-        queries.select(
-            F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("__qb"),
-            "query_id",
-            "qvec",
-        )
-        .groupBy("__qb")
-        .agg(
-            F.collect_list("query_id").alias("__qids"),
-            F.collect_list("qvec").alias("__qvecs"),
-        )
-    )
-
-
-def cell_topk(qids, ids, codes, tables, m: int, kk: int):
-    """Per-query top-kk of one grid cell, chunked so the distance
-    matrix never exceeds nq_block × _CCHUNK doubles. Emits pre-ranked
-    candidate rows; downstream only merges bounded per-cell winners."""
-    parts_d, parts_i = [], []
-    for s in range(0, len(ids), _CCHUNK):
-        D = tables[:, np.arange(m), codes[s : s + _CCHUNK]].sum(axis=2)
-        cap = min(kk, D.shape[1])
-        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
-        parts_d.append(np.take_along_axis(D, idx, axis=1))
-        parts_i.append(idx + s)
-    Dall = np.concatenate(parts_d, axis=1)
-    Iall = np.concatenate(parts_i, axis=1)
-    cap = min(kk, Dall.shape[1])
-    sel = np.argpartition(Dall, cap - 1, axis=1)[:, :cap]
-    dd = np.take_along_axis(Dall, sel, axis=1)
-    ii = np.take_along_axis(Iall, sel, axis=1)
-    return pd.DataFrame(
-        {
-            "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),
-            "id": np.asarray(ids, dtype=np.int64)[ii.ravel()],
-            "distance": dd.ravel(),
-        }
-    )
-
 
 def _cell_arrays(pdf: pd.DataFrame, i: int):
-    """Decode one grid-cell row back to numpy (ids, codes, qids, Q)."""
-    ids = np.asarray(pdf["__cids"].iloc[i], dtype=np.int64)
-    codes = np.vstack([np.asarray(c) for c in pdf["__ccodes"].iloc[i]]).astype(np.int64)
-    qids = np.asarray(pdf["__qids"].iloc[i], dtype=np.int64)
-    Q = np.vstack([np.asarray(v) for v in pdf["__qvecs"].iloc[i]]).astype(np.float64)
-    return ids, codes, qids, Q
+    """Grid-cell row → (ids, int codes, qids, Q) numpy arrays."""
+    from vicinity_spark.operators.grid import cell_arrays
+
+    ids, payload, qids, Q = cell_arrays(pdf, i)
+    return ids, payload.astype(np.int64), qids, Q
 
 # Only cosine is served by unit-normalization (‖q−x‖² = 2·(1−cos) on
 # the unit sphere). INNER_PRODUCT must NOT be normalized: the high-norm
@@ -257,20 +205,12 @@ class PQStrategy(IndexStrategy):
         the closure codebooks — D[q, n] = Σ_j tables[q, j, codes[n, j]],
         pure lookups — and emits per-query top-kk via chunked
         argpartition. No driver collect of the query table."""
+        from vicinity_spark.operators.grid import cell_topk, corpus_blocks, query_blocks
+
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
         strat = self
-        ncb = max(1, corpus.rdd.getNumPartitions())
-        cb = (
-            corpus.select("id", CODE_COL)
-            .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))
-            .groupBy("__cb")
-            .agg(
-                F.collect_list("id").alias("__cids"),
-                F.collect_list(CODE_COL).alias("__ccodes"),
-            )
-        )
-        grid = cb.crossJoin(query_blocks(queries))
+        grid = corpus_blocks(corpus, CODE_COL).crossJoin(query_blocks(queries))
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from vicinity_spark.backends.base import IndexStrategy
 from vicinity_spark.datatypes import Backend, Metric
 from vicinity_spark.functions.metrics import clip_distance
-from vicinity_spark.operators.knn import _KNN_SCHEMA, _np_distances
+from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 CODE_COL = "__code"
 
@@ -75,33 +75,34 @@ class SQStrategy(IndexStrategy):
         return new_df.withColumn(CODE_COL, self._encode_expr())
 
     # ---- phase 1: approximate candidates over codes ------------------
-    def _candidates(self, corpus: DataFrame, bq, k: int, metric: Metric) -> DataFrame:
-        """bq: Broadcast[(qids, Q)] — the query matrix ships as a torrent
-        broadcast (one copy per executor), not a per-task closure."""
+    def _candidates(
+        self, corpus: DataFrame, queries: DataFrame, k: int, metric: Metric
+    ) -> DataFrame:
+        """Block-grid quantized scan (same shape as the PQ path): corpus
+        code blocks × query blocks, dequantize + chunked partial top-k
+        inside each grid cell. The codebook (2×dim doubles) rides in the
+        closure; query vectors arrive through the join — no driver
+        collect of the query table."""
+        from vicinity_spark.operators.grid import (
+            cell_arrays,
+            corpus_blocks,
+            dense_cell_topk,
+            query_blocks,
+        )
+
         mins = np.asarray(self.params["mins"])
         scales = np.asarray(self.params["scales"])
         kk = max(k * self.params["refine"], k)
+        grid = corpus_blocks(corpus, CODE_COL).crossJoin(query_blocks(queries))
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids, Q = bq.value
             for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                C = np.vstack(pdf[CODE_COL].to_numpy()).astype(np.float64)
-                X = C * scales[None, :] + mins[None, :]  # dequantize
-                ids = pdf["id"].to_numpy()
-                D = _np_distances(metric, Q, X)
-                m = min(kk, D.shape[1])
-                idx = np.argpartition(D, m - 1, axis=1)[:, :m]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids, m),
-                        "id": ids[idx.ravel()],
-                        "distance": np.take_along_axis(D, idx, axis=1).ravel(),
-                    }
-                )
+                for i in range(len(pdf)):
+                    ids, codes, qids, Q = cell_arrays(pdf, i)
+                    X = codes.astype(np.float64) * scales[None, :] + mins[None, :]
+                    yield dense_cell_topk(qids, ids, X, Q, metric, kk)
 
-        return corpus.select("id", CODE_COL).mapInPandas(fn, _KNN_SCHEMA)
+        return grid.mapInPandas(fn, _KNN_SCHEMA)
 
     def knn(
         self,
@@ -114,10 +115,7 @@ class SQStrategy(IndexStrategy):
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be greater than 0")
-        from vicinity_spark.operators.knn import collect_query_matrix
-
-        bq = collect_query_matrix(queries)
-        cand = self._candidates(corpus, bq, k, metric)
+        cand = self._candidates(corpus, queries, k, metric)
         # keep k×refine best approx candidates globally per query
         w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         kk = max(k * self.params["refine"], k)

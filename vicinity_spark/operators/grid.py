@@ -1,0 +1,121 @@
+"""Block-grid scan scaffolding shared by the quantized strategies
+(backends/pq.py, sq.py, ivfpq.py) and the exact `grid` algorithm in
+operators/knn.py.
+
+The shape: fold the corpus scan payload into block rows
+(collect_list), fold the query table into ~512-query block rows, join
+the two block relations (crossJoin for full scans, an equi-join on
+cluster for pruned scans), and run the scoring kernel per grid cell
+with chunked partial top-k so the distance matrix never exceeds
+nq_block × _CCHUNK doubles. Everything the kernel needs beyond the
+cell row (codebooks, centroids) is closure-small; query vectors arrive
+through the join — NO driver collect anywhere, so the plan holds at
+any query-batch size (the broadcast/driver-matrix alternative bounds
+the batch at driver memory).
+
+Reference analog: none (vicinity scores one in-memory matrix,
+basic.py:195-204); this is the distributed decomposition of the same
+scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_QBLOCK = 512  # queries per grid block
+_CCHUNK = 8_192  # corpus rows scored per in-kernel slice
+
+
+def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
+    """(__qb, __qids, __qvecs) — the query table folded into
+    ceil(nq/qblock) block rows by hashing query_id. Built with one
+    distributed count + one groupBy; nothing touches the driver."""
+    nq = queries.count()
+    nqb = max(1, math.ceil(nq / qblock))
+    return (
+        queries.select(
+            F.pmod(F.xxhash64("query_id"), F.lit(nqb)).cast("int").alias("__qb"),
+            "query_id",
+            "qvec",
+        )
+        .groupBy("__qb")
+        .agg(
+            F.collect_list("query_id").alias("__qids"),
+            F.collect_list("qvec").alias("__qvecs"),
+        )
+    )
+
+
+def corpus_blocks(corpus: DataFrame, payload_col: str, n_blocks: int = None) -> DataFrame:
+    """(__cb, __cids, __ccodes) — the corpus scan payload folded into
+    hash blocks (one narrow shuffle of the compact payload)."""
+    ncb = max(1, n_blocks or corpus.rdd.getNumPartitions())
+    return (
+        corpus.select("id", payload_col)
+        .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))
+        .groupBy("__cb")
+        .agg(
+            F.collect_list("id").alias("__cids"),
+            F.collect_list(payload_col).alias("__ccodes"),
+        )
+    )
+
+
+def cell_arrays(pdf: pd.DataFrame, i: int):
+    """Decode one grid-cell row back to numpy (ids, payload, qids, Q)."""
+    ids = np.asarray(pdf["__cids"].iloc[i], dtype=np.int64)
+    payload = np.vstack([np.asarray(c) for c in pdf["__ccodes"].iloc[i]])
+    qids = np.asarray(pdf["__qids"].iloc[i], dtype=np.int64)
+    Q = np.vstack([np.asarray(v) for v in pdf["__qvecs"].iloc[i]]).astype(np.float64)
+    return ids, payload, qids, Q
+
+
+def _merge_parts(qids, ids, parts_d, parts_i, kk: int) -> pd.DataFrame:
+    Dall = np.concatenate(parts_d, axis=1)
+    Iall = np.concatenate(parts_i, axis=1)
+    cap = min(kk, Dall.shape[1])
+    sel = np.argpartition(Dall, cap - 1, axis=1)[:, :cap]
+    dd = np.take_along_axis(Dall, sel, axis=1)
+    ii = np.take_along_axis(Iall, sel, axis=1)
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),
+            "id": np.asarray(ids, dtype=np.int64)[ii.ravel()],
+            "distance": dd.ravel(),
+        }
+    )
+
+
+def cell_topk(qids, ids, codes, tables, m: int, kk: int) -> pd.DataFrame:
+    """Per-query top-kk of one grid cell via PQ ADC lookups —
+    D[q, n] = Σ_j tables[q, j, codes[n, j]] — chunked so the distance
+    matrix stays bounded. Emits pre-ranked candidate rows; downstream
+    only merges bounded per-cell winners."""
+    parts_d, parts_i = [], []
+    for s in range(0, len(ids), _CCHUNK):
+        D = tables[:, np.arange(m), codes[s : s + _CCHUNK]].sum(axis=2)
+        cap = min(kk, D.shape[1])
+        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+        parts_d.append(np.take_along_axis(D, idx, axis=1))
+        parts_i.append(idx + s)
+    return _merge_parts(qids, ids, parts_d, parts_i, kk)
+
+
+def dense_cell_topk(qids, ids, X: np.ndarray, Q: np.ndarray, metric, kk: int) -> pd.DataFrame:
+    """Per-query top-kk of one grid cell over DENSE vectors (the SQ /
+    exact-grid sibling of cell_topk)."""
+    from vicinity_spark.operators.knn import _np_distances
+
+    parts_d, parts_i = [], []
+    for s in range(0, len(ids), _CCHUNK):
+        D = _np_distances(metric, Q, X[s : s + _CCHUNK])
+        cap = min(kk, D.shape[1])
+        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+        parts_d.append(np.take_along_axis(D, idx, axis=1))
+        parts_i.append(idx + s)
+    return _merge_parts(qids, ids, parts_d, parts_i, kk)

@@ -308,8 +308,52 @@ def knn_join(
         )
         if payload_cols:
             # q×k result is tiny → broadcast it and hash-join payload back.
-            payload = corpus.select(F.col(id_col).alias("id"), *payload_cols)
-            merged = F.broadcast(merged).join(payload, "id", "left")
+            merged = F.broadcast(merged).join(
+                corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
+            )
+        return merged.select(
+            "query_id", "id", "distance", "rank", *(payload_cols or [])
+        )
+
+    if algorithm == "grid":
+        # exact block grid (operators/grid.py): same kernel math and
+        # bounded-merge shape as `partial`, but the query batch arrives
+        # through a join instead of a driver collect + broadcast — the
+        # plan for UNBOUNDED query tables (a 10M-row query side would
+        # materialize nq×dim on the driver under `partial`).
+        from vicinity_spark.operators.grid import (
+            cell_arrays,
+            corpus_blocks,
+            dense_cell_topk,
+            query_blocks,
+        )
+
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("qvec"),
+        )
+        grid = corpus_blocks(
+            corpus.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
+            "vector",
+        ).crossJoin(query_blocks(q))
+
+        def cell_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    ids, X, qids, Q = cell_arrays(pdf, i)
+                    yield dense_cell_topk(qids, ids, X.astype(np.float64), Q, metric, k)
+
+        local = grid.mapInPandas(cell_fn, _KNN_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        merged = (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
+        if payload_cols:
+            merged = F.broadcast(merged).join(
+                corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
+            )
         return merged.select(
             "query_id", "id", "distance", "rank", *(payload_cols or [])
         )
