@@ -70,6 +70,10 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.ivfpq import IVFPQStrategy
 
             strat = IVFPQStrategy(nlist=32, nprobe=8, m=8, ksub=64, refine=8)
+        elif strategy_name == "ivfsq":
+            from vicinity_spark.backends.ivfsq import IVFSQStrategy
+
+            strat = IVFSQStrategy(nlist=32, nprobe=8, refine=4)
         elif strategy_name == "graph":
             from vicinity_spark.backends.graph import GraphStrategy
 
@@ -92,6 +96,7 @@ ann_sq_batch = _ann_batch("sq")
 ann_pq_batch = _ann_batch("pq")
 ann_ivf_batch = _ann_batch("ivf")
 ann_ivfpq_batch = _ann_batch("ivfpq")
+ann_ivfsq_batch = _ann_batch("ivfsq")
 ann_graph_batch = _ann_batch("graph")
 
 
@@ -156,13 +161,14 @@ def lsh_scale_200k(spark, sf_dir):
     return lambda s, d: strat.knn(corpus, queries, k=10, metric=Metric.COSINE)
 
 
-def neardup_vectorized(spark, sf_dir):
+def neardup_inmem_sweep(spark, sf_dir):
     """Embedding near-dup pairs (same semantics as the oracle-checked
     neardup_embeddings query) with the vectorized block kernel: each
     corpus partition sweeps the corpus matrix shipped in the closure.
-    Valid only while the corpus fits in memory (exact all-pairs sweep);
-    the honest scale path is the LSH-bucketed candidate join — see
-    lsh_neardup_200k below and queries.py ann_lsh_neardup."""
+    Valid only while the corpus fits in memory (exact all-pairs sweep)
+    — benched under its own name; the HEADLINE `neardup_embeddings`
+    label times the scale-safe LSH-bucketed plan (queries.py
+    ann_lsh_neardup), which is what a 100 TB run would execute."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -203,12 +209,14 @@ BENCH = {
     "knn_cosine": Q.QUERIES["knn_cosine"],
     "knn_euclidean": Q.QUERIES["knn_euclidean"],
     "threshold_cosine": Q.QUERIES["threshold_cosine"],
-    "neardup_embeddings": neardup_vectorized,
+    "neardup_embeddings": Q.QUERIES["ann_lsh_neardup"],
+    "neardup_inmem_sweep": neardup_inmem_sweep,
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,
     "ann_sq_batch": ann_sq_batch,
     "ann_pq_batch": ann_pq_batch,
     "ann_ivfpq_batch": ann_ivfpq_batch,
+    "ann_ivfsq_batch": ann_ivfsq_batch,
     "ann_graph_batch": ann_graph_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],

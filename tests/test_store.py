@@ -13,7 +13,7 @@ from vicinity_spark.store import VectorStore
 N = 200
 DIM = 8
 
-BACKENDS = ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "graph"]
+BACKENDS = ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "ivfsq", "graph"]
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +41,8 @@ def make_store(spark, data, backend, **kw):
         params = {"m": 4, "ksub": 32, "refine": 8}  # dim 8 → 4 subspaces
     if backend == "ivfpq":
         params = {"m": 4, "ksub": 32, "refine": 8, "nlist": 8, "nprobe": 8}
+    if backend == "ivfsq":
+        params = {"refine": 8, "nlist": 8, "nprobe": 8}
     if backend == "graph":
         params = {"k_build": 12, "iters": 2, "beam": 48, "expansions": 3}
     params.update(kw)
@@ -83,7 +85,7 @@ def test_query_threshold(store, data):
     assert all(d <= 0.7 for _, d in res[0])
 
 
-@pytest.mark.parametrize("backend", ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "graph"])
+@pytest.mark.parametrize("backend", BACKENDS)
 def test_insert_then_query_finds_item(spark, data, backend):
     vectors, items, qvec = data
     store = make_store(spark, data, backend)
@@ -183,7 +185,7 @@ def test_evaluate_exact_recall_one(spark, data):
     assert recall == pytest.approx(1.0)  # exact path IS the ground truth
 
 
-@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq", "ivfpq", "graph"])
+@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq", "ivfpq", "ivfsq", "graph"])
 def test_evaluate_ann_recall_floor(spark, data, backend):
     vectors, _, _ = data
     store = make_store(spark, data, backend)
@@ -201,6 +203,12 @@ def test_evaluate_rejects_manhattan(spark, data):
     )
     with pytest.raises(ValueError):
         store.evaluate(vectors[:5])  # vicinity.py:350-360
+
+
+def test_ivfsq_alias():
+    # faiss's `ivf_scalar` index type maps onto the IVF-SQ composite
+    assert Backend.from_string("ivf_scalar") == Backend.IVFSQ
+    assert Backend.from_string("ivfsq") == Backend.IVFSQ
 
 
 def test_graph_backend_aliases():

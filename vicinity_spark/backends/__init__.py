@@ -32,6 +32,7 @@ def _register_builtin() -> None:
     from vicinity_spark.backends.ivf import IVFStrategy
     from vicinity_spark.backends.lsh import LSHStrategy
     from vicinity_spark.backends.ivfpq import IVFPQStrategy
+    from vicinity_spark.backends.ivfsq import IVFSQStrategy
     from vicinity_spark.backends.pq import PQStrategy
     from vicinity_spark.backends.sq import SQStrategy
 
@@ -40,6 +41,7 @@ def _register_builtin() -> None:
     _REGISTRY.setdefault(Backend.SQ, SQStrategy)
     _REGISTRY.setdefault(Backend.PQ, PQStrategy)
     _REGISTRY.setdefault(Backend.IVFPQ, IVFPQStrategy)
+    _REGISTRY.setdefault(Backend.IVFSQ, IVFSQStrategy)
     _REGISTRY.setdefault(Backend.GRAPH, GraphStrategy)
 
 

@@ -66,6 +66,7 @@ class Backend(str, Enum):
     SQ = "sq"  # scalar-quantized codes + exact re-rank plan
     PQ = "pq"  # product-quantized codes + ADC lookup plan
     IVFPQ = "ivfpq"  # KMeans inverted lists + PQ codes (ADC within probed lists)
+    IVFSQ = "ivfsq"  # KMeans inverted lists + SQ8 codes (faiss `ivf_scalar`)
     GRAPH = "graph"  # NN-descent k-NN graph + batched beam-expansion search
 
     @classmethod
@@ -88,7 +89,8 @@ class Backend(str, Enum):
                 "pqr": cls.PQ,
                 "ivfpq": cls.IVFPQ,
                 "ivfpqr": cls.IVFPQ,
-                "ivf_scalar": cls.IVFPQ,
+                "ivfsq": cls.IVFSQ,
+                "ivf_scalar": cls.IVFSQ,
                 "ivf": cls.IVF,
                 "faiss": cls.IVF,
                 # graph-ANN backends → the NN-descent graph strategy

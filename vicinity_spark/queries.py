@@ -405,6 +405,16 @@ def _ivfpq_strategy():
     return IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24, residual=False)
 
 
+def _ivfsq_strategy():
+    """IVF-SQ composite (backends/ivfsq.py — FAISS `ivf_scalar` analog,
+    faiss.py:103-104): cluster-pruned scan over SQ8 codes, nprobe <
+    nlist so the prune is live while refine keeps recall 1.0 at the
+    oracle scales."""
+    from vicinity_spark.backends.ivfsq import IVFSQStrategy
+
+    return IVFSQStrategy(nlist=8, nprobe=7, refine=8)
+
+
 def _graph_strategy():
     """NN-descent graph + batched beam expansion (backends/graph.py —
     the hnsw/pynndescent/usearch/voyager family, SURVEY §2.3 B3-B7)."""
@@ -419,6 +429,7 @@ for _name, _mk in [
     ("ann_sq_knn", _sq_strategy),
     ("ann_pq_knn", _pq_strategy),
     ("ann_ivfpq_knn", _ivfpq_strategy),
+    ("ann_ivfsq_knn", _ivfsq_strategy),
     ("ann_graph_knn", _graph_strategy),
 ]:
     register(_name, _knn_sql("cosine"))(_ann_entry(_mk))
