@@ -242,3 +242,40 @@ def test_pq_paths_never_collect_query_table(spark, monkeypatch):
         top = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
         hits = sum(1 for q, i in top.items() if q == i)
         assert hits >= 18
+
+
+def test_lsh_sparse_plane_family(spark):
+    """The sparse ±1 projection family (Achlioptas-style): each plane
+    has exactly one +1 and one -1 coordinate, buckets are deterministic
+    across rebuilds, and self-queries still find themselves (every row
+    collides with itself in every table)."""
+    import numpy as np
+
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(n_tables=6, n_bits=8, plane_family="sparse", means=[0.0] * 16)
+    P = strat._planes(16)
+    assert P.shape == (6, 8, 16)
+    assert ((P == 1.0).sum(axis=2) == 1).all()
+    assert ((P == -1.0).sum(axis=2) == 1).all()
+    assert ((P != 0.0).sum(axis=2) == 2).all()
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((200, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)], "id long, vector array<float>"
+    )
+    built = strat.build(corpus, Metric.COSINE, 16)
+    rebuilt = LSHStrategy(n_tables=6, n_bits=8, plane_family="sparse", means=[0.0] * 16).build(
+        corpus, Metric.COSINE, 16
+    )
+    a = {r["id"]: r["__buckets"] for r in built.collect()}
+    b = {r["id"]: r["__buckets"] for r in rebuilt.collect()}
+    assert a == b
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)], "query_id long, qvec array<float>"
+    )
+    got = strat.knn(built, queries, k=3, metric=Metric.COSINE).collect()
+    top = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    assert all(top[q] == q for q in range(10))

@@ -39,6 +39,17 @@ _MOD = (1 << 61) - 1
 _PRIME = 1_000_003
 
 
+def _sparse_pairs(L: int, B: int, dim: int, seed: int):
+    """(a, b) coordinate index matrices, shape (L, B), a != b — the
+    nonzero coordinates of the sparse ±1 projection planes. Seeded and
+    shared with the SQL oracle generator (queries.py), which embeds the
+    same indices as literals."""
+    rng = np.random.default_rng(seed + 3)
+    a = rng.integers(0, dim, size=(L, B))
+    step = rng.integers(1, dim, size=(L, B))
+    return a, (a + step) % dim
+
+
 class LSHStrategy(IndexStrategy):
     backend = Backend.LSH
     exact = False
@@ -54,8 +65,22 @@ class LSHStrategy(IndexStrategy):
 
     # ---- hashing ----------------------------------------------------
     def _planes(self, dim: int) -> np.ndarray:
+        L, B = self.params["n_tables"], self.params["n_bits"]
+        if self.params.get("plane_family") == "sparse":
+            # Achlioptas-style sparse random projections (one +1/-1
+            # coordinate pair per plane): O(1) work per bit instead of
+            # O(dim) — at 100 TB the hashing pass is a real cost, and
+            # database-friendly: each bit is a two-coordinate compare,
+            # expressible in plain SQL (the ann_recall_summary oracle
+            # replicates it bit-exactly in DuckDB)
+            a, b = _sparse_pairs(L, B, dim, self.params["seed"])
+            P = np.zeros((L, B, dim))
+            li, bi = np.meshgrid(np.arange(L), np.arange(B), indexing="ij")
+            P[li, bi, a] = 1.0
+            P[li, bi, b] = -1.0
+            return P
         rng = np.random.default_rng(self.params["seed"])
-        return rng.standard_normal((self.params["n_tables"], self.params["n_bits"], dim))
+        return rng.standard_normal((L, B, dim))
 
     def _offsets(self) -> np.ndarray:
         rng = np.random.default_rng(self.params["seed"] + 1)

@@ -13,7 +13,9 @@ Inventory map (SURVEY.md §2):
 - F4 `query_threshold` (radius) → threshold_* entries
 - similarity self-join analog   → neardup_embeddings
 - S1/S2 normalize + norms       → vector_norms, vector_stats_by_label
-- ANN strategies (LSH/IVF)      → ann_*_recall entries (rows-only)
+- ANN strategies (B2-B7)        → ann_*_knn entries (hash-checked at
+  full-recall params) + ann_recall_summary (hash-checked recall@k at
+  honest production params via the SQL-replicable sparse LSH family)
 - ★ dedup / text analysis       → dedup_*, text_* entries
 - ★ relational/data-prep breadth → q1/q3/regional/top-k/events entries
 """
@@ -433,6 +435,112 @@ for _name, _mk in [
     ("ann_graph_knn", _graph_strategy),
 ]:
     register(_name, _knn_sql("cosine"))(_ann_entry(_mk))
+
+
+# ---- production-params recall summary -------------------------------
+# The ann_*_knn entries above pin full-recall parameters so the oracle
+# can hash-check them against the exact top-k. This entry runs the LSH
+# strategy at HONEST production parameters (recall < 1 by design) and
+# emits per-query candidate counts, hit counts vs the exact top-k, and
+# recall@k — and is STILL fully hash-checkable: the sparse ±1
+# projection family (backends/lsh.py _planes) makes every bucket bit a
+# two-coordinate compare that the DuckDB oracle reproduces bit-exactly
+# from the same seeded coordinate pairs embedded as SQL literals.
+
+_RECALL_L, _RECALL_B, _RECALL_SEED, _RECALL_K = 8, 8, 42, 10
+
+
+def _recall_sql() -> str:
+    from vicinity_spark.backends.lsh import _sparse_pairs
+
+    a, b = _sparse_pairs(_RECALL_L, _RECALL_B, DIM, _RECALL_SEED)
+
+    def buckets(col: str) -> str:
+        tables = []
+        for t in range(_RECALL_L):
+            bits = " + ".join(
+                f"(CASE WHEN ({col}[{a[t, j] + 1}]::DOUBLE - {col}[{b[t, j] + 1}]::DOUBLE)"
+                f" > 0.0 THEN {1 << j} ELSE 0 END)"
+                for j in range(_RECALL_B)
+            )
+            tables.append(f"({bits}) AS b{t}")
+        return ", ".join(tables)
+
+    on = " OR ".join(f"qb.b{t} = cb.b{t}" for t in range(_RECALL_L))
+    dist = sql_distance("cosine", "q.qv", "e.embedding", clip=False)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+cb AS (SELECT vec_id AS id, {buckets('embedding')} FROM embeddings),
+qb AS (SELECT vec_id AS query_id, {buckets('embedding')} FROM embeddings WHERE vec_id < {NQ}),
+cand AS (SELECT DISTINCT qb.query_id, cb.id FROM qb JOIN cb ON ({on})),
+annd AS (
+  SELECT c.query_id, c.id, {dist} AS d
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.query_id = c.query_id
+),
+annk AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS r FROM annd
+  ) WHERE r <= {_RECALL_K}
+),
+exd AS (SELECT q.query_id, e.vec_id AS id, {dist} AS d FROM q CROSS JOIN embeddings e),
+exk AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS r FROM exd
+  ) WHERE r <= {_RECALL_K}
+),
+nc AS (SELECT query_id, count(*) AS n FROM cand GROUP BY query_id),
+h AS (
+  SELECT a.query_id, count(*) AS n
+  FROM annk a JOIN exk x ON a.query_id = x.query_id AND a.id = x.id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(nc.n, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS hits,
+       round(coalesce(h.n, 0) / {_RECALL_K}.0, 6) AS recall
+FROM q LEFT JOIN nc ON nc.query_id = q.query_id LEFT JOIN h ON h.query_id = q.query_id
+"""
+
+
+@register("ann_recall_summary", _recall_sql())
+def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH plan at production parameters
+    (F15 `evaluate` methodology, vicinity.py:328-393, as a DataFrame
+    program): candidate counts, exact-top-k hits, recall — everything
+    downstream a pipeline needs to monitor ANN quality at scale."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = LSHStrategy(
+        n_tables=_RECALL_L,
+        n_bits=_RECALL_B,
+        seed=_RECALL_SEED,
+        plane_family="sparse",
+        means=[0.0] * DIM,
+    )
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    queries = _emb_queries(spark, sf_dir)
+    cand = strat._candidates(corpus, queries, Metric.COSINE)
+    ann = strat.knn(corpus, queries, k=_RECALL_K, metric=Metric.COSINE).select("query_id", "id")
+    exact = knn_join(
+        corpus.select("id", "vector"), queries, k=_RECALL_K,
+        metric="cosine", algorithm="window", dim=DIM,
+    ).select("query_id", "id")
+    hits = ann.join(exact, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        queries.select("query_id")
+        .join(nc, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / float(_RECALL_K), 6).alias("recall"),
+        )
+    )
 
 
 # ---- dedup suite (★ training-data pipeline) -------------------------
