@@ -270,3 +270,39 @@ def test_ivf_save_partitions_inverted_lists(spark, data, tmp_path):
     # and query results are unchanged by the partitioned layout
     _, _, qvec = data
     assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
+
+
+def test_lsh_save_partitions_posting_lists(spark, data, tmp_path):
+    """LSH stores persist an exploded posting-list layout partitioned
+    by a bounded bucket-group key; reloaded probing joins it with
+    dynamic partition pruning (whole __pg= dirs skipped), and results
+    are unchanged. insert() invalidates the stale postings."""
+    import os
+
+    from vicinity_spark.datatypes import Metric
+
+    _, _, qvec = data
+    store = make_store(spark, data, "lsh")
+    path = str(tmp_path / "lsh_part")
+    store.save(path)
+    subdirs = [
+        d for d in os.listdir(os.path.join(path, "postings.parquet")) if d.startswith("__pg=")
+    ]
+    assert len(subdirs) >= 2, subdirs
+    loaded = VectorStore.load(path, spark)
+    assert loaded.strategy._postings is not None
+    assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in qvec])], "query_id long, qvec array<float>"
+    )
+    cand = loaded.strategy._candidates(loaded.df, qdf, Metric.COSINE)
+    cand.count()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "dynamicpruning" in pf[1][:200], plan[:2000]
+    # appended rows are not in the persisted postings: insert must fall
+    # back to the corpus-explode path and still find the new row
+    loaded.insert(["fresh"], qvec)
+    assert loaded.strategy._postings is None
+    res = loaded.query(qvec, k=3)
+    assert "fresh" in [it for it, _ in res[0]]

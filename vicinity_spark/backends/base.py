@@ -60,8 +60,9 @@ class IndexStrategy:
     ) -> DataFrame:
         raise NotImplementedError
 
-    # persistence of strategy state (e.g. fitted MLlib models) --------
-    def save_extra(self, path: str) -> None:
+    # persistence of strategy state (e.g. fitted MLlib models, derived
+    # index layouts such as LSH posting lists) ------------------------
+    def save_extra(self, path: str, df: Optional[DataFrame] = None) -> None:
         pass
 
     def load_extra(self, path: str, spark) -> None:

@@ -35,8 +35,17 @@ from vicinity_spark.datatypes import Backend, Metric
 from vicinity_spark.functions.metrics import clip_distance
 
 BUCKETS_COL = "__buckets"
+POSTINGS_DIR = "postings.parquet"
+_N_PGROUPS = 64  # bounded partition-dir count for the postings layout
 _MOD = (1 << 61) - 1
 _PRIME = 1_000_003
+
+
+def _pgroup_col():
+    """Bounded bucket-group partition key for the postings layout:
+    deterministic over (table, bucket), so the probe side recomputes it
+    and the probe join becomes a dynamic-partition-pruned file scan."""
+    return F.pmod(F.xxhash64("table", "bucket"), F.lit(_N_PGROUPS)).cast("int")
 
 
 def _sparse_pairs(L: int, B: int, dim: int, seed: int):
@@ -48,6 +57,70 @@ def _sparse_pairs(L: int, B: int, dim: int, seed: int):
     a = rng.integers(0, dim, size=(L, B))
     step = rng.integers(1, dim, size=(L, B))
     return a, (a + step) % dim
+
+
+def _planes_np(params: dict, dim: int) -> np.ndarray:
+    L, B = params["n_tables"], params["n_bits"]
+    if params.get("plane_family") == "sparse":
+        # Achlioptas-style sparse random projections (one +1/-1
+        # coordinate pair per plane): O(1) work per bit instead of
+        # O(dim) — at 100 TB the hashing pass is a real cost, and
+        # database-friendly: each bit is a two-coordinate compare,
+        # expressible in plain SQL (the ann_recall_summary oracle
+        # replicates it bit-exactly in DuckDB)
+        a, b = _sparse_pairs(L, B, dim, params["seed"])
+        P = np.zeros((L, B, dim))
+        li, bi = np.meshgrid(np.arange(L), np.arange(B), indexing="ij")
+        P[li, bi, a] = 1.0
+        P[li, bi, b] = -1.0
+        return P
+    rng = np.random.default_rng(params["seed"])
+    return rng.standard_normal((L, B, dim))
+
+
+def _offsets_np(params: dict) -> np.ndarray:
+    rng = np.random.default_rng(params["seed"] + 1)
+    w = params["bucket_width"]
+    return rng.uniform(0.0, w, (params["n_tables"], params["n_bits"]))
+
+
+def _sampled_coords_np(params: dict, dim: int) -> np.ndarray:
+    """(L, B) coordinate indices for bit-sampling (Hamming LSH)."""
+    rng = np.random.default_rng(params["seed"] + 2)
+    return rng.integers(0, dim, size=(params["n_tables"], params["n_bits"]))
+
+
+def _bucket_matrix_np(params: dict, X: np.ndarray, metric: Metric) -> np.ndarray:
+    """(n, L) int64 bucket ids."""
+    L, B = params["n_tables"], params["n_bits"]
+    if metric in (Metric.HAMMING, Metric.TANIMOTO):
+        # bit-sampling on the RAW (binary-ish) coordinates: two
+        # vectors within Hamming radius r collide on a table with
+        # prob (1 - r/dim)^B — no centering, no projections
+        coords = _sampled_coords_np(params, X.shape[1])
+        bits = (X[:, coords] > 0).astype(np.int64)  # n × L × B
+        weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
+        return (bits * weights).sum(axis=2)
+    planes = _planes_np(params, X.shape[1])
+    means = params.get("means")
+    if means is not None:
+        # mean-centering before sign hashing: without it, corpora
+        # that live in one orthant (e.g. all-positive features) hash
+        # into a handful of buckets and candidate sets explode
+        X = X - np.asarray(means, dtype=np.float64)[None, :]
+    proj = np.einsum("nd,lbd->nlb", X, planes)  # n × L × B
+    if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED, Metric.MANHATTAN):
+        w = params["bucket_width"]
+        h = np.floor((proj + _offsets_np(params)[None, :, :]) / w).astype(np.int64)
+        # polynomial combine per table, mod a Mersenne prime
+        out = np.zeros((X.shape[0], L), dtype=np.int64)
+        for b in range(B):
+            out = (out * _PRIME + (h[:, :, b] % _MOD)) % _MOD
+        return out
+    # sign-bit (SimHash) for cosine / inner-product / everything else
+    bits = (proj > 0).astype(np.int64)
+    weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
+    return (bits * weights).sum(axis=2)
 
 
 class LSHStrategy(IndexStrategy):
@@ -62,67 +135,25 @@ class LSHStrategy(IndexStrategy):
             seed=int(seed),
             **params,
         )
+        #: reloaded posting-list layout (save_extra/load_extra); when
+        #: present, candidate generation probes it with file-level
+        #: dynamic partition pruning instead of exploding the corpus
+        self._postings: "DataFrame | None" = None
 
-    # ---- hashing ----------------------------------------------------
+    # ---- hashing (delegates to module-level kernels so UDF closures
+    # capture only the plain params dict, never the strategy object —
+    # which may hold an unpicklable DataFrame in _postings) -----------
     def _planes(self, dim: int) -> np.ndarray:
-        L, B = self.params["n_tables"], self.params["n_bits"]
-        if self.params.get("plane_family") == "sparse":
-            # Achlioptas-style sparse random projections (one +1/-1
-            # coordinate pair per plane): O(1) work per bit instead of
-            # O(dim) — at 100 TB the hashing pass is a real cost, and
-            # database-friendly: each bit is a two-coordinate compare,
-            # expressible in plain SQL (the ann_recall_summary oracle
-            # replicates it bit-exactly in DuckDB)
-            a, b = _sparse_pairs(L, B, dim, self.params["seed"])
-            P = np.zeros((L, B, dim))
-            li, bi = np.meshgrid(np.arange(L), np.arange(B), indexing="ij")
-            P[li, bi, a] = 1.0
-            P[li, bi, b] = -1.0
-            return P
-        rng = np.random.default_rng(self.params["seed"])
-        return rng.standard_normal((L, B, dim))
+        return _planes_np(self.params, dim)
 
     def _offsets(self) -> np.ndarray:
-        rng = np.random.default_rng(self.params["seed"] + 1)
-        w = self.params["bucket_width"]
-        return rng.uniform(0.0, w, (self.params["n_tables"], self.params["n_bits"]))
+        return _offsets_np(self.params)
 
     def _sampled_coords(self, dim: int) -> np.ndarray:
-        """(L, B) coordinate indices for bit-sampling (Hamming LSH)."""
-        rng = np.random.default_rng(self.params["seed"] + 2)
-        return rng.integers(0, dim, size=(self.params["n_tables"], self.params["n_bits"]))
+        return _sampled_coords_np(self.params, dim)
 
     def _bucket_matrix(self, X: np.ndarray, metric: Metric) -> np.ndarray:
-        """(n, L) int64 bucket ids."""
-        L, B = self.params["n_tables"], self.params["n_bits"]
-        if metric in (Metric.HAMMING, Metric.TANIMOTO):
-            # bit-sampling on the RAW (binary-ish) coordinates: two
-            # vectors within Hamming radius r collide on a table with
-            # prob (1 - r/dim)^B — no centering, no projections
-            coords = self._sampled_coords(X.shape[1])
-            bits = (X[:, coords] > 0).astype(np.int64)  # n × L × B
-            weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
-            return (bits * weights).sum(axis=2)
-        planes = self._planes(X.shape[1])
-        means = self.params.get("means")
-        if means is not None:
-            # mean-centering before sign hashing: without it, corpora
-            # that live in one orthant (e.g. all-positive features) hash
-            # into a handful of buckets and candidate sets explode
-            X = X - np.asarray(means, dtype=np.float64)[None, :]
-        proj = np.einsum("nd,lbd->nlb", X, planes)  # n × L × B
-        if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED, Metric.MANHATTAN):
-            w = self.params["bucket_width"]
-            h = np.floor((proj + self._offsets()[None, :, :]) / w).astype(np.int64)
-            # polynomial combine per table, mod a Mersenne prime
-            out = np.zeros((X.shape[0], L), dtype=np.int64)
-            for b in range(B):
-                out = (out * _PRIME + (h[:, :, b] % _MOD)) % _MOD
-            return out
-        # sign-bit (SimHash) for cosine / inner-product / everything else
-        bits = (proj > 0).astype(np.int64)
-        weights = (1 << np.arange(B, dtype=np.int64))[None, None, :]
-        return (bits * weights).sum(axis=2)
+        return _bucket_matrix_np(self.params, X, metric)
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
@@ -133,26 +164,56 @@ class LSHStrategy(IndexStrategy):
             from vicinity_spark.functions.stats import vector_stats
 
             self.params["means"] = [float(m) for m in vector_stats(df, "vector").mean]
-        strat = self
+        params = dict(self.params)
 
         @F.pandas_udf(ArrayType(LongType()))
         def bucketize(v: pd.Series) -> pd.Series:
             X = np.vstack(v.to_numpy()).astype(np.float64)
-            M = strat._bucket_matrix(X, metric)
+            M = _bucket_matrix_np(params, X, metric)
             return pd.Series(list(M))
 
         return df.withColumn(BUCKETS_COL, bucketize(F.col("vector")))
+
+    def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
+        # appended rows are not in the persisted posting lists — drop
+        # back to the corpus-explode path so candidates are never lost
+        self._postings = None
+        return self.build(new_df, metric, dim)
+
+    # ---- persistence -------------------------------------------------
+    def save_extra(self, path: str, df: Optional[DataFrame] = None) -> None:
+        """Write the exploded posting-list layout (id, table, bucket)
+        partitioned by the bounded bucket-group key — the inverted-index
+        twin of IVF's partitionBy(__cluster) (store.py save): reload
+        probing becomes a file prune, not a corpus explode."""
+        import os
+
+        if df is None or BUCKETS_COL not in df.columns:
+            return
+        posts = df.select(
+            "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
+        ).withColumn("__pg", _pgroup_col())
+        posts.write.mode("overwrite").partitionBy("__pg").parquet(
+            os.path.join(path, POSTINGS_DIR)
+        )
+
+    def load_extra(self, path: str, spark) -> None:
+        import os
+
+        p = os.path.join(path, POSTINGS_DIR)
+        if os.path.isdir(p):
+            self._postings = spark.read.parquet(p)
 
     # ---- query plans ------------------------------------------------
     def _probe_df(self, queries: DataFrame, metric: Metric) -> DataFrame:
         """(query_id, table, bucket) probes — hashed executor-side with
         the same Arrow-vectorized kernel as build (no driver roundtrip)."""
-        strat = self
+        params = dict(self.params)
 
         @F.pandas_udf(ArrayType(LongType()))
         def bucketize(v: pd.Series) -> pd.Series:
             X = np.vstack(v.to_numpy()).astype(np.float64)
-            return pd.Series(list(strat._bucket_matrix(X, metric)))
+            return pd.Series(list(_bucket_matrix_np(params, X, metric)))
 
         return queries.select(
             "query_id", F.posexplode(bucketize(F.col("qvec"))).alias("table", "bucket")
@@ -160,6 +221,26 @@ class LSHStrategy(IndexStrategy):
 
     def _candidates(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:
         probe = self._probe_df(queries, metric)
+        if self._postings is not None:
+            # posting-list path (reloaded stores): the probe equi-join
+            # carries the partition key, so the broadcast join prunes
+            # whole __pg= parquet directories (dynamic partition
+            # pruning) — at 100 TB the probe reads ~probed/64 of the
+            # postings files instead of re-exploding the corpus.
+            # Postings may be stale w.r.t. delete() (extra ids are
+            # dropped by the downstream corpus join); insert()
+            # invalidates them (on_insert) so candidates are never lost.
+            # the (true-by-construction) range predicate on the probe
+            # side is what lets Catalyst's PartitionPruning rule judge
+            # the broadcast side selective and insert the DPP subquery
+            probe = probe.withColumn("__pg", _pgroup_col()).where(
+                (F.col("table") >= 0) & (F.col("table") < F.lit(self.params["n_tables"]))
+            )
+            return (
+                self._postings.join(F.broadcast(probe), ["__pg", "table", "bucket"])
+                .select("query_id", "id")
+                .distinct()
+            )
         exploded = corpus.select(
             "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )

@@ -320,7 +320,7 @@ class VectorStore:
         }
         with open(os.path.join(folder, META_FILE), "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
-        self.strategy.save_extra(folder)
+        self.strategy.save_extra(folder, self.df)
 
     @classmethod
     def load(cls, folder: str, spark: SparkSession) -> "VectorStore":
