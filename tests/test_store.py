@@ -306,3 +306,66 @@ def test_lsh_save_partitions_posting_lists(spark, data, tmp_path):
     assert loaded.strategy._postings is None
     res = loaded.query(qvec, k=3)
     assert "fresh" in [it for it, _ in res[0]]
+
+
+def test_hub_card_and_config_artifacts(spark, data, tmp_path):
+    """push_to_hub parity: the generated config.json + dataset card
+    match the reference's shape (integrations/huggingface.py:82-101)
+    without needing the hub client — artifacts are written locally."""
+    import json
+    import os
+
+    from vicinity_spark.sources.hub import build_dataset_card, write_hub_artifacts
+
+    store = make_store(spark, data, "basic")
+    store.metadata["source"] = "unit-test"
+    folder = str(tmp_path / "hubdir")
+    os.makedirs(folder)
+    write_hub_artifacts(store, folder, "someone/somestore")
+    with open(os.path.join(folder, "config.json")) as f:
+        config = json.load(f)
+    assert config["backend_type"] == "basic"
+    assert config["metric"] == "cosine"
+    assert config["dim"] == DIM
+    assert config["metadata"]["source"] == "unit-test"
+    with open(os.path.join(folder, "README.md")) as f:
+        card = f.read()
+    assert card == build_dataset_card("someone/somestore", N, config)
+    assert "someone/somestore" in card
+    assert f"with {N} items" in card
+    assert card.startswith("---\ntags:\n- vicinity-spark")
+    assert '"backend_type": "basic"' in card
+
+
+def test_push_to_hub_uploads_artifacts_with_mocked_client(spark, data, monkeypatch):
+    """End-to-end push_to_hub flow against a mocked huggingface_hub
+    module: create_repo + upload_folder are called, and the uploaded
+    folder contains store parquet, meta sidecar, config.json, README."""
+    import os
+    import sys
+    import types
+
+    import vicinity_spark.sources.hub as hub_mod
+
+    calls = {}
+
+    class FakeApi:
+        def __init__(self, token=None):
+            calls["token"] = token
+
+        def create_repo(self, repo_id, repo_type=None, private=False, exist_ok=False):
+            calls["create"] = (repo_id, repo_type, private)
+
+        def upload_folder(self, repo_id=None, repo_type=None, folder_path=None):
+            calls["upload"] = repo_id
+            calls["files"] = sorted(os.listdir(folder_path))
+
+    fake = types.SimpleNamespace(HfApi=FakeApi)
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+    store = make_store(spark, data, "basic")
+    url = hub_mod.push_to_hub(store, "acct/repo", private=True)
+    assert url == "https://huggingface.co/datasets/acct/repo"
+    assert calls["create"] == ("acct/repo", "dataset", True)
+    assert calls["upload"] == "acct/repo"
+    assert "config.json" in calls["files"] and "README.md" in calls["files"]
+    assert "_vicinity_meta.json" in calls["files"] and "store.parquet" in calls["files"]

@@ -34,8 +34,79 @@ def _require_hub():
         ) from e
 
 
+_CARD_TEMPLATE = """---
+tags:
+- vicinity-spark
+- vector-store
+---
+
+# Dataset Card for {repo_id}
+
+This dataset was created with vicinity_spark, a PySpark-native vector
+analytics engine (the Spark re-expression of the vicinity API).
+
+It contains a vector space with {num_items} items.
+
+## Usage
+
+```python
+from vicinity_spark.sources.hub import load_from_hub
+store = load_from_hub("{repo_id}", spark)
+store.query(vector, k=10)
+```
+
+## Configuration
+
+The store configuration is stored in `config.json`; the parquet corpus
+(including index layout columns) and the engine metadata sidecar live
+alongside it.
+
+```bash
+{config}
+```
+"""
+
+
+def build_config(store) -> dict:
+    """Hub `config.json` payload — the reference's shape
+    (integrations/huggingface.py:82-86: metadata + backend_type)."""
+    return {
+        "metadata": dict(store.metadata or {}),
+        "backend_type": store.backend_type.value,
+        "metric": store.metric.value,
+        "dim": store.dim,
+    }
+
+
+def build_dataset_card(repo_id: str, num_items: int, config: dict) -> str:
+    """Dataset-card markdown — the reference's card template
+    (integrations/dataset_card_template.md, huggingface.py:97-101)."""
+    import json
+
+    return _CARD_TEMPLATE.format(
+        repo_id=repo_id,
+        num_items=num_items,
+        config=json.dumps(config, indent=4, sort_keys=True),
+    )
+
+
+def write_hub_artifacts(store, folder: str, repo_id: str) -> None:
+    """Write `config.json` + `README.md` (dataset card) next to the
+    saved store so the uploaded folder is a self-describing Hub repo."""
+    import json
+    import os
+
+    config = build_config(store)
+    with open(os.path.join(folder, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, sort_keys=True)
+    with open(os.path.join(folder, "README.md"), "w") as f:
+        f.write(build_dataset_card(repo_id, len(store), config))
+
+
 def push_to_hub(store, repo_id: str, token: Optional[str] = None, private: bool = False):
-    """Publish a saved VectorStore folder as a Hub dataset repo."""
+    """Publish a saved VectorStore folder as a Hub dataset repo, with
+    the dataset card + config.json the reference generates
+    (integrations/huggingface.py:66-101)."""
     import tempfile
 
     hub = _require_hub()
@@ -43,6 +114,7 @@ def push_to_hub(store, repo_id: str, token: Optional[str] = None, private: bool 
     api.create_repo(repo_id, repo_type="dataset", private=private, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         store.save(tmp, overwrite=True)
+        write_hub_artifacts(store, tmp, repo_id)
         api.upload_folder(repo_id=repo_id, repo_type="dataset", folder_path=tmp)
     return f"https://huggingface.co/datasets/{repo_id}"
 
