@@ -74,6 +74,12 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.ivfsq import IVFSQStrategy
 
             strat = IVFSQStrategy(nlist=32, nprobe=8, refine=4)
+        elif strategy_name == "ivfpqr":
+            from vicinity_spark.backends.ivfpq import IVFPQStrategy
+
+            # faiss ivfpqr: re-rank from refinement codes, no
+            # full-width re-scan of true vectors
+            strat = IVFPQStrategy(nlist=32, nprobe=8, m=8, ksub=64, refine=8, refine_m=16)
         elif strategy_name == "graph":
             from vicinity_spark.backends.graph import GraphStrategy
 
@@ -97,6 +103,7 @@ ann_pq_batch = _ann_batch("pq")
 ann_ivf_batch = _ann_batch("ivf")
 ann_ivfpq_batch = _ann_batch("ivfpq")
 ann_ivfsq_batch = _ann_batch("ivfsq")
+ann_ivfpqr_batch = _ann_batch("ivfpqr")
 ann_graph_batch = _ann_batch("graph")
 
 
@@ -217,6 +224,7 @@ BENCH = {
     "ann_pq_batch": ann_pq_batch,
     "ann_ivfpq_batch": ann_ivfpq_batch,
     "ann_ivfsq_batch": ann_ivfsq_batch,
+    "ann_ivfpqr_batch": ann_ivfpqr_batch,
     "ann_graph_batch": ann_graph_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
     "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],

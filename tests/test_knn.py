@@ -279,3 +279,47 @@ def test_lsh_sparse_plane_family(spark):
     got = strat.knn(built, queries, k=3, metric=Metric.COSINE).collect()
     top = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
     assert all(top[q] == q for q in range(10))
+
+
+def test_ivfpqr_refinement_code_rerank(spark, tmp_path):
+    """refine_m > 0 = the FAISS ivfpqr trade (faiss.py:111-113):
+    candidates re-rank from centroid + PQ + refinement-PQ codes, never
+    re-reading true vectors. Layout carries __rcode, recall holds a
+    floor, self-queries win rank 1, and rbooks round-trip via params."""
+    import numpy as np
+
+    from vicinity_spark.backends.ivfpq import IVFPQStrategy
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    X = rng.standard_normal((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], "id long, vector array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(15)],
+        "query_id long, qvec array<float>",
+    )
+    strat = IVFPQStrategy(nlist=8, nprobe=8, m=4, ksub=64, refine=16, refine_m=8)
+    built = strat.build(corpus, Metric.COSINE, dim).cache()
+    built.count()
+    assert "__rcode" in built.columns
+    got = strat.knn(built, queries, k=5, metric=Metric.COSINE).collect()
+    exact = knn_join(corpus, queries, k=5, metric="cosine", algorithm="window").collect()
+    es = {(r["query_id"], r["id"]) for r in exact}
+    gs = {(r["query_id"], r["id"]) for r in got}
+    assert len(gs & es) / len(es) >= 0.8
+    top = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    assert sum(1 for q, i in top.items() if q == i) >= 14
+    # rbooks are plain params: a rebuilt strategy from to_params encodes
+    # appended rows identically (train-once, add-many)
+    params = strat.to_params()
+    clone = IVFPQStrategy(**params)
+    extra = spark.createDataFrame(
+        [(n, [float(x) for x in X[0]])], "id long, vector array<float>"
+    )
+    enc = clone.on_insert(extra, Metric.COSINE, dim).collect()[0]
+    assert enc["__rcode"] is not None and len(enc["__rcode"]) == 8
+    built.unpersist()

@@ -45,16 +45,38 @@ from vicinity_spark.operators.knn import _KNN_SCHEMA
 
 _RESIDUAL_METRICS = (Metric.COSINE, Metric.EUCLIDEAN, Metric.L2_SQUARED)
 
+RCODE_COL = "__rcode"
+
 
 class IVFPQStrategy(PQStrategy):
     backend = Backend.IVFPQ
     exact = False
 
-    def __init__(self, nlist: int = 32, nprobe: int = 4, residual: bool = True, centroids=None, **params):
+    def __init__(
+        self,
+        nlist: int = 32,
+        nprobe: int = 4,
+        residual: bool = True,
+        centroids=None,
+        refine_m: int = 0,
+        rbooks=None,
+        **params,
+    ):
+        """refine_m > 0 enables the FAISS `ivfpqr` re-rank
+        (faiss.py:111-113, IndexIVFPQR): a second, finer product
+        quantizer encodes the residual left AFTER the primary PQ
+        reconstruction, and the candidate re-rank reconstructs x̂ ≈
+        centroid + decode(pqcode) + decode(rcode) from codes alone —
+        m + refine_m bytes per candidate row instead of a dim×4-byte
+        second scan of the true vectors. refine_m == 0 (default) keeps
+        the exact-vector re-rank: higher fidelity, but at 100 TB it
+        re-reads the full-width vector column for the candidate set."""
         super().__init__(centroids=centroids, **params)
         self.params["nlist"] = int(nlist)
         self.params["nprobe"] = int(nprobe)
         self.params["residual"] = bool(residual)
+        self.params["refine_m"] = int(refine_m)
+        self.params["rbooks"] = rbooks
         self._ivf = IVFStrategy(
             nlist=int(nlist), nprobe=int(nprobe), seed=self.params["seed"], centroids=centroids
         )
@@ -136,7 +158,144 @@ class IVFPQStrategy(PQStrategy):
                 [[float(x) for x in c] for c in b[:ksub]] for b in books
             ]
         enc = self._residual_encode_kernel()
-        return out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL))).drop("__tvec")
+        out = out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL)))
+        if self.params["refine_m"]:
+            out = self._add_refinement_codes(out, dim)
+        return out.drop("__tvec")
+
+    # ---- ivfpqr refinement codes (faiss.py:111-113) ------------------
+    def _decode_primary(self, cl: np.ndarray, code1: np.ndarray) -> np.ndarray:
+        """x̂₁ = centroid + primary-PQ decode of the residual codes."""
+        books = self._codebooks()
+        C = np.asarray(self.params["centroids"], dtype=np.float64)
+        m = self.params["m"]
+        dsub = C.shape[1] // m
+        recon = C[cl.astype(int)].copy()
+        for j in range(m):
+            recon[:, j * dsub : (j + 1) * dsub] += books[j][code1[:, j]]
+        return recon
+
+    def _rbooks(self) -> np.ndarray:
+        return np.asarray(self.params["rbooks"], dtype=np.float64)
+
+    def _add_refinement_codes(self, out: DataFrame, dim: int) -> DataFrame:
+        """Train the refinement quantizer on the residual-of-residual
+        (x_t − x̂₁) and encode `__rcode` — the IndexIVFPQR layout."""
+        rm = self.params["refine_m"]
+        if dim % rm != 0:
+            raise ValueError(f"dim {dim} not divisible by refine_m={rm} subspaces")
+        if self.params.get("rbooks") is None:
+            n = out.count()
+            frac = min(1.0, self.params["train_sample"] / max(n, 1))
+            sample = out.select("__tvec", CLUSTER_COL, CODE_COL).sample(
+                fraction=frac, seed=self.params["seed"] + 101
+            ).toPandas()
+            S = np.vstack(sample["__tvec"].to_numpy()).astype(np.float64)
+            cl = sample[CLUSTER_COL].to_numpy()
+            c1 = np.vstack(sample[CODE_COL].to_numpy()).astype(np.int64)
+            R2 = S - self._decode_primary(cl, c1)
+            rdsub = dim // rm
+            rbooks = [
+                _kmeans_np(
+                    R2[:, j * rdsub : (j + 1) * rdsub],
+                    self.params["ksub"],
+                    self.params["seed"] + 1000 + j,
+                )
+                for j in range(rm)
+            ]
+            ksub = min(self.params["ksub"], min(len(b) for b in rbooks))
+            self.params["rbooks"] = [
+                [[float(x) for x in c] for c in b[:ksub]] for b in rbooks
+            ]
+        strat = self
+        rm_ = rm
+        rbooks = self._rbooks()
+
+        @F.pandas_udf(ArrayType(ShortType()))
+        def rencode(tv: pd.Series, cl: pd.Series, c1: pd.Series) -> pd.Series:
+            X = np.vstack(tv.to_numpy()).astype(np.float64)
+            code1 = np.vstack(c1.to_numpy()).astype(np.int64)
+            R2 = X - strat._decode_primary(cl.to_numpy(), code1)
+            rdsub = X.shape[1] // rm_
+            codes = np.empty((len(X), rm_), dtype=np.int16)
+            for j in range(rm_):
+                sub = R2[:, j * rdsub : (j + 1) * rdsub]
+                d = ((sub[:, None, :] - rbooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return out.withColumn(
+            RCODE_COL, rencode(F.col("__tvec"), F.col(CLUSTER_COL), F.col(CODE_COL))
+        )
+
+    def _recon_scored(
+        self, cand: DataFrame, corpus: DataFrame, queries: DataFrame, metric: Metric
+    ) -> DataFrame:
+        """Candidate re-rank from codes alone (the ivfpqr trade): the
+        join reads (cluster, pqcode, rcode) — m + refine_m bytes + 4 —
+        per candidate instead of the dim×4-byte true vector, and scores
+        the metric-space query against the two-stage reconstruction."""
+        from vicinity_spark.operators.knn import _np_pairwise
+
+        strat = self
+        rm = self.params["refine_m"]
+        rbooks = self._rbooks()
+
+        joined = (
+            F.broadcast(cand.select("query_id", "id"))
+            .join(corpus.select("id", CLUSTER_COL, CODE_COL, RCODE_COL), "id")
+            .join(queries.select("query_id", F.col("qvec").alias("__qvec")), "query_id")
+        )
+
+        def kernel(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                Q = np.vstack(b["__qvec"].to_numpy()).astype(np.float64)
+                Qt = strat._t_np(Q, metric)
+                cl = b[CLUSTER_COL].to_numpy()
+                code1 = np.vstack(b[CODE_COL].to_numpy()).astype(np.int64)
+                code2 = np.vstack(b[RCODE_COL].to_numpy()).astype(np.int64)
+                recon = strat._decode_primary(cl, code1)
+                rdsub = recon.shape[1] // rm
+                for j in range(rm):
+                    recon[:, j * rdsub : (j + 1) * rdsub] += rbooks[j][code2[:, j]]
+                d = _np_pairwise(metric, Qt, recon)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b["query_id"].to_numpy(),
+                        "id": b["id"].to_numpy(),
+                        "distance": d,
+                    }
+                )
+
+        return joined.mapInPandas(kernel, _KNN_SCHEMA)
+
+    def knn(self, corpus, queries, k, metric, *, payload_cols=None):
+        if not (self.params["refine_m"] and self._use_residual(metric)):
+            # refine_m on a non-residual metric falls back to the exact
+            # re-rank (no clean two-stage decomposition exists there)
+            return super().knn(corpus, queries, k, metric, payload_cols=payload_cols)
+        if k < 1:
+            raise ValueError("k must be greater than 0")
+        from pyspark.sql import Window
+
+        from vicinity_spark.functions.metrics import clip_distance
+
+        cand = self._candidates(corpus, queries, k, metric)
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        kk = max(k * self.params["refine"], k)
+        cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
+        scored = self._recon_scored(cand, corpus, queries, metric)
+        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("distance", clip_distance(F.col("distance")))
+        )
+        if payload_cols:
+            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+        return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self._ivf.params["centroids"] = self.params["centroids"]
@@ -150,7 +309,11 @@ class IVFPQStrategy(PQStrategy):
         out = self._ivf.on_insert(tdf, metric, dim)
         out = out.withColumnRenamed("vector", "__tvec").withColumnRenamed("__orig", "vector")
         enc = self._residual_encode_kernel()
-        return out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL))).drop("__tvec")
+        out = out.withColumn(CODE_COL, enc(F.col("__tvec"), F.col(CLUSTER_COL)))
+        if self.params["refine_m"]:
+            # rbooks trained at build; appended rows encode with them
+            out = self._add_refinement_codes(out, dim)
+        return out.drop("__tvec")
 
     # ---- query -------------------------------------------------------
     def _probe_sets(self, Q: np.ndarray) -> np.ndarray:
