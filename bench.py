@@ -260,8 +260,13 @@ def main():
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # drop cached indexes so entries don't contend for executor memory
+        # drop cached indexes so entries don't contend for executor
+        # memory, and nudge the JVM to actually release block-manager
+        # memory (broadcast/checkpoint blocks are only freed after their
+        # driver-side references are GC'd — without this, late entries
+        # in the suite pay earlier entries' accumulated pressure)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -277,7 +277,9 @@ class GraphStrategy(IndexStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+            # no broadcast hint: out is nq×k (scales with the query batch);
+            # AQE broadcasts it at runtime when it is actually small
+            out = out.join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(

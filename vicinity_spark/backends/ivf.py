@@ -117,7 +117,9 @@ class IVFStrategy(IndexStrategy):
         from vicinity_spark.operators.knn import score_joined
 
         probe = self._probe_df(queries)
-        joined = corpus.join(F.broadcast(probe), CLUSTER_COL)
+        # no broadcast hint: probe is nq×nprobe (scales with the query
+        # batch); AQE broadcasts it at runtime when it is actually small
+        joined = corpus.join(probe, CLUSTER_COL)
         return score_joined(joined, queries, metric)
 
     def knn(
@@ -139,7 +141,7 @@ class IVFStrategy(IndexStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+            out = out.join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(

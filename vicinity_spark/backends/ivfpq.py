@@ -242,7 +242,7 @@ class IVFPQStrategy(PQStrategy):
         rbooks = self._rbooks()
 
         joined = (
-            F.broadcast(cand.select("query_id", "id"))
+            cand.select("query_id", "id")
             .join(corpus.select("id", CLUSTER_COL, CODE_COL, RCODE_COL), "id")
             .join(queries.select("query_id", F.col("qvec").alias("__qvec")), "query_id")
         )
@@ -294,7 +294,7 @@ class IVFPQStrategy(PQStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+            out = out.join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:

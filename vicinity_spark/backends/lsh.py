@@ -245,7 +245,9 @@ class LSHStrategy(IndexStrategy):
             "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )
         return (
-            exploded.join(F.broadcast(probe), ["table", "bucket"])
+            # no broadcast hint: probe is nq×L (scales with the query
+            # batch); AQE broadcasts it at runtime when actually small
+            exploded.join(probe, ["table", "bucket"])
             .select("query_id", "id")
             .distinct()
         )
@@ -281,7 +283,7 @@ class LSHStrategy(IndexStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out.select("query_id", "id", "distance", "rank")).join(
+            out = out.select("query_id", "id", "distance", "rank").join(
                 corpus.select("id", *payload_cols), "id", "left"
             )
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))

@@ -238,7 +238,9 @@ class PQStrategy(IndexStrategy):
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
         from vicinity_spark.operators.knn import score_joined
 
-        joined = F.broadcast(cand.select("query_id", "id")).join(
+        # no broadcast hint: cand is nq×k×refine (scales with the query
+        # batch); AQE broadcasts it at runtime when it is actually small
+        joined = cand.select("query_id", "id").join(
             corpus.select("id", "vector"), "id"
         )
         exact = score_joined(joined, queries, metric)
@@ -249,7 +251,7 @@ class PQStrategy(IndexStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+            out = out.join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(

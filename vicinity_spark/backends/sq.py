@@ -125,7 +125,9 @@ class SQStrategy(IndexStrategy):
         # the shared vectorized kernel, operators/knn.py score_joined)
         from vicinity_spark.operators.knn import score_joined
 
-        joined = F.broadcast(cand.select("query_id", "id")).join(
+        # no broadcast hint: cand scales with the query batch; AQE
+        # broadcasts it at runtime when it is actually small
+        joined = cand.select("query_id", "id").join(
             corpus.select("id", "vector"), "id"
         )
         exact = score_joined(joined, queries, metric)
@@ -136,7 +138,7 @@ class SQStrategy(IndexStrategy):
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            out = F.broadcast(out).join(corpus.select("id", *payload_cols), "id", "left")
+            out = out.join(corpus.select("id", *payload_cols), "id", "left")
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def threshold(

@@ -351,7 +351,8 @@ def knn_join(
             .withColumn("distance", clip_distance(F.col("distance")))
         )
         if payload_cols:
-            merged = F.broadcast(merged).join(
+            # unbounded-query path: no broadcast hint, AQE decides
+            merged = merged.join(
                 corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
             )
         return merged.select(
