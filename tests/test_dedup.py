@@ -127,3 +127,26 @@ def test_subword_token_stats_values(spark):
     # "a" + "." + "b" = 3
     assert got[1].n_subword_tokens == 3
     assert got[2].n_subword_tokens == 0 and got[2].chars_per_token == 0.0
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Transitive dup clusters resolve to the min-id representative:
+    a chain 1-2, 2-3, 3-4 collapses to rep 1 even though (1,4) was
+    never a mined pair; disjoint clusters keep their own reps;
+    untouched ids stay their own canonical rep."""
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7), (9, 8)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8, 9: 8, 10: 10}
+    # long chain: pointer jumping must converge well inside max_iters
+    n = 64
+    ids2 = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got2 = connected_components(ids2, chain, max_iters=10)
+    assert got2.where(F.col("rep") != 0).count() == 0

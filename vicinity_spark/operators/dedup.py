@@ -279,3 +279,64 @@ def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, rep) — rep = the minimum id in each connected component of
+    the duplicate-pair graph. The last mile of every dedup pipeline:
+    pair mining (jaccard/minhash/simhash/embedding) emits edges, this
+    picks ONE canonical representative per dup cluster so the pipeline
+    can keep rep rows and drop the rest. (No reference analog —
+    vicinity stops at pairs; a training-data pipeline cannot.)
+
+    Plan: iterative min-label propagation with pointer jumping —
+    each round (a) pulls the min rep across direct neighbors (one
+    equi-join + groupBy on the edge list) and (b) replaces every rep
+    with its rep's rep (one self-join), which halves chain lengths so
+    convergence is O(log diameter) rounds, not O(diameter). Rounds are
+    localCheckpoint'ed to bound the iterative lineage; the loop exits
+    as soon as a round changes nothing. Every step is an equi-join
+    shuffle bounded by |edges| + |ids| — never all-pairs.
+    """
+    edges = pairs.select(F.col(a_col).alias("id"), F.col(b_col).alias("nbr")).unionByName(
+        pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr"))
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id")).distinct().withColumn("rep", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("nbr"), "rep"), "nbr")
+            .groupBy("id")
+            .agg(F.min("rep").alias("__nrep"))
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("rep"), F.coalesce("__nrep", F.col("rep"))).alias("rep")
+        )
+        # pointer jumping: rep <- rep(rep). Reps are always ids of the
+        # universe (min-propagation keeps least(own rep)), so the
+        # self-join below always finds the row.
+        new = (
+            new.join(
+                new.select(F.col("id").alias("rep"), F.col("rep").alias("__rr")),
+                "rep",
+            )
+            .select("id", F.col("__rr").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("rep", "__old"), "id")
+            .where(F.col("rep") != F.col("__old"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels

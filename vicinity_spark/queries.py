@@ -437,6 +437,27 @@ for _name, _mk in [
     register(_name, _knn_sql("cosine"))(_ann_entry(_mk))
 
 
+# ivfpqr: the refinement-code re-rank returns approximate distances
+# (reconstruction-based, like FAISS IndexIVFPQR) — not SQL-expressible,
+# so this entry is registered WITHOUT an oracle (driver records the
+# weaker rows-only check); quality is gated by the recall-floor test
+# (tests/test_knn.py::test_ivfpqr_refinement_code_rerank) instead.
+@register("ann_ivfpqr_knn", None)
+def ann_ivfpqr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQR (faiss.py:111-113): candidates re-ranked from refinement
+    codes alone — no full-width re-scan of true vectors."""
+    from vicinity_spark.backends.ivfpq import IVFPQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    strat = IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24, refine_m=16)
+    corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
+    res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---- production-params recall summary -------------------------------
 # The ann_*_knn entries above pin full-recall parameters so the oracle
 # can hash-check them against the exact top-k. This entry runs the LSH
@@ -661,6 +682,60 @@ def dedup_token_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     j = jaccard_pairs(token_set(d), "tok", 0.6, max_df=100)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+WITH RECURSIVE
+sh AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+)
+SELECT id AS doc_id,
+       CAST(min(rep) AS BIGINT) AS rep_id,
+       (min(rep) = id) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster canonicalization (★ the last mile of dedup): shingle
+    Jaccard pairs → connected components → one representative (min id)
+    per cluster; a pipeline keeps `is_canonical` rows. The oracle
+    computes the same transitive closure with a recursive CTE."""
+    from vicinity_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(d, n=3), "shingle", 0.5)
+    comp = connected_components(d.select(F.col("doc_id").alias("id")), pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("rep").cast("long").alias("rep_id"),
+        (F.col("id") == F.col("rep")).alias("is_canonical"),
+    )
 
 
 # ---- text analysis suite (★) ---------------------------------------
