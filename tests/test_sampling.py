@@ -1,0 +1,32 @@
+"""Deterministic split operator (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vicinity_spark.operators.sampling import hash_split, hex_threshold
+
+
+def test_hex_threshold_values():
+    assert hex_threshold(0.5) == "80000000"
+    assert hex_threshold(1.0) == "ffffffff"
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.9).startswith("e666")
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_split_deterministic_and_calibrated(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, train_fraction=0.9)
+    b = hash_split(df, train_fraction=0.9)
+    # identical routing on re-computation (no RNG anywhere)
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    frac = counts["train"] / 20_000
+    assert 0.88 < frac < 0.92, frac
+    # a different salt routes differently but stays calibrated
+    c = hash_split(df, train_fraction=0.9, salt="fold2")
+    moved = a.join(c.withColumnRenamed("split", "s2"), "doc_id").where(
+        F.col("split") != F.col("s2")
+    ).count()
+    assert moved > 0

@@ -1,0 +1,59 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A train/holdout split at 100 TB must be (a) deterministic — re-running
+the pipeline, or re-computing a lost partition under speculation,
+must route every row to the same side; (b) engine-portable — the
+split a Spark job writes is the split a downstream DuckDB/Trino
+validation job reads back. Both rule out `rand()` and engine-native
+hash functions (Spark's xxhash64 and DuckDB's hash() disagree).
+
+The split key is md5 over a salted textual id — portable across
+engines (the same trick the MinHash dedup family uses,
+operators/dedup.py:127) — compared lexicographically against a hex
+threshold: md5 hex strings are uniform, so the fraction of keys below
+threshold T equals the numeric value of T as a base-16 fraction.
+(No reference analog — vicinity has no sampling surface; a
+training-data pipeline needs one.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_key(id_col, salt: str = "split"):
+    """Portable md5 hex split key over a salted id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(salt + ":"), c.cast("string")).cast("binary"))
+
+
+def hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Hex string T with P(md5_hex < T) == round(fraction, 16^-digits):
+    the base-16 expansion of `fraction` to `digits` places."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    frac, out = fraction, []
+    for _ in range(digits):
+        frac *= 16
+        d = min(int(frac), 15)
+        out.append("0123456789abcdef"[d])
+        frac -= d
+    return "".join(out)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_fraction: float = 0.9,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic `split` column ('train' / 'holdout'). Pure
+    narrow projection — no shuffle, no RNG, stable under retries and
+    across engines."""
+    key = split_key(id_col, salt)
+    t = hex_threshold(train_fraction)
+    return df.withColumn(
+        split_col, F.when(key < F.lit(t), F.lit("train")).otherwise(F.lit("holdout"))
+    )

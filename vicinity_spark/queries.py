@@ -738,6 +738,81 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_train_split",
+    """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         md5('split:' || doc_id::VARCHAR) AS k
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN k < 'e6666666' THEN 'train' ELSE 'holdout' END AS split
+  FROM keyed
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM tagged GROUP BY split, lang
+""",
+)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable train/holdout split (★ sampling):
+    salted-md5 key vs hex threshold (operators/sampling.py hash_split)
+    — no rand(), stable under retries, identical in DuckDB. Output is
+    the per-(split, lang) audit summary a pipeline checks before
+    training."""
+    from vicinity_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"), train_fraction=0.9)
+    return d.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOK_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, tok, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT lang, tok, n, rank FROM ranked WHERE rank <= 10
+""",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 token frequencies (★ vocabulary building —
+    the counting pass behind BPE/vocab training): explode → count →
+    window top-k per language. Map-side partial aggregation keeps the
+    shuffle at |distinct (lang, tok)|, not |tokens|."""
+    from vicinity_spark.operators.textops import _toks
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_toks("text")).alias("tok")
+    )
+    counts = toks.where(F.col("tok") != "").groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("lang", "tok", "n", "rank")
+    )
+
+
 # ---- text analysis suite (★) ---------------------------------------
 
 @register(
