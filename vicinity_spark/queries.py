@@ -813,6 +813,94 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EN_STOP = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "docs_clean_pipeline",
+    f"""
+WITH RECURSIVE
+qstats AS (
+  SELECT doc_id, len({_TOK_SQL}) AS nt, len(list_distinct({_TOK_SQL})) AS nu
+  FROM documents
+),
+ltoks AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+lstats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tok IN {str(_EN_STOP)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM ltoks GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, d.text
+  FROM documents d
+  JOIN qstats q ON q.doc_id = d.doc_id
+  JOIN lstats l ON l.doc_id = d.doc_id
+  WHERE q.nt >= 20 AND q.nu::DOUBLE / q.nt::DOUBLE >= 0.3
+    AND l.en_hits::DOUBLE / l.nt::DOUBLE >= 0.05
+),
+exkeep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+surv AS (SELECT b.* FROM base b JOIN exkeep e ON e.doc_id = b.doc_id),
+sh AS ({_SHINGLE_SQL}),
+dsh AS (
+  SELECT s.doc_id, s.shingle FROM (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL) s
+  JOIN surv ON surv.doc_id = s.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+),
+canon AS (SELECT id AS doc_id, min(rep) AS rep FROM reach GROUP BY id)
+SELECT s.doc_id, s.lang, s.source
+FROM surv s JOIN canon c ON c.doc_id = s.doc_id AND c.rep = s.doc_id
+""",
+)
+def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ The composed training-data cleaning pipeline as ONE declarative
+    plan: quality filter (type-token ratio + length) → language filter
+    → exact dedup keep-first (min doc_id per md5(text)) → near-dup
+    canonicalization (shingle-Jaccard pairs → connected components →
+    keep the min-id representative). Survivors only — what a corpus
+    build would actually write. Every stage is an equi-join/groupBy
+    shape; Catalyst fuses the filters into the scans."""
+    from vicinity_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        shingles,
+    )
+    from vicinity_spark.operators.textops import langid_scores, quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_scores(d).where(F.col("quality_pass") == 1).select("doc_id")
+    l = langid_scores(d).where(F.col("predicted_lang") == "en").select("doc_id")
+    base = d.join(q, "doc_id").join(l, "doc_id")
+    exkeep = base.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = base.join(exkeep, "doc_id")
+    pairs = jaccard_pairs(shingles(surv), "shingle", 0.5)
+    comp = connected_components(surv.select(F.col("doc_id").alias("id")), pairs)
+    canon = comp.where(F.col("id") == F.col("rep")).select(F.col("id").alias("doc_id"))
+    return surv.join(canon, "doc_id").select("doc_id", "lang", "source")
+
+
 # ---- text analysis suite (★) ---------------------------------------
 
 @register(
@@ -877,9 +965,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vicinity_spark.operators.textops import quality_scores
 
     return quality_scores(_t(spark, sf_dir, "documents"))
-
-
-_EN_STOP = ("the", "a", "of", "and", "to")
 
 
 @register(
