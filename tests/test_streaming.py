@@ -223,3 +223,50 @@ def test_sessionize_late_event_does_not_regress_session(spark, tmp_path):
     assert r["session_end"] == at(50)  # NOT dragged back to 35
     assert r["n_events"] == 3
     assert r["total_value"] == pytest.approx(7.0)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: duplicate texts across micro-batch files
+    collapse to first-seen; distinct texts all survive."""
+    import datetime as dt
+
+    from pyspark.sql.types import StringType, TimestampType
+
+    from vicinity_spark.streaming.dedup import stream_exact_dedup
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "docs_src"
+    rows = [
+        (1, "alpha beta", t0),
+        (2, "gamma delta", t0 + dt.timedelta(minutes=1)),
+        (3, "alpha beta", t0 + dt.timedelta(minutes=2)),  # dup of 1
+        (4, "epsilon", t0 + dt.timedelta(minutes=3)),
+        (5, "gamma delta", t0 + dt.timedelta(minutes=4)),  # dup of 2
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = stream_exact_dedup(stream, ts_col="ts", watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from dedup_docs").collect()
+    texts = sorted(r.text for r in res)
+    assert texts == ["alpha beta", "epsilon", "gamma delta"]
+    assert "__dedup_key" not in spark.sql("select * from dedup_docs").columns
+    # stateless twin for finite backfills
+    batch = spark.createDataFrame(rows, schema)
+    got = stream_exact_dedup(batch.drop("ts")).count()
+    assert got == 3

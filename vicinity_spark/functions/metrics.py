@@ -236,7 +236,18 @@ def distance_expr(
     chain that stays in whole-stage codegen (same IEEE result as the
     HOF fold — see _chain_sum). When both operands are plain column
     names, the chain is parsed from one SQL string (single py4j call —
-    see _distance_sql) instead of ~1000 Column-API roundtrips."""
+    see _distance_sql) instead of ~1000 Column-API roundtrips.
+
+    Known limit: at dim ≳ 48 the cosine/tanimoto chains (~6·dim
+    arithmetic nodes) exceed the JVM's 64 KB-per-method bytecode cap,
+    so whole-stage codegen falls back to non-fused operators for that
+    stage ("Code grows beyond 64 KB" warning; results unchanged). The
+    chain cannot be split into sub-sums without re-associating the
+    IEEE order the DuckDB oracle replicates, so the trade is kept:
+    these JVM-expression kernels serve the bounded exact paths
+    (facade query/threshold, oracle entries), while every scale path
+    (partial/grid k-NN, all ANN strategies) scores in Arrow-vectorized
+    numpy kernels that codegen never sees."""
     m = Metric.from_string(metric)
     if dim and isinstance(a, str) and isinstance(b, str):
         return F.expr(_distance_sql(m, a, b, dim))
