@@ -90,3 +90,36 @@ def test_partial_topk_shuffle_is_bounded(spark, corpus_df, queries_df):
     # rows), not the raw cross product: no join at all in this plan
     assert "MapInPandas" in s
     assert "CartesianProduct" not in s and "Join" not in s.replace("MapInPandas", "")
+
+
+def test_connected_components_rounds_are_equijoins(spark):
+    from vicinity_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long")
+    df = connected_components(ids, pairs, max_iters=3)
+    s = explain_str(df, "simple")
+    # label propagation must shuffle on keys, never enumerate pairs
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_train_split_is_narrow(spark):
+    """hash_split adds a projection only: no shuffle (Exchange), no
+    join, no RNG — the property that makes it retry-stable."""
+    from vicinity_spark.operators.sampling import hash_split
+    from vicinity_spark.queries import _t
+
+    df = hash_split(_t(spark, SF_DIR, "documents"))
+    s = explain_str(df, "simple")
+    assert "Exchange" not in s
+    assert "rand" not in s.lower()
+
+
+def test_vocab_counts_prune_scan(spark):
+    from vicinity_spark.queries import QUERIES
+
+    df = QUERIES["vocab_top_tokens"](spark, SF_DIR)
+    for cols in read_schema_cols(df):
+        # only lang + text are referenced; doc payload columns pruned
+        assert set(cols) <= {"lang", "text"}, cols
