@@ -33,8 +33,12 @@ def _emb_all_queries(spark, sf_dir):
 
 
 def knn_batch_full(spark, sf_dir):
-    """Every embedding queries the whole corpus, k=10, partial top-k
-    (mapInPandas numpy kernel + bounded merge shuffle)."""
+    """Every embedding queries the whole corpus, k=10, exact BLOCK-GRID
+    plan (operators/grid.py): query vectors arrive through a join, so
+    the plan holds at any query-table size — the honest shape for a
+    full-table query load. (The `partial` plan, which driver-collects
+    the bounded query batch, is benched under knn_scale_200k — its
+    correct regime.)"""
     from vicinity_spark.operators.knn import knn_join
 
     return knn_join(
@@ -42,7 +46,7 @@ def knn_batch_full(spark, sf_dir):
         _emb_all_queries(spark, sf_dir),
         k=10,
         metric="cosine",
-        algorithm="partial",
+        algorithm="grid",
     )
 
 

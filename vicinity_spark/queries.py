@@ -16,7 +16,10 @@ Inventory map (SURVEY.md §2):
 - ANN strategies (B2-B7)        → ann_*_knn entries (hash-checked at
   full-recall params) + ann_recall_summary (hash-checked recall@k at
   honest production params via the SQL-replicable sparse LSH family)
-- ★ dedup / text analysis       → dedup_*, text_* entries
+- ★ dedup / text analysis       → dedup_*, text_* entries (incl.
+  dedup_connected_components canonicalization)
+- ★ sampling / vocab / pipeline → docs_train_split, vocab_top_tokens,
+  docs_clean_pipeline (the composed cleaning pipeline, one plan)
 - ★ relational/data-prep breadth → q1/q3/regional/top-k/events entries
 """
 
