@@ -104,3 +104,45 @@ def test_normalize_zero_vector(spark):
     df = spark.createDataFrame([([0.0, 0.0, 0.0],)], schema)
     r = df.select(normalize_expr(F.col("a")).alias("u")).first()
     assert r.u == [0.0, 0.0, 0.0]  # utils.py:9-42 zero-vector contract
+
+
+# ---- property-based invariants (hypothesis) -------------------------
+# The reference's kernels satisfy these by construction; our Catalyst
+# expressions must too, for ANY input — including the adversarial
+# vectors hypothesis finds (zeros, denormals, repeated values).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_finite = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False, width=32
+)
+_vec = st.lists(_finite, min_size=4, max_size=4)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=_vec, b=_vec)
+def test_metric_properties_hold(spark_prop, a, b):
+    """Symmetry d(a,b)=d(b,a), identity d(a,a)∈{0,·}, clip ≥ 0, and
+    kernel-vs-numpy agreement for every metric on arbitrary vectors."""
+    spark = spark_prop
+    df = spark.createDataFrame([(a, b), (b, a), (a, a)], "va array<float>, vb array<float>")
+    for metric in ["cosine", "euclidean", "manhattan", "l2sq", "hamming", "tanimoto"]:
+        got = df.select(
+            F.greatest(distance_expr(metric, "va", "vb", dim=4), F.lit(0.0)).alias("d")
+        ).collect()
+        dab, dba, daa = (r["d"] for r in got)
+        assert dab == pytest.approx(dba, rel=1e-9, abs=1e-9), (metric, a, b)
+        A = np.array([a], dtype=np.float64)
+        B = np.array([b], dtype=np.float64)
+        expect = max(float(np_dist(metric, A, B)[0]), 0.0)
+        if not np.isnan(expect):
+            assert dab == pytest.approx(expect, rel=1e-6, abs=1e-6), (metric, a, b)
+        if metric in ("euclidean", "manhattan", "l2sq", "hamming"):
+            assert daa == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    # hypothesis re-invokes the test many times; reuse the session
+    return spark

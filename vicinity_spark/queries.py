@@ -567,6 +567,45 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_filtered_label",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE label % 2 = 0),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS id, c.label,
+         {{dist}} AS d
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, id, label, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, id, CAST(label AS BIGINT) AS label,
+       round(greatest(d, 0.0), 6) AS distance, rank
+FROM ranked WHERE rank <= 10
+""".format(dist=sql_distance("cosine", "q.qv", "c.embedding", clip=False)),
+)
+def knn_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered similarity search (metadata predicate + k-NN in ONE
+    plan): neighbors restricted to even-label rows, exact top-10.
+    The reference cannot express this (its backends index all vectors,
+    vicinity.py:114-135 has no predicate surface); the DataFrame model
+    gets it for free — the filter pushes into the corpus scan BEFORE
+    candidate generation, so selective predicates shrink the search."""
+    corpus = _emb_corpus(spark, sf_dir).where(F.col("label") % 2 == 0)
+    res = knn_join(
+        corpus, _emb_queries(spark, sf_dir), k=10, metric="cosine",
+        algorithm="window", dim=DIM, payload_cols=["label"],
+    )
+    return res.select(
+        "query_id", "id", F.col("label").cast("long").alias("label"),
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---- dedup suite (★ training-data pipeline) -------------------------
 
 @register(
