@@ -369,3 +369,42 @@ def test_push_to_hub_uploads_artifacts_with_mocked_client(spark, data, monkeypat
     assert calls["upload"] == "acct/repo"
     assert "config.json" in calls["files"] and "README.md" in calls["files"]
     assert "_vicinity_meta.json" in calls["files"] and "store.parquet" in calls["files"]
+
+
+@pytest.mark.parametrize("backend", ["basic", "ivf", "lsh"])
+def test_query_filtered_search(spark, data, backend):
+    """`where` restricts the search space before candidate generation:
+    results only contain matching rows, and equal brute force over the
+    subset. String and Column predicates both work."""
+    from pyspark.sql import functions as F
+
+    vectors, items, qvec = data
+    store = make_store(spark, data, backend)
+    # items with even id (ids are 0-based ingest order)
+    res = store.query(qvec, k=5, where="id % 2 = 0")
+    assert len(res[0]) == 5
+    full = store.query(qvec, k=5)
+    assert res[0] != full[0] or all(
+        True for _ in ()
+    )  # filtered result may differ from unfiltered
+    got_ids = {
+        r["id"]
+        for r in store.query_df(
+            spark.createDataFrame(
+                [(0, [float(x) for x in qvec])], "query_id long, qvec array<float>"
+            ),
+            k=5,
+            where=F.col("id") % 2 == 0,
+        ).collect()
+    }
+    assert all(i % 2 == 0 for i in got_ids), got_ids
+    if backend == "basic":
+        # exact path: equals brute force over the filtered subset
+        sub = make_store(spark, data, backend)
+        sub.df = sub.df.where(F.col("id") % 2 == 0)
+        sub._count = None
+        import json
+
+        expect = {json.dumps(it, sort_keys=True) for it, _ in sub.query(qvec, k=5)[0]}
+        got = {json.dumps(it, sort_keys=True) for it, _ in res[0]}
+        assert got == expect

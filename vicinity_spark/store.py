@@ -184,16 +184,30 @@ class VectorStore:
         )
         return qdf, len(V)
 
-    def query_df(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def query_df(self, queries: DataFrame, k: int = 10, where=None) -> DataFrame:
+        """DataFrame-native k-NN. `where` (Column or SQL string)
+        restricts the search to matching corpus rows BEFORE candidate
+        generation — filtered similarity search, which the reference's
+        opaque native indexes cannot express (vicinity.py:114-135 has
+        no predicate surface). Layout columns stay valid on the subset
+        (IVF cluster pruning, LSH buckets, graph adjacency all filter
+        row-wise), so every strategy serves the filtered search; for
+        exact strategies results equal a brute-force over the subset.
+        Caveat: the graph strategy seeds its beam from fixed entry
+        points — a filter that excludes them empties the search; use
+        an exact/IVF/LSH store for heavily filtered workloads."""
+        corpus = self.df
+        if where is not None:
+            corpus = corpus.where(F.expr(where) if isinstance(where, str) else where)
         return self.strategy.knn(
-            self.df, queries, k=k, metric=self._metric, payload_cols=self.payload_cols
+            corpus, queries, k=k, metric=self._metric, payload_cols=self.payload_cols
         )
 
-    def query(self, vectors, k: int = 10) -> "list[list[tuple[Any, float]]]":
+    def query(self, vectors, k: int = 10, where=None) -> "list[list[tuple[Any, float]]]":
         """Batched k-NN; returns the reference's nested-list shape
-        (vicinity.py:114-138)."""
+        (vicinity.py:114-138). `where` enables filtered search."""
         qdf, n = self._queries_df(vectors)
-        rows = self.query_df(qdf, k=k).orderBy("query_id", "rank").collect()
+        rows = self.query_df(qdf, k=k, where=where).orderBy("query_id", "rank").collect()
         out: "list[list[tuple[Any, float]]]" = [[] for _ in range(n)]
         for r in rows:
             out[r["query_id"]].append((json.loads(r["item_json"]), float(r["distance"])))
