@@ -178,8 +178,9 @@ def neardup_inmem_sweep(spark, sf_dir):
     corpus partition sweeps the corpus matrix shipped in the closure.
     Valid only while the corpus fits in memory (exact all-pairs sweep)
     — benched under its own name; the HEADLINE `neardup_embeddings`
-    label times the scale-safe LSH-bucketed plan (queries.py
-    ann_lsh_neardup), which is what a 100 TB run would execute."""
+    label times the distributed block-grid pair sweep (operators/knn.py
+    neardup_join — same exact output, no in-memory corpus assumption),
+    which is what a 100 TB run would execute."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -220,7 +221,7 @@ BENCH = {
     "knn_cosine": Q.QUERIES["knn_cosine"],
     "knn_euclidean": Q.QUERIES["knn_euclidean"],
     "threshold_cosine": Q.QUERIES["threshold_cosine"],
-    "neardup_embeddings": Q.QUERIES["ann_lsh_neardup"],
+    "neardup_embeddings": Q.QUERIES["neardup_embeddings"],
     "neardup_inmem_sweep": neardup_inmem_sweep,
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,

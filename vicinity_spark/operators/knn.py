@@ -397,3 +397,73 @@ def threshold_join(
     if payload_cols:
         cols += [F.col(c) for c in payload_cols]
     return out.select(*cols)
+
+
+_PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("distance", DoubleType()),
+    ]
+)
+
+
+def neardup_join(
+    corpus: DataFrame, threshold: float, metric: "str | Metric"
+) -> DataFrame:
+    """EXACT similarity self-join (distance <= threshold) as a BLOCK
+    GRID: fold the corpus into hash blocks, enumerate only the upper
+    triangle of block pairs, and score each grid cell with the chunked
+    vectorized kernel. Same output as the all-pairs theta join; the
+    O(n²) work is split across ~P²/2 bounded numpy cells instead of
+    evaluated per-row by dim-wide JVM expressions (which fall out of
+    codegen at large dim — functions/metrics.py). Nothing collects to
+    the driver, so the plan holds at any corpus size; for corpora where
+    O(n²) itself is the problem, the LSH-bucketed
+    `LSHStrategy.neardup_pairs` is the sub-quadratic path."""
+    from vicinity_spark.operators.grid import _CCHUNK, corpus_blocks
+
+    m = Metric.from_string(metric)
+    t = float(threshold)
+    a = corpus_blocks(corpus.select("id", "vector"), "vector")
+    b = a.select(
+        F.col("__cb").alias("__cb2"),
+        F.col("__cids").alias("__cids2"),
+        F.col("__ccodes").alias("__ccodes2"),
+    )
+    grid = a.join(b, F.col("__cb") <= F.col("__cb2"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                ia = np.asarray(pdf["__cids"].iloc[i], dtype=np.int64)
+                XA = np.vstack([np.asarray(v) for v in pdf["__ccodes"].iloc[i]]).astype(
+                    np.float64
+                )
+                ib = np.asarray(pdf["__cids2"].iloc[i], dtype=np.int64)
+                XB = np.vstack([np.asarray(v) for v in pdf["__ccodes2"].iloc[i]]).astype(
+                    np.float64
+                )
+                same = int(pdf["__cb"].iloc[i]) == int(pdf["__cb2"].iloc[i])
+                for s in range(0, len(ib), _CCHUNK):
+                    D = _np_distances(m, XA, XB[s : s + _CCHUNK])
+                    ii, jj = np.nonzero(D <= t)
+                    if not len(ii):
+                        continue
+                    id1 = ia[ii]
+                    id2 = ib[s : s + _CCHUNK][jj]
+                    d = np.maximum(D[ii, jj], 0.0)
+                    if same:
+                        # full matrix: keep one orientation only
+                        keep = id1 < id2
+                    else:
+                        # each unordered pair appears once; orient it
+                        keep = id1 != id2
+                        lo = np.minimum(id1, id2)
+                        hi = np.maximum(id1, id2)
+                        id1, id2 = lo, hi
+                    yield pd.DataFrame(
+                        {"id_a": id1[keep], "id_b": id2[keep], "distance": d[keep]}
+                    )
+
+    return grid.mapInPandas(fn, _PAIRS_SCHEMA)

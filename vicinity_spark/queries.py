@@ -271,8 +271,23 @@ WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
 
 @register("neardup_embeddings", _NEARDUP_SQL)
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs theta join; the
-    LSH-bucketed variant is ann_lsh_neardup — same semantics, scale plan)."""
+    """Embedding-cosine similarity self-join, EXACT, as the block-grid
+    pair sweep (operators/knn.py neardup_join): O(n²) split across
+    bounded vectorized cells, upper-triangle block enumeration, no
+    driver collect. The LSH-bucketed variant is ann_lsh_neardup — same
+    semantics, the sub-quadratic path for tight thresholds."""
+    from vicinity_spark.operators.knn import neardup_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    return neardup_join(e, _NEARDUP_T, "cosine").select(
+        "id_a", "id_b", F.round("distance", 6).alias("distance")
+    )
+
+
+def _neardup_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-expression theta-join form (kept for plan tests)."""
     e = _t(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
