@@ -323,3 +323,31 @@ def test_ivfpqr_refinement_code_rerank(spark, tmp_path):
     enc = clone.on_insert(extra, Metric.COSINE, dim).collect()[0]
     assert enc["__rcode"] is not None and len(enc["__rcode"]) == 8
     built.unpersist()
+
+
+def test_neardup_join_equals_theta_join(spark):
+    """The block-grid pair sweep returns exactly the all-pairs result:
+    same pairs, same distances, each unordered pair exactly once."""
+    import numpy as np
+
+    from vicinity_spark.operators.knn import neardup_join
+
+    rng = np.random.default_rng(21)
+    n, dim = 300, 8
+    X = rng.standard_normal((n, dim))
+    X[50] = X[10] * 1.001  # planted near-dups
+    X[60] = X[20] + rng.standard_normal(dim) * 0.01
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], "id long, vector array<float>"
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in neardup_join(corpus, 0.3, "cosine").collect()}
+    # numpy oracle over the float32-stored values the engine actually sees
+    X = X.astype(np.float32).astype(np.float64)
+    Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
+    D = 1.0 - Xh @ Xh.T
+    ii, jj = np.nonzero(D <= 0.3)
+    expect = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    assert set(got) == expect
+    assert (10, 50) in got and (20, 60) in got
+    for (a, b), d in got.items():
+        assert d == pytest.approx(max(D[a, b], 0.0), abs=1e-9)
