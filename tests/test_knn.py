@@ -351,3 +351,24 @@ def test_neardup_join_equals_theta_join(spark):
     assert (10, 50) in got and (20, 60) in got
     for (a, b), d in got.items():
         assert d == pytest.approx(max(D[a, b], 0.0), abs=1e-9)
+
+
+def test_threshold_grid_equals_expr(spark, corpus_df, queries_df):
+    """The grid radius plan returns the same rows as the expression
+    theta join (the oracle-matched form), for every metric family."""
+    from vicinity_spark.operators.knn import threshold_join
+
+    for metric, t in (("cosine", 0.4), ("euclidean", 1.0), ("manhattan", 2.0)):
+        a = {
+            (r["query_id"], r["id"]): r["distance"]
+            for r in threshold_join(corpus_df, queries_df, t, metric, dim=8).collect()
+        }
+        b = {
+            (r["query_id"], r["id"]): r["distance"]
+            for r in threshold_join(
+                corpus_df, queries_df, t, metric, algorithm="grid"
+            ).collect()
+        }
+        assert set(a) == set(b), metric
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-9), (metric, k)

@@ -374,15 +374,65 @@ def threshold_join(
     query_vector_col: str = "qvec",
     payload_cols: Optional[Sequence[str]] = None,
     dim: Optional[int] = None,
+    algorithm: str = "expr",
 ) -> DataFrame:
     """Radius search: all corpus rows with distance <= threshold.
 
-    Filter-only plan — no window, no sort (output unsorted, matching
-    vicinity.py:147). The filter sits directly on the scan side of the
-    broadcast join, so Catalyst prunes columns and the cross product
-    streams without materialization.
+    `expr` (default): filter-only plan — no window, no sort (output
+    unsorted, matching vicinity.py:147). The filter sits directly on
+    the scan side of the broadcast join, so Catalyst prunes columns and
+    the cross product streams without materialization. The JVM
+    expression chain is bit-comparable to the DuckDB oracle; the
+    bounded-batch facade path.
+
+    `grid`: corpus blocks × query blocks scored by the chunked
+    vectorized kernel (operators/grid.py) — the plan for UNBOUNDED
+    query tables: no broadcast of the query side, no dim-wide JVM
+    expression (which falls out of codegen at large dim), same rows.
     """
     metric = Metric.from_string(metric)
+    if algorithm == "grid":
+        from vicinity_spark.operators.grid import (
+            _CCHUNK,
+            cell_arrays,
+            corpus_blocks,
+            query_blocks,
+        )
+
+        t = float(threshold)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("qvec"),
+        )
+        grid = corpus_blocks(
+            corpus.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
+            "vector",
+        ).crossJoin(query_blocks(q))
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    ids, X, qids, Q = cell_arrays(pdf, i)
+                    X = X.astype(np.float64)
+                    for s in range(0, len(ids), _CCHUNK):
+                        D = _np_distances(metric, Q, X[s : s + _CCHUNK])
+                        qi, ci = np.nonzero(D <= t)
+                        if not len(qi):
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "id": ids[s : s + _CCHUNK][ci],
+                                "distance": np.maximum(D[qi, ci], 0.0),
+                            }
+                        )
+
+        out = grid.mapInPandas(fn, _KNN_SCHEMA)
+        if payload_cols:
+            out = out.join(
+                corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
+            )
+        return out.select("query_id", "id", "distance", *(payload_cols or []))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("__qvec"),
