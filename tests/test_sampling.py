@@ -30,3 +30,29 @@ def test_hash_split_deterministic_and_calibrated(spark):
         F.col("split") != F.col("s2")
     ).count()
     assert moved > 0
+
+
+def test_stratified_hash_split_per_stratum_fractions(spark):
+    from vicinity_spark.operators.sampling import hash_split, stratified_hash_split
+
+    df = (
+        spark.range(30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"))
+    )
+    out = stratified_hash_split(df, "lang", {"en": 0.5}, default_fraction=0.95)
+    got = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    en_total = got[("en", "train")] + got[("en", "holdout")]
+    de_total = got[("de", "train")] + got[("de", "holdout")]
+    assert 0.47 < got[("en", "train")] / en_total < 0.53
+    assert 0.93 < got[("de", "train")] / de_total < 0.97
+    # strata share the key: a row in 'train' under the plain split with
+    # the same fraction is in 'train' under the stratified split too
+    plain = hash_split(df, train_fraction=0.5)
+    joined = out.where(F.col("lang") == "en").join(
+        plain.select("doc_id", F.col("split").alias("p")), "doc_id"
+    )
+    assert joined.where(F.col("split") != F.col("p")).count() == 0

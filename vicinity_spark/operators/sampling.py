@@ -57,3 +57,27 @@ def hash_split(
     return df.withColumn(
         split_col, F.when(key < F.lit(t), F.lit("train")).otherwise(F.lit("holdout"))
     )
+
+
+def stratified_hash_split(
+    df: DataFrame,
+    strata_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.9,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Per-stratum deterministic split: each stratum gets its own
+    train fraction (e.g. keep 99% of rare languages, 80% of the
+    dominant one). Same md5-key mechanics as hash_split — portable,
+    retry-stable, no shuffle."""
+    key = split_key(id_col, salt)
+    expr = F.lit(hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(hex_threshold(frac))
+        ).otherwise(expr)
+    return df.withColumn(
+        split_col, F.when(key < expr, F.lit("train")).otherwise(F.lit("holdout"))
+    )

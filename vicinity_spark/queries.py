@@ -958,6 +958,116 @@ def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.join(canon, "doc_id").select("doc_id", "lang", "source")
 
 
+def _stratified_sql() -> str:
+    from vicinity_spark.operators.sampling import hex_threshold
+
+    t_en, t_zh, t_def = hex_threshold(0.8), hex_threshold(0.99), hex_threshold(0.9)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, md5('split:' || doc_id::VARCHAR) AS k,
+         CASE WHEN lang = 'zh' THEN '{t_zh}'
+              WHEN lang = 'en' THEN '{t_en}'
+              ELSE '{t_def}' END AS t
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id, lang, CASE WHEN k < t THEN 'train' ELSE 'holdout' END AS split
+  FROM keyed
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM tagged GROUP BY split, lang
+"""
+
+
+@register("docs_stratified_split", _stratified_sql())
+def docs_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic split (★ sampling): dominant language
+    downsampled to 0.8, rare 'zh' kept at 0.99, everything else 0.9 —
+    the rebalancing move a multilingual corpus build makes, as a pure
+    narrow projection (operators/sampling.py stratified_hash_split)."""
+    from vicinity_spark.operators.sampling import stratified_hash_split
+
+    d = stratified_hash_split(
+        _t(spark, sf_dir, "documents"), "lang", {"en": 0.8, "zh": 0.99},
+        default_fraction=0.9,
+    )
+    return d.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
+@register(
+    "text_pmi_bigrams",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+d1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks)
+  WHERE w <> '' GROUP BY w
+),
+d2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT d2.w1, d2.w2, d2.c2,
+         round(ln((d2.c2::DOUBLE * n.nd) / (a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+  FROM d2 CROSS JOIN n
+  JOIN d1 a ON a.w = d2.w1
+  JOIN d1 b ON b.w = d2.w2
+)
+SELECT w1, w2, c2, pmi, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY c2 DESC, w1, w2) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 20
+""",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (★ vocabulary building): document-frequency
+    PMI over adjacent token pairs — ln(df(w1,w2)·N / (df(w1)·df(w2))) —
+    for the 20 most frequent bigrams. The counting passes are explode →
+    distinct → groupBy (map-side combined); ranking on integer counts
+    keeps the window deterministic."""
+    from vicinity_spark.operators.textops import _toks
+
+    d = _t(spark, sf_dir, "documents")
+    nd = float(d.count())
+    t = d.select("doc_id", F.posexplode(_toks("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.select("doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != "") & F.col("w2").isNotNull())
+        .distinct()
+    )
+    d1 = (
+        t.select("doc_id", "tok").where(F.col("tok") != "").distinct()
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    d2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    scored = (
+        d2.join(d1.select(F.col("tok").alias("w1"), F.col("c").alias("c1a")), "w1")
+        .join(d1.select(F.col("tok").alias("w2"), F.col("c").alias("c1b")), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log((F.col("c2") * F.lit(nd)) / (F.col("c1a") * F.col("c1b"))), 6
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("c2").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("w1", "w2", "c2", "pmi", "rank")
+    )
+
+
 # ---- text analysis suite (★) ---------------------------------------
 
 @register(
