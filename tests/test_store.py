@@ -13,7 +13,7 @@ from vicinity_spark.store import VectorStore
 N = 200
 DIM = 8
 
-BACKENDS = ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "ivfsq", "graph"]
+BACKENDS = ["basic", "lsh", "ivf", "sq", "pq", "ivfpq", "ivfpqr", "ivfsq", "graph"]
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +41,9 @@ def make_store(spark, data, backend, **kw):
         params = {"m": 4, "ksub": 32, "refine": 8}  # dim 8 → 4 subspaces
     if backend == "ivfpq":
         params = {"m": 4, "ksub": 32, "refine": 8, "nlist": 8, "nprobe": 8}
+    if backend == "ivfpqr":
+        # refinement-code re-rank through the facade (rbooks round-trip)
+        params = {"m": 4, "ksub": 32, "refine": 12, "nlist": 8, "nprobe": 8, "refine_m": 4}
     if backend == "ivfsq":
         params = {"refine": 8, "nlist": 8, "nprobe": 8}
     if backend == "graph":
@@ -94,7 +97,13 @@ def test_insert_then_query_finds_item(spark, data, backend):
     res = store.query(qvec, k=5)
     names = [it for it, _ in res[0]]
     assert f"item{N + 1}" in names  # test_vicinity.py:83-101
-    assert res[0][0][1] == pytest.approx(0.0, abs=1e-6)
+    if backend == "ivfpqr":
+        # code-based re-rank reports reconstruction distances (the
+        # FAISS IVFPQR convention): self-distance is quantization
+        # error, small but nonzero
+        assert res[0][0][1] == pytest.approx(0.0, abs=1e-2)
+    else:
+        assert res[0][0][1] == pytest.approx(0.0, abs=1e-6)
 
 
 def test_insert_validation(spark, data):

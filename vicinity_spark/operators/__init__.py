@@ -1,3 +1,31 @@
-from vicinity_spark.operators.knn import knn_join, threshold_join
+from vicinity_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_pairs,
+    token_set,
+)
+from vicinity_spark.operators.knn import knn_join, neardup_join, threshold_join
+from vicinity_spark.operators.sampling import hash_split, stratified_hash_split
+from vicinity_spark.operators.skew import salted_aggregate, salted_join
 
-__all__ = ["knn_join", "threshold_join"]
+__all__ = [
+    "connected_components",
+    "exact_dedup",
+    "hash_split",
+    "jaccard_pairs",
+    "knn_join",
+    "minhash_lsh_pairs",
+    "neardup_join",
+    "salted_aggregate",
+    "salted_join",
+    "shingles",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "stratified_hash_split",
+    "threshold_join",
+    "token_set",
+]
