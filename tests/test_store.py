@@ -194,7 +194,7 @@ def test_evaluate_exact_recall_one(spark, data):
     assert recall == pytest.approx(1.0)  # exact path IS the ground truth
 
 
-@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq", "ivfpq", "ivfsq", "graph"])
+@pytest.mark.parametrize("backend", ["lsh", "ivf", "sq", "pq", "ivfpq", "ivfpqr", "ivfsq", "graph"])
 def test_evaluate_ann_recall_floor(spark, data, backend):
     vectors, _, _ = data
     store = make_store(spark, data, backend)
