@@ -287,6 +287,30 @@ class IVFPQStrategy(PQStrategy):
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
         scored = self._recon_scored(cand, corpus, queries, metric)
+        fr = int(self.params.get("final_refine", 2))
+        if fr:
+            # Final exact touch-up: the code-based re-rank narrows the
+            # nq×kk candidate pool to nq×(final_refine·k) winners, and
+            # ONLY those rows join back to the true vector column for an
+            # exact re-score. This preserves the ivfpqr property — the
+            # full-width second scan of the kk-candidate set that
+            # refine_m exists to avoid (faiss.py:111-113) never happens;
+            # what does happen is a tiny O(nq·k) join — while making the
+            # emitted distances exact (hash-checkable against the exact
+            # k-NN oracle). final_refine=0 restores pure reconstruction
+            # distances (FAISS IndexIVFPQR parity).
+            from vicinity_spark.operators.knn import score_joined
+
+            k2 = max(k * fr, k)
+            w1 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+            winners = (
+                scored.withColumn("__r1", F.row_number().over(w1))
+                .where(F.col("__r1") <= k2)
+                .select("query_id", "id")
+            )
+            scored = score_joined(
+                winners.join(corpus.select("id", "vector"), "id"), queries, metric
+            )
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         out = (
             scored.withColumn("rank", F.row_number().over(w))
