@@ -471,19 +471,23 @@ for _name, _mk in [
     register(_name, _knn_sql("cosine"))(_ann_entry(_mk))
 
 
-# ivfpqr: the refinement-code re-rank returns approximate distances
-# (reconstruction-based, like FAISS IndexIVFPQR) — not SQL-expressible,
-# so this entry is registered WITHOUT an oracle (driver records the
-# weaker rows-only check); quality is gated by the recall-floor test
-# (tests/test_knn.py::test_ivfpqr_refinement_code_rerank) instead.
-@register("ann_ivfpqr_knn", None)
+# ivfpqr: the refinement-code re-rank narrows the ADC candidate pool
+# from codes alone; the strategy's final_refine step then exact-scores
+# ONLY the nq×(final_refine·k) winners against true vectors (a tiny
+# join — the full-width second scan of the candidate set that refine_m
+# exists to avoid never happens, backends/ivfpq.py knn()). Emitted
+# distances are therefore exact and the entry is hash-checkable against
+# the exact k-NN oracle at these full-recall gate params.
+@register("ann_ivfpqr_knn", _knn_sql("cosine"))
 def ann_ivfpqr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQR (faiss.py:111-113): candidates re-ranked from refinement
-    codes alone — no full-width re-scan of true vectors."""
+    codes, winners exact-rescored (final_refine)."""
     from vicinity_spark.backends.ivfpq import IVFPQStrategy
     from vicinity_spark.datatypes import Metric
 
-    strat = IVFPQStrategy(nlist=8, nprobe=7, m=8, ksub=64, refine=24, refine_m=16)
+    strat = IVFPQStrategy(
+        nlist=8, nprobe=8, m=8, ksub=64, refine=40, refine_m=16, final_refine=4
+    )
     corpus = strat.build(_emb_corpus(spark, sf_dir), Metric.COSINE, DIM)
     res = strat.knn(corpus, _emb_queries(spark, sf_dir), k=10, metric=Metric.COSINE)
     return res.select(
