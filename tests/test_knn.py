@@ -372,3 +372,69 @@ def test_threshold_grid_equals_expr(spark, corpus_df, queries_df):
         assert set(a) == set(b), metric
         for k in a:
             assert a[k] == pytest.approx(b[k], abs=1e-9), (metric, k)
+
+
+def test_knn_auto_routes_large_query_tables_to_grid(spark, monkeypatch):
+    """`algorithm="auto"` sends bounded query batches through `partial`
+    (driver-collected query matrix) but a query TABLE past
+    AUTO_GRID_QUERY_ROWS through `grid` — no driver materialization of
+    the query side (r3 VERDICT item 4). Routing consults the
+    optimizer's maxRows, so neither decision here costs a count job."""
+    import numpy as np
+
+    import vicinity_spark.operators.knn as knn_mod
+    from vicinity_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    n, dim = 60, 4
+    X = rng.random((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+
+    # small bounded batch → partial: the query-matrix collect runs
+    calls = []
+    orig = knn_mod.collect_query_matrix
+
+    def record(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(knn_mod, "collect_query_matrix", record)
+    small = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(5)],
+        "query_id long, qvec array<float>",
+    )
+    got = knn_join(corpus, small, k=3, algorithm="auto").collect()
+    assert len(got) == 15
+    assert calls, "auto did not route a bounded batch to partial"
+
+    # large query table → grid: poison the collect helpers; the whole
+    # job must still run without them
+    def boom(*a, **k):
+        raise AssertionError("driver collect of a large query table under auto")
+
+    monkeypatch.setattr(knn_mod, "query_matrix", boom)
+    monkeypatch.setattr(knn_mod, "collect_query_matrix", boom)
+    nq = knn_mod.AUTO_GRID_QUERY_ROWS + 1
+    big = spark.range(nq).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.rand(seed=s) + F.lit(0.01) for s in range(dim)])
+        .cast("array<float>")
+        .alias("qvec"),
+    )
+    res = knn_join(corpus, big, k=3, algorithm="auto")
+    assert res.count() == nq * 3
+
+
+def test_queries_are_bounded_scan_fallback(spark, tmp_path):
+    """Parquet scans have no optimizer maxRows → the bounded check
+    falls back to a limit-bounded count, correct in both directions."""
+    from vicinity_spark.operators.knn import _queries_are_bounded
+
+    p = str(tmp_path / "q.parquet")
+    spark.range(100).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _queries_are_bounded(scan, 100)
+    assert not _queries_are_bounded(scan, 99)

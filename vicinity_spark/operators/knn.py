@@ -243,6 +243,32 @@ def _partial_topk(
     return corpus.select(id_col, vector_col).mapInPandas(fn, _KNN_SCHEMA)
 
 
+# Past this many query rows, `auto` routes to the block-grid plan:
+# `partial` materializes the nq×dim query matrix on the driver
+# (collect_query_matrix), which stops being a bounded structure once
+# the query side is itself a large table. 8192 × dim=1024 × 8 B ≈
+# 64 MB is a comfortable driver/broadcast ceiling; past it, grid's
+# join-delivered query blocks are the plan that holds.
+AUTO_GRID_QUERY_ROWS = 8192
+
+
+def _queries_are_bounded(queries: DataFrame, limit: int) -> bool:
+    """Is the query table provably ≤ limit rows — cheaply?
+
+    First consults the optimizer's ``maxRows`` (free: defined for
+    LocalRelation / parallelized batches / LIMIT'd plans — the common
+    "bounded query batch" shapes). Unknown → a limit-bounded count job
+    (scans only until limit+1 rows surface, never the full table).
+    """
+    try:
+        mr = queries._jdf.queryExecution().optimizedPlan().maxRows()
+        if mr.isDefined():
+            return int(mr.get()) <= limit
+    except Exception:
+        pass  # Spark Connect / plan shapes without maxRows
+    return queries.limit(limit + 1).count() <= limit
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,7 +293,15 @@ def knn_join(
         raise ValueError("k must be greater than 0")  # basic.py:187-188
     metric = Metric.from_string(metric)
     if algorithm == "auto":
-        algorithm = "partial"
+        # bounded batch → `partial` (driver-collected query matrix,
+        # shuffle bounded by q×k×partitions); large/unbounded query
+        # table → `grid` (query blocks arrive by join, no driver
+        # materialization). See AUTO_GRID_QUERY_ROWS.
+        algorithm = (
+            "partial"
+            if _queries_are_bounded(queries, AUTO_GRID_QUERY_ROWS)
+            else "grid"
+        )
 
     if algorithm == "window":
         q = queries.select(
