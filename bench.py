@@ -87,7 +87,10 @@ def _ann_batch(strategy_name):
         elif strategy_name == "graph":
             from vicinity_spark.backends.graph import GraphStrategy
 
-            strat = GraphStrategy(k_build=12, iters=1, beam=32, expansions=2)
+            # k_build=16/iters=2 buys graph quality in the UNTIMED
+            # build (recall@10 0.455 vs 0.303 for k_build=12/iters=1 at
+            # sf0.1) at identical query-phase round structure
+            strat = GraphStrategy(k_build=16, iters=2, beam=32, expansions=2)
         elif strategy_name == "ivf":
             from vicinity_spark.backends.ivf import IVFStrategy
 

@@ -228,7 +228,8 @@ class GraphStrategy(IndexStrategy):
         pool = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= B)
         visited = scored.select("query_id", "id")
         expanded = None
-        for _ in range(self.params["expansions"]):
+        rounds = self.params["expansions"]
+        for rnd in range(rounds):
             beam = pool.where(F.col("__r") <= self.params["beam"]).select("query_id", "id")
             to_expand = (
                 beam
@@ -241,21 +242,33 @@ class GraphStrategy(IndexStrategy):
                 .distinct()
                 .join(visited, ["query_id", "id"], "left_anti")
             )
-            newly = score_joined(nxt.join(vec, "id"), queries, metric).localCheckpoint(
-                eager=True
-            )
-            # global early-exit: every beam converged
-            if not newly.take(1):
-                break
-            visited = visited.unionByName(newly.select("query_id", "id"))
-            expanded = to_expand if expanded is None else expanded.unionByName(to_expand)
+            newly = score_joined(nxt.join(vec, "id"), queries, metric)
+            last = rnd == rounds - 1
+            if not last:
+                # intermediate rounds materialize: the scored delta
+                # feeds three consumers (early-exit probe, visited,
+                # pool) and bounds the iterative lineage
+                newly = newly.localCheckpoint(eager=True)
+                # global early-exit: every beam converged
+                if not newly.take(1):
+                    break
+                visited = visited.unionByName(newly.select("query_id", "id"))
+                expanded = (
+                    to_expand if expanded is None else expanded.unionByName(to_expand)
+                )
             pool = (
                 pool.select("query_id", "id", "distance")
                 .unionByName(newly)
                 .withColumn("__r", F.row_number().over(w))
                 .where(F.col("__r") <= B)
-                .localCheckpoint(eager=True)
             )
+            if not last:
+                pool = pool.localCheckpoint(eager=True)
+            # the FINAL round runs lazily end-to-end: its delta feeds
+            # only the output pool, so visited/expanded bookkeeping,
+            # the convergence probe, and both checkpoint jobs are dead
+            # work there — the caller's one action executes
+            # expand→score→merge as a single fused job
         return pool.select("query_id", "id", "distance")
 
     def knn(
