@@ -3,11 +3,14 @@ opaque `binary` columns with typed metadata, processed by Arrow-batched
 `mapInPandas` kernels.
 
 The Spark-side plumbing — schemas, batch iteration, partition-sized
-work units, output contracts — is real and tested. The codec calls
-themselves are STUBS (this container ships no image/audio libraries):
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a deterministic synthetic decode (seeded by the content hash)
-stands in so downstream operators and tests have stable inputs.
+work units, output contracts — is real and tested. One codec is real:
+uncompressed 24-bit BMP decodes/encodes in pure numpy (`_bmp_decode` /
+`_bmp_encode`), so `extract_features(fake=False)` and
+`resize_images(fake=False)` genuinely execute on BMP payloads in this
+container. Every other format still needs PIL/ffmpeg and raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+synthetic decode (seeded by the content hash) stands in so downstream
+operators and tests have stable inputs.
 
 At 100 TB: binary payloads dominate row size, so these operators
 repartition by size budget rather than row count and never widen the
@@ -58,6 +61,87 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
+# ---- real codec: uncompressed 24-bit BMP (pure numpy) ---------------
+# BMP is the one mainstream raster format decodable without a codec
+# library: fixed 14-byte file header + 40-byte BITMAPINFOHEADER, then
+# bottom-up BGR rows padded to 4 bytes. Enough to make the fake=False
+# path genuinely executable end-to-end in this container.
+
+
+def _is_bmp(payload: bytes) -> bool:
+    return len(payload) >= 54 and payload[:2] == b"BM"
+
+
+def _bmp_decode(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 RGB, top-down."""
+    if not _is_bmp(payload):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_sz = int.from_bytes(payload[14:18], "little")
+    if hdr_sz < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_sz}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * stride, offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def _bmp_encode(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, bottom-up
+    data = rows.tobytes()
+    off, size = 54, 54 + len(data)
+    hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + info + data
+
+
+def _bmp_features(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 → FEATURE_DIM floats: a 4×4 mean-pooled
+    grayscale grid in [0, 1] — the classic tiny-thumbnail embedding
+    (position-sensitive, resize-stable)."""
+    gray = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    h, w = gray.shape
+    g = 4
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    out = np.empty(g * g, np.float32)
+    for i in range(g):
+        for j in range(g):
+            cell = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i * g + j] = cell.mean() / 255.0
+    return out
+
+
+def _bmp_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decode: content-hash-seeded feature vector.
     Replace with a real codec (PIL/torchvision/ffmpeg) in production."""
@@ -76,12 +160,18 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec; "
-                    "run with fake=True for the deterministic stand-in"
-                )
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if _is_bmp(b):
+                    feats.append(_bmp_features(_bmp_decode(b)))
+                elif fake:
+                    feats.append(_fake_decode(b))
+                else:
+                    raise NotImplementedError(
+                        "non-BMP media decode requires an image/audio codec; "
+                        "run with fake=True for the deterministic stand-in"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -97,16 +187,25 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize stub: passes payload through (fake) or raises.
-    Real implementation: PIL resize inside the same mapInPandas shape."""
+    """Image resize: real nearest-neighbor resample + re-encode for BMP
+    payloads; passthrough (fake) or NotImplementedError for formats that
+    need PIL. Same mapInPandas shape either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError("image resize requires PIL; use fake=True")
             out = pdf.copy()
+            payloads = []
+            for p in out["payload"]:
+                b = bytes(p)
+                if _is_bmp(b):
+                    payloads.append(_bmp_encode(_bmp_resize(_bmp_decode(b), width, height)))
+                elif fake:
+                    payloads.append(b)
+                else:
+                    raise NotImplementedError("non-BMP image resize requires PIL; use fake=True")
+            out["payload"] = payloads
             out["meta_width"] = width
             out["meta_height"] = height
             yield out
