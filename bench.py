@@ -161,6 +161,53 @@ def lsh_neardup_200k(spark, sf_dir):
     return lambda s, d: strat.neardup_pairs(corpus, 0.1, Metric.COSINE)
 
 
+def _synth_docs(spark, n=199_000, n_dups=1000, tokens=16, parts=32):
+    """n base docs of `tokens` md5-derived words (unique across docs —
+    cross-doc Jaccard 0) + n_dups near-copies of the first n_dups docs
+    with the LAST token mutated: 15/16 tokens shared → shingle Jaccard
+    ≈ 0.65, well above the 0.5 mining threshold. All generated
+    executor-side from `range` — nothing driver-resident."""
+    base = spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("__src")
+    )
+    dups = spark.range(0, n_dups, 1, max(parts // 8, 1)).select(
+        (F.col("id") + n).alias("doc_id"), F.col("id").alias("__src")
+    )
+    toks = [
+        F.substring(
+            F.md5(F.concat_ws("-", F.col("__src").cast("string"), F.lit(str(j)))), 1, 8
+        )
+        for j in range(tokens)
+    ]
+    last = F.when(
+        F.col("doc_id") >= n, F.concat(F.lit("zz"), F.col("doc_id").cast("string"))
+    ).otherwise(toks[-1])
+    return (
+        base.unionByName(dups)
+        .select("doc_id", F.concat_ws(" ", *toks[:-1], last).alias("text"))
+    )
+
+
+def dedup_e2e_200k(spark, sf_dir):
+    """The full 100 TB dedup composition at the 200k tier: MinHash-LSH
+    pair mining → connected components → keep one representative per
+    cluster. 199k unique docs + 1000 planted near-copies; the returned
+    survivor set must count exactly 199,000 (asserted in
+    tests/test_dedup.py::test_dedup_e2e_composition at a smaller tier).
+    Every stage is equi-join/groupBy bounded — no all-pairs anywhere."""
+    from vicinity_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _synth_docs(spark).cache()
+    docs.count()
+
+    def run(s, d):
+        pairs = minhash_lsh_pairs(docs, n_hashes=16, rows_per_band=2, min_jaccard=0.5)
+        comps = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+        return comps.where(F.col("rep") == F.col("id"))
+
+    return run
+
+
 def lsh_scale_200k(spark, sf_dir):
     """100 queries × 200k corpus via LSH bucket equi-join."""
     from vicinity_spark.backends.lsh import LSHStrategy
@@ -247,6 +294,7 @@ BENCH = {
     "knn_scale_200k": knn_scale_200k,
     "lsh_scale_200k": lsh_scale_200k,
     "lsh_neardup_200k": lsh_neardup_200k,
+    "dedup_e2e_200k": dedup_e2e_200k,
 }
 
 

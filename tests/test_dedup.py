@@ -150,3 +150,22 @@ def test_connected_components_chains_and_singletons(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     got2 = connected_components(ids2, chain, max_iters=10)
     assert got2.where(F.col("rep") != 0).count() == 0
+
+
+def test_dedup_e2e_composition(spark):
+    """The pairs→components→survivors composition (bench entry
+    dedup_e2e_200k) at a small tier: 3000 unique docs + 60 planted
+    near-copies must yield exactly 3000 survivors, and every planted
+    copy must resolve to its source's component."""
+    import bench as B
+    from vicinity_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = B._synth_docs(spark, n=3000, n_dups=60, parts=4)
+    pairs = minhash_lsh_pairs(docs, n_hashes=32, rows_per_band=2, min_jaccard=0.5)
+    comps = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    survivors = comps.where(F.col("rep") == F.col("id"))
+    assert survivors.count() == 3000
+    # each planted copy (doc_id >= 3000) joined its source's component
+    planted = {r["id"]: r["rep"] for r in comps.where(F.col("id") >= 3000).collect()}
+    assert len(planted) == 60
+    assert all(rep == i - 3000 for i, rep in planted.items())

@@ -175,6 +175,12 @@ def minhash_lsh_pairs(
     max_df (hot-key guard) drops stop-shingles from the feature universe
     BEFORE signatures, so both the MinHash buckets and the verification
     see the same capped feature space (see jaccard_pairs).
+
+    The shingle table is localCheckpoint'ed: it feeds FOUR consumers
+    (signatures, both sides of the verification join, set sizes), and
+    without materialization each one re-runs the tokenize+window scan —
+    at corpus scale that is the difference between one pass over the
+    text and four.
     """
     sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
     if max_df is not None:
@@ -185,6 +191,7 @@ def minhash_lsh_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, "shingle", n_hashes=n_hashes)
     buckets = minhash_band_buckets(sigs, rows_per_band=rows_per_band)
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
@@ -305,8 +312,14 @@ def connected_components(
     as soon as a round changes nothing. Every step is an equi-join
     shuffle bounded by |edges| + |ids| — never all-pairs.
     """
-    edges = pairs.select(F.col(a_col).alias("id"), F.col(b_col).alias("nbr")).unionByName(
-        pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr"))
+    # materialize the edge list ONCE: it is the iteration-invariant
+    # joined by every round, and without this a lazily-derived `pairs`
+    # input (e.g. straight out of MinHash mining) would recompute its
+    # whole upstream pipeline per round
+    edges = (
+        pairs.select(F.col(a_col).alias("id"), F.col(b_col).alias("nbr"))
+        .unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         ids.select(F.col(id_col).alias("id")).distinct().withColumn("rep", F.col("id"))
