@@ -201,7 +201,9 @@ def dedup_e2e_200k(spark, sf_dir):
     docs.count()
 
     def run(s, d):
-        pairs = minhash_lsh_pairs(docs, n_hashes=16, rows_per_band=2, min_jaccard=0.5)
+        pairs = minhash_lsh_pairs(
+            docs, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64"
+        )
         comps = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
         return comps.where(F.col("rep") == F.col("id"))
 

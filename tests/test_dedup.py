@@ -161,7 +161,9 @@ def test_dedup_e2e_composition(spark):
     from vicinity_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = B._synth_docs(spark, n=3000, n_dups=60, parts=4)
-    pairs = minhash_lsh_pairs(docs, n_hashes=32, rows_per_band=2, min_jaccard=0.5)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64"
+    )
     comps = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
     survivors = comps.where(F.col("rep") == F.col("id"))
     assert survivors.count() == 3000
