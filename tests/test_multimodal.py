@@ -120,3 +120,26 @@ def test_resize_images_real_bmp(spark):
 def test_extract_features_non_bmp_still_gated(media_df):
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_features(media_df, fake=False).collect()
+
+
+def test_bmp_roundtrip_property():
+    """Property: any uint8 RGB image round-trips exactly through the
+    BMP encoder/decoder, across widths that exercise every row-padding
+    remainder (w*3 mod 4 in {0,1,2,3})."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vicinity_spark.operators.multimodal import _bmp_decode, _bmp_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=13),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype("uint8")
+        assert np.array_equal(_bmp_decode(_bmp_encode(img)), img)
+
+    check()
