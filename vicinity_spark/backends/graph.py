@@ -229,6 +229,7 @@ class GraphStrategy(IndexStrategy):
         visited = scored.select("query_id", "id")
         expanded = None
         rounds = self.params["expansions"]
+        unchk = 0  # rounds since the pool lineage was last truncated
         for rnd in range(rounds):
             beam = pool.where(F.col("__r") <= self.params["beam"]).select("query_id", "id")
             to_expand = (
@@ -262,8 +263,15 @@ class GraphStrategy(IndexStrategy):
                 .withColumn("__r", F.row_number().over(w))
                 .where(F.col("__r") <= B)
             )
-            if not last:
+            unchk += 1
+            if not last and unchk >= 2:
+                # truncate pool lineage every OTHER intermediate round:
+                # between checkpoints the union chain is at most two
+                # windows deep over per-round checkpointed deltas, so
+                # re-deriving it costs one extra window shuffle —
+                # cheaper than a materialization job per round
                 pool = pool.localCheckpoint(eager=True)
+                unchk = 0
             # the FINAL round runs lazily end-to-end: its delta feeds
             # only the output pool, so visited/expanded bookkeeping,
             # the convergence probe, and both checkpoint jobs are dead
