@@ -270,10 +270,10 @@ def neardup_inmem_sweep(spark, sf_dir):
 
 BENCH = {
     "knn_batch_full": knn_batch_full,
-    "knn_cosine": Q.QUERIES["knn_cosine"],
-    "knn_euclidean": Q.QUERIES["knn_euclidean"],
-    "threshold_cosine": Q.QUERIES["threshold_cosine"],
-    "neardup_embeddings": Q.QUERIES["neardup_embeddings"],
+    "knn_cosine": Q._make_knn("cosine"),
+    "knn_euclidean": Q._make_knn("euclidean"),
+    "threshold_cosine": Q._make_threshold("cosine", 0.72),
+    "neardup_embeddings": Q.neardup_embeddings,
     "neardup_inmem_sweep": neardup_inmem_sweep,
     "ann_lsh_batch": ann_lsh_batch,
     "ann_ivf_batch": ann_ivf_batch,
@@ -284,7 +284,7 @@ BENCH = {
     "ann_ivfpqr_batch": ann_ivfpqr_batch,
     "ann_graph_batch": ann_graph_batch,
     "dedup_exact": Q.QUERIES["dedup_exact"],
-    "dedup_shingle_jaccard": Q.QUERIES["dedup_shingle_jaccard"],
+    "dedup_shingle_jaccard": Q.dedup_shingle_jaccard,
     "text_quality": Q.QUERIES["text_quality"],
     "text_fingerprint": Q.QUERIES["text_fingerprint"],
     "q1_pricing_summary": Q.QUERIES["q1_pricing_summary"],

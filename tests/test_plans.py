@@ -37,7 +37,9 @@ def test_parquet_filter_pushdown_and_pruning(spark):
 def test_knn_query_scan_prunes_payload(spark):
     from vicinity_spark.queries import QUERIES
 
-    df = QUERIES["knn_cosine"](spark, SF_DIR)
+    from vicinity_spark.queries import _make_knn
+
+    df = _make_knn("cosine")(spark, SF_DIR)
     for cols in read_schema_cols(df):
         assert "label" not in cols  # payload not referenced → never read
 
