@@ -438,3 +438,21 @@ def test_queries_are_bounded_scan_fallback(spark, tmp_path):
     scan = spark.read.parquet(p)
     assert _queries_are_bounded(scan, 100)
     assert not _queries_are_bounded(scan, 99)
+
+
+def test_knn_empty_query_table_all_algorithms(spark):
+    """An empty query batch returns an empty, correctly-shaped result
+    on every exact plan (the partial plan used to crash on the empty
+    driver-collected matrix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.random(4)]) for i in range(20)],
+        "id long, vector array<float>",
+    )
+    empty_q = spark.createDataFrame([], "query_id long, qvec array<float>")
+    for algo in ("auto", "window", "partial", "grid"):
+        res = knn_join(corpus, empty_q, k=3, algorithm=algo)
+        assert res.count() == 0, algo
+        assert res.columns == ["query_id", "id", "distance", "rank"], algo

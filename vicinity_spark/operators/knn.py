@@ -156,8 +156,11 @@ def score_joined(
 
 
 def query_matrix(queries: DataFrame, id_col: str = "query_id", vec_col: str = "qvec"):
-    """(qids, Q) numpy arrays of the query batch, via the Arrow path."""
+    """(qids, Q) numpy arrays of the query batch, via the Arrow path.
+    An empty batch yields (0,)-shaped ids and a (0, 0) matrix."""
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     qids = qpdf[id_col].to_numpy().astype(np.int64)
     Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
     return qids, Q
@@ -333,6 +336,17 @@ def knn_join(
 
     if algorithm == "partial":
         bq = collect_query_matrix(queries, query_id_col, query_vector_col)
+        if bq.value[0].size == 0:
+            empty = corpus.sparkSession.createDataFrame([], _KNN_SCHEMA).withColumn(
+                "rank", F.lit(0)
+            )
+            if payload_cols:
+                empty = empty.join(
+                    corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
+                )
+            return empty.select(
+                "query_id", "id", "distance", "rank", *(payload_cols or [])
+            )
         local = _partial_topk(corpus, id_col, vector_col, bq, k, metric)
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
         merged = (
