@@ -143,3 +143,40 @@ def test_bmp_roundtrip_property():
         assert np.array_equal(_bmp_decode(_bmp_encode(img)), img)
 
     check()
+
+
+def test_fake_mode_total_on_corrupt_bmp_sniff(spark):
+    """fake=True must be TOTAL: payloads that sniff as BMP ('BM' magic,
+    >=54 bytes) but fail to decode fall back to the stand-in (features)
+    / passthrough (resize) instead of raising."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import _fake_decode
+
+    corrupt = b"BM" + bytes(60)  # header declares 0x0 image — invalid
+    _, good = _gradient_bmp(8, 8)
+    truncated = good[: len(good) - 16]  # real BMP, missing pixel bytes
+    rows = [
+        (1, "image", corrupt, 0, 0, None),
+        (2, "image", truncated, 8, 8, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.feature for r in extract_features(df, fake=True).collect()}
+    assert np.allclose(feats[1], _fake_decode(corrupt), atol=1e-6)
+    assert np.allclose(feats[2], _fake_decode(truncated), atol=1e-6)
+
+    resized = {r.media_id: bytes(r.payload) for r in resize_images(df, 4, 4, fake=True).collect()}
+    assert resized[1] == corrupt  # passthrough, not an exception
+    assert resized[2] == truncated
+
+
+def test_fake_false_corrupt_bmp_raises_value_error(spark):
+    """fake=False keeps the loud failure: a truncated BMP raises the
+    codec's ValueError (not a silent fake fallback)."""
+    _, good = _gradient_bmp(8, 8)
+    df = spark.createDataFrame(
+        [(1, "image", good[:-16], 8, 8, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(PythonException, match="ValueError"):
+        extract_features(df, fake=False).collect()

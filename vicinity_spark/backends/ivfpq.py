@@ -25,6 +25,18 @@ Metrics without a clean residual-L2 decomposition (inner product,
 hamming, tanimoto, manhattan) fall back to the non-residual path of
 the parent PQStrategy (metric-aware ADC on whole vectors, same probed-
 list masking), so every metric stays served.
+
+IVFPQR (`refine_m > 0`): a second, finer PQ on the post-reconstruction
+residual re-ranks candidates from codes alone — the full-width second
+scan FAISS IndexIVFPQR avoids (faiss.py:111-113) never happens here
+either. NOTE a deliberate default-on divergence: `final_refine`
+(default 2) exact-rescores ONLY the nq×(final_refine·k) re-rank
+winners via a tiny join back to the true vectors, so emitted distances
+are exact (hash-checkable against the exact-kNN oracle). Set
+`final_refine=0` for FAISS IndexIVFPQR parity (pure reconstruction
+distances). The recall-floor test (test_evaluate_ann_recall_floor) is
+the stated backstop if params/testdata regeneration ever stops the
+code re-rank from containing the true top-k at the gate params.
 """
 
 from __future__ import annotations

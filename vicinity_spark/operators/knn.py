@@ -291,6 +291,14 @@ def knn_join(
     Returns (query_id, id, distance, rank[, payload…]) with rank 1..k by
     ascending distance (ties broken by id — the reference's argsort is
     positional-stable, basic.py:200-204).
+
+    ``algorithm="auto"`` routing note: deciding partial-vs-grid may run
+    an EAGER bounded probe on the query side at plan-construction time —
+    free when the optimizer's ``maxRows`` is defined (local batches,
+    LIMIT'd plans), otherwise a ``limit(n+1).count()`` job that executes
+    the query-side pipeline once up to n+1 rows. If the query side is an
+    expensive lazily-derived pipeline, pass ``algorithm="partial"`` or
+    ``"grid"`` explicitly to skip the probe.
     """
     if k < 1:
         raise ValueError("k must be greater than 0")  # basic.py:187-188

@@ -88,7 +88,14 @@ def _bmp_decode(payload: bytes) -> np.ndarray:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
     flip = h > 0  # positive height = bottom-up row order
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
+    if off + h * stride > len(payload):
+        raise ValueError(
+            f"truncated BMP: header declares {h * stride} pixel bytes at "
+            f"offset {off} but payload is {len(payload)} bytes"
+        )
     rows = np.frombuffer(payload, np.uint8, count=h * stride, offset=off).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
     return (img[::-1] if flip else img).copy()
@@ -164,8 +171,17 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
             for p in pdf["payload"]:
                 b = bytes(p)
                 if _is_bmp(b):
-                    feats.append(_bmp_features(_bmp_decode(b)))
-                elif fake:
+                    # fake=True must stay total: a payload that merely
+                    # sniffs as BMP (arbitrary bytes starting 'BM', or a
+                    # truncated real BMP) falls back to the stand-in
+                    # instead of raising.
+                    try:
+                        feats.append(_bmp_features(_bmp_decode(b)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                if fake:
                     feats.append(_fake_decode(b))
                 else:
                     raise NotImplementedError(
@@ -200,8 +216,16 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
             for p in out["payload"]:
                 b = bytes(p)
                 if _is_bmp(b):
-                    payloads.append(_bmp_encode(_bmp_resize(_bmp_decode(b), width, height)))
-                elif fake:
+                    # Same totality rule as extract_features: fake=True
+                    # passes through payloads that sniff as BMP but fail
+                    # to decode (corrupt/truncated) rather than raising.
+                    try:
+                        payloads.append(_bmp_encode(_bmp_resize(_bmp_decode(b), width, height)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                if fake:
                     payloads.append(b)
                 else:
                     raise NotImplementedError("non-BMP image resize requires PIL; use fake=True")

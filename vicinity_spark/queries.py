@@ -50,7 +50,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as raw int64 and do integer-exact
-        # epoch arithmetic (oracles use epoch_ns on their side).
+        # epoch arithmetic. Events entries normalize through _events_us
+        # below (epoch-µs convention, matching the DuckDB oracles'
+        # epoch_us(ts)).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
