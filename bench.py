@@ -88,9 +88,15 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.graph import GraphStrategy
 
             # k_build=16/iters=2 buys graph quality in the UNTIMED
-            # build (recall@10 0.455 vs 0.303 for k_build=12/iters=1 at
-            # sf0.1) at identical query-phase round structure
-            strat = GraphStrategy(k_build=16, iters=2, beam=32, expansions=2)
+            # build; seed_mode="ivf" (r5) seeds each query from its 4
+            # nearest centroids' member sets instead of the fixed
+            # entry ring, so ONE expansion round reaches the recall
+            # two ring-seeded rounds bought (0.459 vs 0.455 at sf0.1)
+            # with zero intermediate materialization barriers
+            strat = GraphStrategy(
+                k_build=16, iters=2, beam=32, expansions=1,
+                seed_mode="ivf", seed_probe=4, seed_members=8,
+            )
         elif strategy_name == "ivf":
             from vicinity_spark.backends.ivf import IVFStrategy
 

@@ -25,6 +25,15 @@ Instead:
   large query batch in parallel (single-query greedy descent would
   serialize on the driver).
 
+- **Seeding** (`seed_mode`): "ring" starts every query from the same
+  `n_entries` fixed entry points (HNSW's single-entry analog);
+  "ivf" fits `seed_nlist` k-means centroids at build and seeds each
+  query from the member sets of its `seed_probe` nearest centroids —
+  round 0 then scores pairs already inside the query's neighborhood,
+  so the same recall needs fewer expansion rounds (each intermediate
+  round is a materialization barrier). Angular metrics cluster and
+  probe on the unit sphere.
+
 Inserted rows (on_insert) get entry-point adjacency and an
 `__inserted` flag; the flagged rows join every search frontier so they
 stay reachable without rewiring stored rows' neighbor lists. Like any
@@ -38,6 +47,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +72,13 @@ class GraphStrategy(IndexStrategy):
         n_entries: int = 8,
         seed: int = 42,
         entry_ids=None,
+        seed_mode: str = "ring",
+        seed_nlist: int = 32,
+        seed_probe: int = 2,
+        seed_members: int = 4,
+        train_sample: int = 20_000,
+        seed_centroids=None,
+        seed_member_ids=None,
         **params,
     ):
         super().__init__(
@@ -72,6 +89,13 @@ class GraphStrategy(IndexStrategy):
             n_entries=int(n_entries),
             seed=int(seed),
             entry_ids=entry_ids,
+            seed_mode=str(seed_mode),
+            seed_nlist=int(seed_nlist),
+            seed_probe=int(seed_probe),
+            seed_members=int(seed_members),
+            train_sample=int(train_sample),
+            seed_centroids=seed_centroids,
+            seed_member_ids=seed_member_ids,
             **params,
         )
 
@@ -172,11 +196,104 @@ class GraphStrategy(IndexStrategy):
             self.params["entry_ids"] = [
                 int(r["id"]) for r in df.select("id").orderBy("id").limit(m).collect()
             ]
+        if self.params.get("seed_mode") == "ivf" and self.params.get("seed_centroids") is None:
+            self._fit_seed_clusters(vectors, metric)
         return (
             df.join(nbrs, "id", "left")
             .withColumn(NBRS_COL, F.coalesce(F.col(NBRS_COL), F.array().cast("array<bigint>")))
             .withColumn(INSERTED_COL, F.lit(False))
         )
+
+    # ---- IVF-centroid seeding (seed_mode="ivf") ---------------------
+    # The ring entry points seed EVERY query with the same n_entries
+    # ids, so round 0 scores nq×m mostly-far pairs and beam search pays
+    # expansion rounds just to walk into the query's neighborhood.
+    # Per-query centroid seeding starts the beam inside it instead:
+    # fit seed_nlist k-means centroids at build (sampled, untimed),
+    # keep the seed_members corpus rows nearest each centroid, and at
+    # query time probe each query's seed_probe nearest centroids
+    # (Arrow-vectorized, centroid matrix in the closure — same pattern
+    # as ivf.py _probe_df) and seed from those centroids' member sets.
+    # Round-0 volume stays nq×(seed_probe·seed_members) but the pairs
+    # are CLOSE, so the same recall needs fewer expansion rounds —
+    # and each intermediate round is a materialization barrier.
+    @staticmethod
+    def _seed_space(X: np.ndarray, angular: bool) -> np.ndarray:
+        """Angular metrics cluster/probe on the unit sphere — L2 on raw
+        vectors disagrees with cosine neighborhoods whenever norms vary,
+        which makes raw-space centroid seeds land far from the query's
+        cosine neighborhood."""
+        if not angular:
+            return X
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return X / nrm
+
+    def _fit_seed_clusters(self, vectors: DataFrame, metric: Metric) -> None:
+        from vicinity_spark.backends.pq import _kmeans_np
+
+        angular = metric == Metric.COSINE
+        self.params["seed_angular"] = bool(angular)
+        n = vectors.count()
+        frac = min(1.0, self.params["train_sample"] / max(n, 1))
+        sample = vectors.select("vector").sample(fraction=frac, seed=self.params["seed"])
+        S = np.vstack(sample.toPandas()["vector"].to_numpy()).astype(np.float64)
+        C = _kmeans_np(self._seed_space(S, angular), self.params["seed_nlist"], self.params["seed"])
+        nlist = len(C)
+        space = self._seed_space
+
+        @F.pandas_udf("__scl int, __sd double")
+        def assign(v: pd.Series) -> pd.DataFrame:
+            Q = space(np.vstack(v.to_numpy()).astype(np.float64), angular)
+            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = D.argmin(axis=1)
+            return pd.DataFrame(
+                {"__scl": cl.astype(np.int32), "__sd": D[np.arange(len(cl)), cl]}
+            )
+
+        a = vectors.select("id", assign(F.col("vector")).alias("s")).select(
+            "id", "s.__scl", "s.__sd"
+        )
+        w = Window.partitionBy("__scl").orderBy(F.col("__sd"), F.col("id"))
+        # nlist × seed_members rows — a bounded structure, like entry_ids
+        members = (
+            a.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= self.params["seed_members"])
+            .select("__scl", "id")
+            .collect()
+        )
+        by_cl: "list[list[int]]" = [[] for _ in range(nlist)]
+        for r in members:
+            by_cl[int(r["__scl"])].append(int(r["id"]))
+        self.params["seed_centroids"] = [list(map(float, c)) for c in C]
+        self.params["seed_member_ids"] = by_cl
+
+    def _seed_frontier(self, queries: DataFrame) -> DataFrame:
+        """(query_id, id) per-query seeds from the probed centroids'
+        member sets. The probe is executor-side (no driver collect);
+        the member table is nlist×seed_members rows — broadcast."""
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        C = np.asarray(self.params["seed_centroids"], dtype=np.float64)
+        p = min(self.params["seed_probe"], len(C))
+        angular = bool(self.params.get("seed_angular"))
+        space = self._seed_space
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe(v: pd.Series) -> pd.Series:
+            Q = space(np.vstack(v.to_numpy()).astype(np.float64), angular)
+            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argsort(D, axis=1)[:, :p].astype(np.int32)
+            return pd.Series(list(nearest))
+
+        probed = queries.select("query_id", F.explode(probe(F.col("qvec"))).alias("__scl"))
+        rows = [
+            (cl, int(i))
+            for cl, ids in enumerate(self.params["seed_member_ids"])
+            for i in ids
+        ]
+        mdf = queries.sparkSession.createDataFrame(rows, "__scl int, id bigint")
+        return probed.join(F.broadcast(mdf), "__scl").select("query_id", "id").distinct()
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         entries = F.array(*[F.lit(int(i)) for i in self.params["entry_ids"]])
@@ -216,19 +333,29 @@ class GraphStrategy(IndexStrategy):
         vec = corpus.select("id", "vector")
         nbrs = corpus.select("id", NBRS_COL)
         B = max(self.params["beam"], int(k))
-        entry_df = spark.createDataFrame(
-            [(int(i),) for i in self.params["entry_ids"]], "id bigint"
-        )
-        seeds = entry_df.unionByName(corpus.where(F.col(INSERTED_COL)).select("id"))
-        frontier = qids.crossJoin(F.broadcast(seeds.distinct()))
+        rounds = self.params["expansions"]
+        if self.params.get("seed_mode") == "ivf" and self.params.get("seed_centroids"):
+            inserted = corpus.where(F.col(INSERTED_COL)).select("id").distinct()
+            frontier = self._seed_frontier(queries).unionByName(
+                qids.crossJoin(F.broadcast(inserted))
+            )
+        else:
+            entry_df = spark.createDataFrame(
+                [(int(i),) for i in self.params["entry_ids"]], "id bigint"
+            )
+            seeds = entry_df.unionByName(corpus.where(F.col(INSERTED_COL)).select("id"))
+            frontier = qids.crossJoin(F.broadcast(seeds.distinct()))
         w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
-        scored = score_joined(frontier.join(vec, "id"), queries, metric).localCheckpoint(
-            eager=True
-        )
+        scored = score_joined(frontier.join(vec, "id"), queries, metric)
+        if rounds >= 2:
+            # the seed scores feed every later round's visited/pool —
+            # materialize once. With ≤1 round the whole search is a
+            # single fused job and re-deriving the (tiny) seed scoring
+            # inside it is cheaper than a separate checkpoint job.
+            scored = scored.localCheckpoint(eager=True)
         pool = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= B)
         visited = scored.select("query_id", "id")
         expanded = None
-        rounds = self.params["expansions"]
         unchk = 0  # rounds since the pool lineage was last truncated
         for rnd in range(rounds):
             beam = pool.where(F.col("__r") <= self.params["beam"]).select("query_id", "id")
