@@ -180,3 +180,56 @@ def test_fake_false_corrupt_bmp_raises_value_error(spark):
     )
     with pytest.raises(PythonException, match="ValueError"):
         extract_features(df, fake=False).collect()
+
+
+def test_synthetic_bmp_media_features_are_exact_bit_patterns(spark):
+    """The synthetic corpus's pooled features must be EXACTLY
+    on_value·bit of (id % 65535) + 1 — the invariant the multimodal_knn
+    oracle (queries.py) relies on to replicate the codec in SQL."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _bmp_decode,
+        extract_features,
+        synthetic_bmp_media,
+    )
+    from vicinity_spark.queries import _bmp_on_value
+
+    ids = spark.range(0, 40, 7).select(F.col("id").alias("media_id"))
+    media = synthetic_bmp_media(ids)
+    on = _bmp_on_value()
+    feats = {r.media_id: r.feature for r in extract_features(media, fake=False).collect()}
+    assert len(feats) == 6
+    for mid, f in feats.items():
+        p = (mid % 65535) + 1
+        expect = [on * ((p >> k) & 1) for k in range(16)]
+        assert f == expect, (mid, f, expect)
+
+    # payload really is a decodable BMP of the declared size
+    one = media.where(F.col("media_id") == 7).collect()[0]
+    img = _bmp_decode(bytes(one.payload))
+    assert img.shape == (16, 16, 3)
+    assert set(np.unique(img)) <= {0, 255}
+
+
+def test_decode_meta_reports_decoded_not_declared_dims(spark):
+    """decode_meta must report what the decoder SAW, even when the
+    declared meta columns lie; fake=True falls back to declared meta
+    for undecodable payloads."""
+    from vicinity_spark.operators.multimodal import _bmp_encode, decode_meta
+
+    import numpy as np
+
+    real = _bmp_encode(np.zeros((6, 10, 3), np.uint8))  # 10 wide, 6 tall
+    rows = [
+        (1, "image", real, 999, 999, None),  # declared meta is wrong
+        (2, "audio", bytes([1, 2, 3]), None, None, 1200),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_meta(df, fake=True).collect()}
+    assert (out[1].width, out[1].height) == (10, 6)
+    assert out[1].n_bytes == len(real)
+    assert out[2].width is None and out[2].height is None
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_meta(df, fake=False).collect()

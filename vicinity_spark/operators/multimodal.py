@@ -267,6 +267,107 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     return media.where(F.col("media_type") == "video").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4, cell_px: int = 4) -> DataFrame:
+    """Deterministic 24-bit BMP corpus: one (grid·cell_px)² RGB image
+    per id, generated executor-side with the REAL encoder (`_bmp_encode`).
+
+    Each id maps to the grid²-bit pattern `(id % 65535) + 1` (the +1
+    keeps every image non-blank, so downstream cosine features are
+    never the zero vector); pooled cell (i, j) is solid white iff bit
+    i·grid+j is set, else black. Because every pixel inside a pooled
+    cell is identical, `_bmp_features` of the encoded image is exactly
+    `on_value·bit` per component — closed-form checkable by an external
+    oracle without running a codec (see queries.py multimodal_knn)."""
+    side = grid * cell_px
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for mid in pdf[id_col]:
+                p = (int(mid) % 65535) + 1
+                img = np.zeros((side, side, 3), np.uint8)
+                for i in range(grid):
+                    for j in range(grid):
+                        if (p >> (i * grid + j)) & 1:
+                            img[
+                                i * cell_px : (i + 1) * cell_px,
+                                j * cell_px : (j + 1) * cell_px,
+                                :,
+                            ] = 255
+                payloads.append(_bmp_encode(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64").values,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta_width": np.int32(side),
+                    "meta_height": np.int32(side),
+                    "meta_duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+_DECODED_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_meta(media: DataFrame, fake: bool = False) -> DataFrame:
+    """DECODED (not declared) image dimensions + payload size — the
+    header-parse slice of the real codec path. BMP payloads report the
+    dimensions the decoder actually produced; other formats fall back
+    to the declared meta columns under fake=True (same totality rule as
+    extract_features) or raise."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights = [], []
+            for p, mw, mh in zip(pdf["payload"], pdf["meta_width"], pdf["meta_height"]):
+                b = bytes(p)
+                if _is_bmp(b):
+                    try:
+                        img = _bmp_decode(b)
+                        heights.append(int(img.shape[0]))
+                        widths.append(int(img.shape[1]))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                if fake:
+                    widths.append(None if pd.isna(mw) else int(mw))
+                    heights.append(None if pd.isna(mh) else int(mh))
+                else:
+                    raise NotImplementedError(
+                        "non-BMP media decode requires an image/audio codec; "
+                        "run with fake=True to fall back to declared metadata"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select(
+        "media_id", "media_type", "payload", "meta_width", "meta_height"
+    ).mapInPandas(kernel, _DECODED_META_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic media table derived from the documents corpus
     (payload = utf-8 bytes of the text): exercises the binary-column
