@@ -549,3 +549,40 @@ def test_graph_ivf_seeding_inserted_rows_reachable(spark):
     got = strat.knn(appended, queries, k=3, metric=Metric.EUCLIDEAN).collect()
     best = min(got, key=lambda r: r["rank"])
     assert best["id"] == n and best["distance"] == 0.0
+
+
+def test_ivf_preset_centroids_build_assigns_argmin(spark):
+    """Preset-centroid build (r5) must skip the KMeans fit and assign
+    every row to its argmin-l2 centroid — the deterministic contract
+    the ann_recall_summary ivf-branch oracle replicates in SQL."""
+    import numpy as np
+
+    from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((60, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)], "id long, vector array<float>"
+    )
+    cents = [list(map(float, X[j])) for j in (5, 20, 40)]
+    strat = IVFStrategy(nlist=3, nprobe=3, centroids=cents)
+    built = strat.build(corpus, Metric.COSINE, 8)
+
+    got = {r.id: r[CLUSTER_COL] for r in built.collect()}
+    C = np.asarray(cents)
+    for i in range(60):
+        expect = int(np.argmin(((X[i].astype(np.float64) - C) ** 2).sum(axis=1)))
+        assert got[i] == expect, (i, got[i], expect)
+
+    # nprobe = nlist → exact recall: the preset path is a real index
+    queries = corpus.where(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    res = strat.knn(built, queries, k=5, metric=Metric.COSINE)
+    from vicinity_spark.operators.knn import knn_join
+
+    exact = knn_join(corpus, queries, k=5, metric="cosine", algorithm="window", dim=8)
+    a = {(r.query_id, r.rank): r.id for r in res.collect()}
+    b = {(r.query_id, r.rank): r.id for r in exact.collect()}
+    assert a == b

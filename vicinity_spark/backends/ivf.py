@@ -51,6 +51,18 @@ class IVFStrategy(IndexStrategy):
         from pyspark.ml.functions import array_to_vector
 
         self.params["dim"] = int(dim)
+        if self.params.get("centroids") is not None:
+            # preset centroids (r5): skip the KMeans fit and assign each
+            # row to its argmin-l2 centroid with the same vectorized
+            # kernel shape as _probe_df (tiny centroid matrix in the
+            # closure, no shuffle, no row explosion). Deterministic
+            # given the centroid list — which is what lets an external
+            # oracle replicate cluster assignment exactly, and what a
+            # production reload does after `load` (centroids live in
+            # params, build never refits on reload).
+            self.params["nlist"] = len(self.params["centroids"])
+            out = df.withColumn(CLUSTER_COL, self._assign_udf()(F.col("vector")))
+            return out.repartition(min(self.params["nlist"], 32), F.col(CLUSTER_COL))
         feats = df.withColumn(
             "__features", array_to_vector(F.col("vector").cast("array<double>"))
         )
@@ -79,6 +91,22 @@ class IVFStrategy(IndexStrategy):
             .where(F.col("__rn") == 1)
             .drop("__rn", "__cvec")
         )
+
+    def _assign_udf(self):
+        """array<float> vector → nearest centroid id (argmin squared
+        euclidean, ties to the lower cluster id — np.argmin keeps the
+        first minimum, matching `ORDER BY dist, cid` in SQL)."""
+        from pyspark.sql.types import IntegerType
+
+        C = self.centroids
+
+        @F.pandas_udf(IntegerType())
+        def assign(v: pd.Series) -> pd.Series:
+            Q = np.vstack(v.to_numpy()).astype(np.float64)
+            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+
+        return assign
 
     def _centroid_df(self, spark) -> DataFrame:
         cents = self.params["centroids"]

@@ -557,31 +557,23 @@ def ann_ivfpqr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the same seeded coordinate pairs embedded as SQL literals.
 
 _RECALL_L, _RECALL_B, _RECALL_SEED, _RECALL_K = 8, 8, 42, 10
+# IVF branch (r5): centroids = the embedding rows with these vec_ids
+# (all < 500, so they exist at every sf); cluster c = the c-th smallest
+# id. Data-point centroids instead of a KMeans fit keep the assignment
+# a pure argmin the oracle replicates exactly — still honest
+# production-shaped pruning: nprobe=2 of nlist=8 lists searched.
+_RECALL_IVF_IDS = [3, 65, 127, 189, 251, 313, 375, 437]
+_RECALL_IVF_NPROBE = 2
 
 
-def _recall_sql() -> str:
-    from vicinity_spark.backends.lsh import _sparse_pairs
-
-    a, b = _sparse_pairs(_RECALL_L, _RECALL_B, DIM, _RECALL_SEED)
-
-    def buckets(col: str) -> str:
-        tables = []
-        for t in range(_RECALL_L):
-            bits = " + ".join(
-                f"(CASE WHEN ({col}[{a[t, j] + 1}]::DOUBLE - {col}[{b[t, j] + 1}]::DOUBLE)"
-                f" > 0.0 THEN {1 << j} ELSE 0 END)"
-                for j in range(_RECALL_B)
-            )
-            tables.append(f"({bits}) AS b{t}")
-        return ", ".join(tables)
-
-    on = " OR ".join(f"qb.b{t} = cb.b{t}" for t in range(_RECALL_L))
+def _recall_tail(prefix: str) -> str:
+    """Shared recall-summary SQL tail: `prefix` must define CTEs
+    q(query_id, qv) and cand(query_id, id) [distinct pairs]; the tail
+    re-ranks candidates, compares against the exact top-k, and emits
+    (query_id, n_candidates, hits, recall)."""
     dist = sql_distance("cosine", "q.qv", "e.embedding", clip=False)
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
-cb AS (SELECT vec_id AS id, {buckets('embedding')} FROM embeddings),
-qb AS (SELECT vec_id AS query_id, {buckets('embedding')} FROM embeddings WHERE vec_id < {NQ}),
-cand AS (SELECT DISTINCT qb.query_id, cb.id FROM qb JOIN cb ON ({on})),
+WITH {prefix},
 annd AS (
   SELECT c.query_id, c.id, {dist} AS d
   FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.query_id = c.query_id
@@ -611,12 +603,86 @@ FROM q LEFT JOIN nc ON nc.query_id = q.query_id LEFT JOIN h ON h.query_id = q.qu
 """
 
 
-@register("ann_recall_summary", _recall_sql())
-def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@k of the LSH plan at production parameters
-    (F15 `evaluate` methodology, vicinity.py:328-393, as a DataFrame
-    program): candidate counts, exact-top-k hits, recall — everything
-    downstream a pipeline needs to monitor ANN quality at scale."""
+def _recall_lsh_sql() -> str:
+    from vicinity_spark.backends.lsh import _sparse_pairs
+
+    a, b = _sparse_pairs(_RECALL_L, _RECALL_B, DIM, _RECALL_SEED)
+
+    def buckets(col: str) -> str:
+        tables = []
+        for t in range(_RECALL_L):
+            bits = " + ".join(
+                f"(CASE WHEN ({col}[{a[t, j] + 1}]::DOUBLE - {col}[{b[t, j] + 1}]::DOUBLE)"
+                f" > 0.0 THEN {1 << j} ELSE 0 END)"
+                for j in range(_RECALL_B)
+            )
+            tables.append(f"({bits}) AS b{t}")
+        return ", ".join(tables)
+
+    on = " OR ".join(f"qb.b{t} = cb.b{t}" for t in range(_RECALL_L))
+    prefix = f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+cb AS (SELECT vec_id AS id, {buckets('embedding')} FROM embeddings),
+qb AS (SELECT vec_id AS query_id, {buckets('embedding')} FROM embeddings WHERE vec_id < {NQ}),
+cand AS (SELECT DISTINCT qb.query_id, cb.id FROM qb JOIN cb ON ({on}))"""
+    return _recall_tail(prefix)
+
+
+def _recall_ivf_sql() -> str:
+    ids = ", ".join(map(str, _RECALL_IVF_IDS))
+    asg_d = sql_l2sq("e.embedding", "c.cvec")
+    probe_d = sql_l2sq("q.qv", "c.cvec")
+    prefix = f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+asg AS (
+  SELECT id, cid FROM (
+    SELECT e.vec_id AS id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {asg_d}, c.cid) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {probe_d}, c.cid) AS r
+    FROM q CROSS JOIN cent c
+  ) WHERE r <= {_RECALL_IVF_NPROBE}
+),
+cand AS (SELECT p.query_id, a.id FROM probe p JOIN asg a ON a.cid = p.cid)"""
+    return _recall_tail(prefix)
+
+
+def _recall_summary_of(queries: DataFrame, cand: DataFrame, ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, n_candidates, hits, recall) from a candidate-pair
+    set, the ANN top-k, and the exact top-k — the F15 `evaluate`
+    bookkeeping shared by every backend family."""
+    hits = ann.join(exact, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        queries.select("query_id")
+        .join(nc, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / float(_RECALL_K), 6).alias("recall"),
+        )
+    )
+
+
+def _recall_exact_topk(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    return knn_join(
+        corpus.select("id", "vector"), queries, k=_RECALL_K,
+        metric="cosine", algorithm="window", dim=DIM,
+    ).select("query_id", "id")
+
+
+def _recall_lsh_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vicinity_spark.backends.lsh import LSHStrategy
     from vicinity_spark.datatypes import Metric
 
@@ -631,23 +697,49 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _emb_queries(spark, sf_dir)
     cand = strat._candidates(corpus, queries, Metric.COSINE)
     ann = strat.knn(corpus, queries, k=_RECALL_K, metric=Metric.COSINE).select("query_id", "id")
-    exact = knn_join(
-        corpus.select("id", "vector"), queries, k=_RECALL_K,
-        metric="cosine", algorithm="window", dim=DIM,
-    ).select("query_id", "id")
-    hits = ann.join(exact, ["query_id", "id"]).groupBy("query_id").agg(
-        F.count("*").alias("hits")
+    return _recall_summary_of(queries, cand, ann, _recall_exact_topk(corpus, queries))
+
+
+def _recall_ivf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
+    from vicinity_spark.datatypes import Metric
+
+    corpus = _emb_corpus(spark, sf_dir).select("id", "vector")
+    # bounded driver collect: exactly nlist(=8) centroid rows
+    cents = corpus.where(F.col("id").isin(_RECALL_IVF_IDS)).orderBy("id").collect()
+    strat = IVFStrategy(
+        nlist=len(cents),
+        nprobe=_RECALL_IVF_NPROBE,
+        centroids=[list(map(float, r.vector)) for r in cents],
     )
-    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    built = strat.build(corpus, Metric.COSINE, DIM)
+    queries = _emb_queries(spark, sf_dir)
+    cand = built.join(strat._probe_df(queries), CLUSTER_COL).select("query_id", "id")
+    ann = strat.knn(built, queries, k=_RECALL_K, metric=Metric.COSINE).select("query_id", "id")
+    return _recall_summary_of(queries, cand, ann, _recall_exact_topk(built, queries))
+
+
+@register(
+    "ann_recall_summary",
+    _labeled_sql("family", "lsh", _recall_lsh_sql())
+    + "\nUNION ALL\n"
+    + _labeled_sql("family", "ivf", _recall_ivf_sql()),
+)
+def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k at HONEST sub-1-recall production parameters
+    for TWO backend families as one labeled union (F15 `evaluate`
+    methodology, vicinity.py:328-393, as a DataFrame program):
+    candidate counts, exact-top-k hits, recall — everything downstream
+    a pipeline needs to monitor ANN quality at scale. The `lsh` branch
+    replicates the sparse ±1 projection family bit-exactly in SQL; the
+    `ivf` branch (r5) uses preset data-point centroids so cluster
+    assignment and nprobe=2-of-nlist=8 probing are argmin computations
+    the oracle reproduces from the same rows."""
     return (
-        queries.select("query_id")
-        .join(nc, "query_id", "left")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
-            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-            F.round(F.coalesce("hits", F.lit(0)) / float(_RECALL_K), 6).alias("recall"),
+        _recall_lsh_branch(spark, sf_dir)
+        .select(F.lit("lsh").alias("family"), "*")
+        .unionByName(
+            _recall_ivf_branch(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
         )
     )
 
@@ -2121,6 +2213,7 @@ _CHECK_FIRST = [
     "dedup_simhash_pairs",
     # new/changed in r5 — need their first green row:
     "multimodal_knn",
+    "ann_recall_summary",
     # new/merged in r4 — need their first green row:
     "knn_all_metrics",
     "threshold_radius",

@@ -175,6 +175,13 @@ class VectorStore:
         V = np.asarray(vectors, dtype=np.float64)
         if V.ndim == 1:  # 1-D promotion, vicinity.py:129-131
             V = V[None, :]
+        if V.shape[1] != self.dim:
+            # the reference fails inside the backend on a query-dim
+            # mismatch; checking driver-side costs nothing (the batch
+            # is local) and fails before a distributed job launches
+            raise ValueError(
+                f"Query vectors have dimension {V.shape[1]}, store has {self.dim}"
+            )
         spark = self.df.sparkSession
         schema = StructType(
             [StructField("query_id", LongType()), StructField("qvec", ArrayType(FloatType()))]
