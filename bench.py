@@ -284,6 +284,36 @@ lsh_scale_200k = _lsh_scale(200_000, 12)
 lsh_scale_2m = _lsh_scale(2_000_000, 16, parts=64)
 
 
+def multimodal_bmp_200k(spark, sf_dir):
+    """Multimodal column at the 200k tier: 200k real 24-bit BMP
+    payloads (~165 MB of binary column, built+cached untimed) →
+    REAL-codec decode + pooled-grid feature extraction (Arrow-batched
+    mapInPandas, fake=False) → exact cosine k-NN of 100 query images
+    over all 200k feature vectors (collect-free grid plan; query
+    features extracted from a 100-row pushed-down slice of the media
+    table, not a second full pass). Times the claim that a binary
+    media column is a first-class vector source at scale."""
+    from vicinity_spark.operators.knn import knn_join
+    from vicinity_spark.operators.multimodal import extract_features, synthetic_bmp_media
+
+    ids = spark.range(0, 200_000, 1, 32).select(F.col("id").alias("media_id"))
+    media = synthetic_bmp_media(ids).cache()
+    media.count()
+    # untimed warm-up of the decode+feature kernel codegen
+    extract_features(media.where(F.col("media_id") < 2000), fake=False).count()
+
+    def run(s, d):
+        corpus = extract_features(media, fake=False).select(
+            F.col("media_id").alias("id"), F.col("feature").alias("vector")
+        )
+        queries = extract_features(
+            media.where(F.col("media_id") < 100), fake=False
+        ).select(F.col("media_id").alias("query_id"), F.col("feature").alias("qvec"))
+        return knn_join(corpus, queries, k=10, metric="cosine", algorithm="grid", dim=16)
+
+    return run
+
+
 def neardup_inmem_sweep(spark, sf_dir):
     """Embedding near-dup pairs (same semantics as the oracle-checked
     neardup_embeddings query) with the vectorized block kernel: each
@@ -361,6 +391,7 @@ BENCH = {
     # falsifiable evidence for the linear/sublinear scaling claims
     # (BENCHNOTES.md has the 200k→2M factor table). Last in the suite
     # so the 200k entries keep their historical suite positions.
+    "multimodal_bmp_200k": multimodal_bmp_200k,
     "knn_scale_2m": knn_scale_2m,
     "lsh_scale_2m": lsh_scale_2m,
     "lsh_neardup_2m": lsh_neardup_2m,
