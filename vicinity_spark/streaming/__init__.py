@@ -1,13 +1,21 @@
+from vicinity_spark.streaming.dedup import stream_exact_dedup
 from vicinity_spark.streaming.ingest import (
     stream_events,
     stream_vector_ingest,
     windowed_event_counts,
 )
+from vicinity_spark.streaming.neardup import (
+    stateless_minhash,
+    stream_neardup_candidates,
+)
 from vicinity_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
     "sessionize_stream",
+    "stateless_minhash",
     "stream_events",
+    "stream_exact_dedup",
+    "stream_neardup_candidates",
     "stream_vector_ingest",
     "windowed_event_counts",
 ]

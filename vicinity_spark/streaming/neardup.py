@@ -1,0 +1,152 @@
+"""Streaming near-duplicate candidate mining (★ extension — the
+reference has no streaming surface; SURVEY.md §2.5): the streaming
+twin of operators/dedup.py minhash_lsh_pairs.
+
+A production corpus ingested continuously needs near-dup detection AT
+INGEST, not only in nightly batch sweeps. Design constraints and how
+this operator meets them:
+
+- **One stateful operator.** The batch MinHash pipeline computes
+  signatures with a crossJoin + groupBy — a stateful aggregation in
+  streaming, which would chain two stateful operators. Here the
+  signature is computed STATELESSLY per row (pure column expressions:
+  shingle array → per-seed `array_min(transform(xxhash64(seed, _)))`),
+  so the only stateful operator in the query is the keyed bucket
+  state.
+- **Bounded state.** Docs explode to one row per signature band;
+  per-(band, bucket) state keeps only the MOST RECENT prior doc
+  (id, event time, signature). Buckets are 64-bit hashes, so non-dup
+  collisions are rare and one-deep state loses almost nothing; state
+  is evicted by event-time timeout once the watermark passes
+  last_ts + horizon — state size ∝ live-bucket arrival rate ×
+  horizon, never corpus history.
+- **Detect streaming, verify in batch.** On a bucket collision the
+  operator emits a CANDIDATE pair with the signature-estimated
+  jaccard (mean equal minhash components — the standard unbiased
+  estimate). Exact confirmation belongs to the downstream batch
+  verify (operators/dedup.py), mirroring how production pipelines
+  split cheap streaming detection from exact batch confirmation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NEARDUP_SCHEMA = "doc_id bigint, matched_doc_id bigint, band int, est_jaccard double"
+_STATE_SCHEMA = "doc_id bigint, last_ts timestamp, sig array<bigint>"
+
+
+def stateless_minhash(
+    text_col: str = "text", n_hashes: int = 16, shingle: int = 3
+) -> Column:
+    """array<bigint>[n_hashes] MinHash signature as a pure column
+    expression (xxhash64 family, same estimator as the batch
+    operators/dedup.py `hash_fn="xxhash64"` family): word-`shingle`
+    n-grams of the lowercased text, min over shingles of
+    xxhash64(seed, shingle) per seed. Stateless → usable in a
+    streaming projection with no aggregation state."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    grams = F.when(
+        n >= shingle,
+        F.transform(
+            F.sequence(F.lit(1), n - shingle + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array(
+        *[
+            # seed cast matters: xxhash64 hashes by input type, and the
+            # batch family's seed column is bigint (spark.range)
+            F.array_min(F.transform(grams, lambda x: F.xxhash64(F.lit(s).cast("bigint"), x)))
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def stream_neardup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    horizon_minutes: int = 10,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """(doc_id, matched_doc_id, band, est_jaccard) — one candidate row
+    per signature-band collision between an arriving doc and the most
+    recent prior doc in that band bucket within the state horizon.
+
+    A true near-dup pair collides in ~every band (rows_per_band
+    consecutive equal minhashes per band), so it emits multiple
+    candidate rows — downstream keeps max(est_jaccard) per pair. A
+    chance single-band collision between unrelated docs emits one row
+    whose est_jaccard sits far below any sane threshold; the
+    min_est_jaccard gate drops it in-operator."""
+    nbands = n_hashes // rows_per_band
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        stateless_minhash(text_col, n_hashes=n_hashes, shingle=shingle).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(nbands)
+    ]
+    bands = keyed.select(
+        "doc_id", "ts", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "ts", "sig", "bb.band", "bb.bkey")
+    horizon_ms = horizon_minutes * 60 * 1000
+    min_est = float(min_est_jaccard)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "matched_doc_id", "band", "est_jaccard"]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band = int(key[0])
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            pid, pts, psig = state.get
+            psig = list(psig)
+        else:
+            pid, pts, psig = None, None, None
+        out = []
+        for doc_id, ts, sig in zip(rows["doc_id"], rows["ts"], rows["sig"]):
+            sig = [int(x) for x in sig]
+            if pid is not None and int(doc_id) != pid:
+                est = sum(a == b for a, b in zip(sig, psig)) / float(len(sig))
+                if est >= min_est:
+                    out.append([int(doc_id), pid, band, est])
+            pid, pts, psig = int(doc_id), ts, sig
+        state.update((pid, pts.to_pydatetime(), psig))
+        state.setTimeoutTimestamp(int(pts.value // 1_000_000) + horizon_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band", "bkey")
+        .applyInPandasWithState(
+            fn,
+            NEARDUP_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
