@@ -586,3 +586,35 @@ def test_ivf_preset_centroids_build_assigns_argmin(spark):
     a = {(r.query_id, r.rank): r.id for r in res.collect()}
     b = {(r.query_id, r.rank): r.id for r in exact.collect()}
     assert a == b
+
+
+def test_graph_ivf_seed_state_survives_save_reload(spark, tmp_path):
+    """seed_mode='ivf' stores its centroids + member ids in params, so
+    a reloaded store must answer from the persisted seed state without
+    re-entering build() or the seed k-means fit."""
+    import numpy as np
+
+    from vicinity_spark.backends.graph import GraphStrategy
+    from vicinity_spark.store import VectorStore
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((120, 12)).astype(np.float32)
+    st = VectorStore.from_vectors_and_items(
+        spark, X, [f"i{i}" for i in range(120)], backend_type="hnsw",
+        metric="cosine", k_build=8, iters=1, beam=16, expansions=1,
+        seed_mode="ivf", seed_nlist=4, seed_probe=2, seed_members=4,
+    )
+    want = st.query(X[:2], k=5)
+    path = str(tmp_path / "graph_ivf_store")
+    st.save(path)
+
+    loaded = VectorStore.load(path, spark)
+    assert loaded.strategy.params.get("seed_centroids") is not None
+    assert loaded.strategy.params.get("seed_member_ids") is not None
+
+    def boom(*a, **k):
+        raise AssertionError("reloaded ivf-seeded graph store re-ran build/fit")
+
+    loaded.strategy.build = boom
+    loaded.strategy._fit_seed_clusters = boom
+    assert loaded.query(X[:2], k=5) == want
