@@ -171,3 +171,35 @@ def test_dedup_e2e_composition(spark):
     planted = {r["id"]: r["rep"] for r in comps.where(F.col("id") >= 3000).collect()}
     assert len(planted) == 60
     assert all(rep == i - 3000 for i, rep in planted.items())
+
+
+def test_band_buckets_onepass_equals_row_form(spark):
+    """The one-shuffle band-bucket computation (r5) must be
+    row-identical to minhash_signatures -> minhash_band_buckets for
+    BOTH hash families — same seeds, same band layout, same keys."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_onepass,
+        minhash_band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "totally different words here now ok fine yes"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=3)
+    for fam in ["md5", "xxhash64"]:
+        for n_hashes, rpb in [(16, 2), (12, 5)]:  # incl. a partial last band
+            row = minhash_band_buckets(
+                minhash_signatures(sh, "shingle", n_hashes=n_hashes, hash_fn=fam),
+                rows_per_band=rpb,
+            )
+            fast = band_buckets_onepass(sh, "shingle", n_hashes, rpb, fam)
+            a = {(r.doc_id, r.band, r.bkey) for r in row.collect()}
+            b = {(r.doc_id, r.band, r.bkey) for r in fast.collect()}
+            assert a == b, (fam, n_hashes, rpb)

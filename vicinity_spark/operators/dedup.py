@@ -156,6 +156,48 @@ def minhash_signatures(
     )
 
 
+def _seed_mh_expr(seed: int, feature_col: str, hash_fn: str):
+    """hash(seed, feature) for one literal seed — value-identical to
+    the minhash_signatures column families (the seed literal is cast
+    bigint because xxhash64 hashes by input type and the row-form seed
+    column comes from spark.range)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed).cast("bigint"), F.col(feature_col))
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(feature_col)).cast("binary"))
+    raise ValueError(f"unknown minhash family {hash_fn!r}")
+
+
+def band_buckets_onepass(
+    sh: DataFrame, feature_col: str, n_hashes: int, rows_per_band: int, hash_fn: str
+) -> DataFrame:
+    """(doc_id, band, bkey) in ONE shuffle (r5): the signature is
+    n_hashes map-side-combined `min(hash(seed, feature))` aggregates of
+    a single groupBy(doc_id), and band keys are projections over the
+    aggregated row. Value-identical to minhash_signatures →
+    minhash_band_buckets (same hash families, same seed order, same
+    band key layout), but the row form crossJoins the seed table first
+    — shuffling n_hashes× the shingle rows into a two-key aggregation —
+    where this shuffles exactly one combined row per doc."""
+    import math
+
+    aggs = [
+        F.min(_seed_mh_expr(s, feature_col, hash_fn)).alias(f"__mh{s}")
+        for s in range(n_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    for b in range(math.ceil(n_hashes / rows_per_band)):
+        seeds = range(b * rows_per_band, min((b + 1) * rows_per_band, n_hashes))
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"__mh{s}").cast("string") for s in seeds]).cast("binary")
+        )
+        bands.append(F.struct(F.lit(b).cast("bigint").alias("band"), key.alias("bkey")))
+    return per_doc.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+
+
 def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     """(doc_id, band, bkey) — hash each band of the signature. Works
     over either signature family (mh values are stringified into the
@@ -204,8 +246,9 @@ def minhash_lsh_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sh = sh.localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, "shingle", n_hashes=n_hashes, hash_fn=hash_fn)
-    buckets = minhash_band_buckets(sigs, rows_per_band=rows_per_band)
+    buckets = band_buckets_onepass(
+        sh, "shingle", n_hashes=n_hashes, rows_per_band=rows_per_band, hash_fn=hash_fn
+    )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
     cands = (
