@@ -348,3 +348,66 @@ def test_stream_neardup_candidates(spark, tmp_path):
     # a true near-dup collides in many bands with a high estimate
     assert max(r.est_jaccard for r in rows) >= 0.5
     assert len(rows) >= 2
+
+@pytest.mark.parametrize("backend", ["lsh", "ivf"])
+def test_stream_knn_matches_batch(spark, tmp_path, backend):
+    """Streaming k-NN serving (stream-static candidate join + one
+    watermarked top-k aggregation) returns exactly the batch strategy's
+    top-k for the same corpus, params, and queries — candidate
+    generation is the identical probe kernel, so parity is structural,
+    not statistical."""
+    import datetime as dt
+
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.streaming import stream_knn
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 200, 8, 5
+    corpus_rows = [(i, [float(x) for x in rng.random(dim)]) for i in range(n)]
+    corpus_df = spark.createDataFrame(corpus_rows, "id long, vector array<float>")
+    if backend == "lsh":
+        from vicinity_spark.backends.lsh import LSHStrategy
+
+        strat = LSHStrategy(n_tables=8, n_bits=4)
+    else:
+        from vicinity_spark.backends.ivf import IVFStrategy
+
+        strat = IVFStrategy(nlist=4, nprobe=2)
+    built = strat.build(corpus_df, Metric.COSINE, dim).cache()
+    built.count()
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    qrows = [(i, [float(x) for x in rng.random(dim)], t0) for i in range(5)]
+    # the flush row advances the final watermark past t0 so the t0
+    # groups emit in the trailing no-data batch; its own group stays
+    # open and is excluded from the assertion
+    flush = [(99, [float(x) for x in rng.random(dim)], t0 + dt.timedelta(hours=1))]
+    qschema = "query_id long, qvec array<float>, ts timestamp"
+    src = tmp_path / f"knn_queries_{backend}"
+    spark.createDataFrame(qrows + flush, qschema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(qschema).parquet(str(src))
+    res = stream_knn(built, stream, k=k, metric="cosine", strategy=strat, watermark="10 minutes")
+    q = (
+        res.writeStream.format("memory")
+        .queryName(f"stream_knn_{backend}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"select * from stream_knn_{backend}").collect()
+    got = [r for r in got if r.query_id != 99]
+
+    batch_q = spark.createDataFrame([(i, v) for i, v, _ in qrows], "query_id long, qvec array<float>")
+    expected = strat.knn(built, batch_q, k=k, metric=Metric.COSINE).collect()
+
+    got_keys = {(r.query_id, r.rank): (r.id, r.distance) for r in got}
+    exp_keys = {(r.query_id, r.rank): (r.id, r.distance) for r in expected}
+    assert set(got_keys) == set(exp_keys)
+    for key, (gid, gdist) in got_keys.items():
+        eid, edist = exp_keys[key]
+        assert gid == eid, (key, gid, eid)
+        assert gdist == pytest.approx(edist, abs=1e-9)
+    # every emitted query got a full (or bucket-bounded) result set
+    assert all(r.rank <= k for r in got)

@@ -115,12 +115,14 @@ class IVFStrategy(IndexStrategy):
             f"{CLUSTER_COL} int, __cvec array<double>",
         )
 
-    def _probe_df(self, queries: DataFrame) -> DataFrame:
-        """(query_id, __cluster) for the nprobe nearest centroids —
-        computed *executor-side* in an Arrow-vectorized pandas UDF with
-        the tiny centroid matrix riding in the closure (same pattern as
-        LSH's _probe_df): no driver collect, so a 10M-row query table
-        probes in parallel instead of bottlenecking the driver."""
+    def _probe_df(self, queries: DataFrame, extra_cols: Sequence[str] = ()) -> DataFrame:
+        """(query_id, *extra_cols, __cluster) for the nprobe nearest
+        centroids — computed *executor-side* in an Arrow-vectorized
+        pandas UDF with the tiny centroid matrix riding in the closure
+        (same pattern as LSH's _probe_df): no driver collect, so a
+        10M-row query table probes in parallel instead of bottlenecking
+        the driver. `extra_cols` ride along for the streaming serving
+        path (ts + qvec, so scoring never re-joins the query stream)."""
         from pyspark.sql.types import ArrayType, IntegerType
 
         C = self.centroids
@@ -134,7 +136,7 @@ class IVFStrategy(IndexStrategy):
             return pd.Series(list(nearest))
 
         return queries.select(
-            "query_id", F.explode(probe(F.col("qvec"))).alias(CLUSTER_COL)
+            "query_id", *extra_cols, F.explode(probe(F.col("qvec"))).alias(CLUSTER_COL)
         )
 
     def _scored(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:

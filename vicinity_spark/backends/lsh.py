@@ -205,9 +205,14 @@ class LSHStrategy(IndexStrategy):
             self._postings = spark.read.parquet(p)
 
     # ---- query plans ------------------------------------------------
-    def _probe_df(self, queries: DataFrame, metric: Metric) -> DataFrame:
-        """(query_id, table, bucket) probes — hashed executor-side with
-        the same Arrow-vectorized kernel as build (no driver roundtrip)."""
+    def _probe_df(
+        self, queries: DataFrame, metric: Metric, extra_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        """(query_id, *extra_cols, table, bucket) probes — hashed
+        executor-side with the same Arrow-vectorized kernel as build (no
+        driver roundtrip). `extra_cols` ride along for callers that need
+        the query's payload past the probe (the streaming serving path
+        carries ts + qvec so scoring never re-joins the query stream)."""
         params = dict(self.params)
 
         @F.pandas_udf(ArrayType(LongType()))
@@ -216,7 +221,9 @@ class LSHStrategy(IndexStrategy):
             return pd.Series(list(_bucket_matrix_np(params, X, metric)))
 
         return queries.select(
-            "query_id", F.posexplode(bucketize(F.col("qvec"))).alias("table", "bucket")
+            "query_id",
+            *extra_cols,
+            F.posexplode(bucketize(F.col("qvec"))).alias("table", "bucket"),
         )
 
     def _candidates(self, corpus: DataFrame, queries: DataFrame, metric: Metric) -> DataFrame:

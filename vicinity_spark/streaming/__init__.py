@@ -8,6 +8,7 @@ from vicinity_spark.streaming.neardup import (
     stateless_minhash,
     stream_neardup_candidates,
 )
+from vicinity_spark.streaming.query import stream_knn
 from vicinity_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "stateless_minhash",
     "stream_events",
     "stream_exact_dedup",
+    "stream_knn",
     "stream_neardup_candidates",
     "stream_vector_ingest",
     "windowed_event_counts",

@@ -1,0 +1,125 @@
+"""Streaming k-NN serving (★ extension — the reference has no
+streaming surface; its `query()` is a blocking batch call,
+vicinity/vicinity.py:118-141): serve a continuous STREAM of query
+vectors against a static, pre-built ANN corpus with Structured
+Streaming.
+
+Why this shape scales (the 100 TB serving story):
+
+- **Stream-static equi-join candidates.** The query stream is probed
+  executor-side (the same Arrow-vectorized probe kernels as batch:
+  LSH bucket hashing / IVF centroid assignment, with the tiny
+  plane/centroid structures riding in the closure) and equi-joined
+  against the static indexed corpus on (table, bucket) or __cluster.
+  Stream-static inner joins are stateless in Structured Streaming —
+  no join state grows with stream history — and the static side's
+  candidate pruning is identical to the batch plan's.
+
+- **ONE stateful operator.** Per-query top-k needs an aggregation;
+  ranking windows are unsupported on streams, so the top-k is a
+  watermarked groupBy(query_id, ts) with
+  `slice(array_distinct(array_sort(collect_list(struct(distance,
+  id)))), 1, k)` — sort order (distance, id) is exactly the batch
+  ranking order (knn's row_number window). State per query is one
+  in-flight candidate list, evicted when the watermark passes its
+  event time; results emit in append mode.
+
+- **Duplicate candidates dedup inside the aggregate.** LSH emits one
+  candidate row per co-bucketed table. Re-scoring the pair per table
+  is map-side arithmetic on bit-identical inputs (the deterministic
+  distance expression yields the identical double every time), so
+  `array_distinct` on the sorted (distance, id) structs is pure
+  dedup — the same reasoning as the batch neardup_pairs min()
+  (backends/lsh.py). IVF probes are duplicate-free by construction
+  (each corpus row lives in exactly one cluster).
+
+- **Scoring stays JVM-side.** The stream path scores with the
+  Catalyst `distance_expr` kernel (functions/metrics.py) rather than
+  the Arrow mapInPandas kernel — candidate volume per micro-batch is
+  bounded by arrival rate × bucket density, where whole-stage-codegen
+  expressions win and the plan stays fully streaming-native.
+
+A query whose probes hit no occupied bucket yields no output row
+(the batch LSH path has the same property); size (n_tables, n_bits)
+for the corpus as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vicinity_spark.datatypes import Metric
+from vicinity_spark.functions.metrics import clip_distance, distance_expr
+
+
+def stream_knn(
+    corpus: DataFrame,
+    query_stream: DataFrame,
+    k: int,
+    metric: "str | Metric",
+    strategy,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(query_id, ts, id, distance, rank) — top-k neighbors for each
+    query in a STREAMING (query_id, qvec, ts) frame, against a static
+    corpus already built by `strategy.build(...)`.
+
+    `strategy` must be an LSHStrategy or IVFStrategy (the two
+    equi-join-probed families — their candidate generation is
+    stateless stream-side). Results for a query emit once the
+    watermark passes its event time.
+    """
+    from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
+    from vicinity_spark.backends.lsh import BUCKETS_COL, LSHStrategy
+
+    if k < 1:
+        raise ValueError("k must be greater than 0")
+    metric = Metric.from_string(metric)
+    dim = strategy.params.get("dim")
+
+    if isinstance(strategy, LSHStrategy):
+        probe = strategy._probe_df(query_stream, metric, extra_cols=(ts_col, "qvec"))
+        exploded = corpus.select(
+            "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
+        )
+        cand = exploded.join(probe, ["table", "bucket"])
+    elif isinstance(strategy, IVFStrategy):
+        probe = strategy._probe_df(query_stream, extra_cols=(ts_col, "qvec"))
+        cand = corpus.select("id", "vector", CLUSTER_COL).join(probe, CLUSTER_COL)
+    else:
+        raise ValueError(
+            "stream_knn serves the equi-join-probed families (lsh, ivf); "
+            f"got {type(strategy).__name__}"
+        )
+
+    scored = cand.select(
+        "query_id",
+        ts_col,
+        "id",
+        # RAW distance for ranking; clip only the returned values
+        # (the reference's argsort-then-clip order — see score_joined)
+        distance_expr(metric, F.col("vector"), F.col("qvec"), dim).alias("distance"),
+    )
+    topk = (
+        scored.withWatermark(ts_col, watermark)
+        .groupBy("query_id", ts_col)
+        .agg(
+            F.slice(
+                F.array_distinct(F.array_sort(F.collect_list(F.struct("distance", "id")))),
+                1,
+                int(k),
+            ).alias("__topk")
+        )
+    )
+    return topk.select(
+        "query_id", ts_col, F.posexplode("__topk").alias("__pos", "__hit")
+    ).select(
+        "query_id",
+        ts_col,
+        F.col("__hit.id").alias("id"),
+        clip_distance(F.col("__hit.distance")).alias("distance"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
