@@ -424,25 +424,41 @@ def main():
     _warm_knn(Q._emb_corpus(spark, sf_dir), _warm_q, k=5, metric="cosine", algorithm="grid").count()
     _warm_knn(Q._emb_corpus(spark, sf_dir), _warm_q, k=5, metric="cosine", algorithm="window").count()
 
+    import gc
+
     timings = {}
     for name, fn in BENCH.items():
-        if name.startswith("ann_") or name.endswith("_200k") or name.endswith("_2m"):
-            fn = fn(spark, sf_dir)  # untimed index build + cache
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        t1 = time.perf_counter() - t0
-        # min-of-2 (r5): single-shot recordings on a shared host swing
-        # 0.4-5x run-to-run with zero code change (BENCHNOTES r5
-        # methodology notes; dedup_e2e_200k once recorded 49.7s in-suite
-        # vs 7.4-10.0s isolated n=3). A second rep and min() is the
-        # standard steady-state estimator; only a runaway first rep
-        # (>=90s) stays single-shot to bound suite wall-clock.
-        if t1 < 90.0:
+        try:
+            if name.startswith("ann_") or name.endswith("_200k") or name.endswith("_2m"):
+                fn = fn(spark, sf_dir)  # untimed index build + cache
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            t1 = min(t1, time.perf_counter() - t0)
-        timings[name] = round(t1, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            t1 = time.perf_counter() - t0
+            # min-of-2 (r5): single-shot recordings on a shared host
+            # swing 0.4-5x run-to-run with zero code change (BENCHNOTES
+            # r5 methodology notes; dedup_e2e_200k once recorded 49.7s
+            # in-suite vs 7.4-10.0s isolated n=3). A second rep and
+            # min() is the standard steady-state estimator; only a
+            # runaway first rep (>=90s) stays single-shot to bound
+            # suite wall-clock. Between reps, drop rep-1's py4j refs
+            # and force a JVM GC so the ContextCleaner releases rep-1's
+            # localCheckpoint blocks BEFORE rep 2 allocates its own —
+            # without this the checkpoint-heavy 2M entries carry two
+            # reps of blocks at once (measured OOM at 8g).
+            if t1 < 90.0:
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                t1 = min(t1, time.perf_counter() - t0)
+            timings[name] = round(t1, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — one entry must not zero the suite
+            # record the failure loudly but keep the suite JSON intact:
+            # a crashed entry reports -1 (unmistakable in BENCH_r*.json)
+            # and the driver still gets every other entry's number
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
         # drop cached indexes so entries don't contend for executor
         # memory, and nudge the JVM to actually release block-manager
         # memory (broadcast/checkpoint blocks are only freed after their
@@ -451,7 +467,7 @@ def main():
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
             {

@@ -411,3 +411,50 @@ def test_stream_knn_matches_batch(spark, tmp_path, backend):
         assert gdist == pytest.approx(edist, abs=1e-9)
     # every emitted query got a full (or bucket-bounded) result set
     assert all(r.rank <= k for r in got)
+
+def test_store_query_stream_facade(spark, tmp_path):
+    """VectorStore.query_stream wires the streaming serving path: a
+    streaming result frame in append mode, row-identical to the batch
+    query_df for the same store; exact backends are rejected."""
+    import datetime as dt
+
+    from vicinity_spark.store import VectorStore
+
+    rng = np.random.default_rng(23)
+    vecs = rng.random((150, 8)).astype(np.float32)
+    items = [f"it-{i}" for i in range(150)]
+    s = VectorStore.from_vectors_and_items(
+        spark, vecs, items, metric="cosine", backend_type="lsh", n_tables=8, n_bits=4
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    qrows = [(i, [float(x) for x in rng.random(8)], t0) for i in range(3)]
+    flush = [(99, [float(x) for x in rng.random(8)], t0 + dt.timedelta(hours=1))]
+    qschema = "query_id long, qvec array<float>, ts timestamp"
+    src = tmp_path / "facade_queries"
+    spark.createDataFrame(qrows + flush, qschema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(qschema).parquet(str(src))
+    res = s.query_stream(stream, k=4)
+    assert res.isStreaming
+    q = (
+        res.writeStream.format("memory")
+        .queryName("facade_knn")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r for r in spark.sql("select * from facade_knn").collect() if r.query_id != 99]
+
+    batch_q = spark.createDataFrame(
+        [(i, v) for i, v, _ in qrows], "query_id long, qvec array<float>"
+    )
+    exp = {(r.query_id, r.rank): r.id for r in s.query_df(batch_q, k=4).collect()}
+    assert {(r.query_id, r.rank): r.id for r in got} == exp
+
+    s_exact = VectorStore.from_vectors_and_items(
+        spark, vecs[:20], items[:20], metric="cosine", backend_type="basic"
+    )
+    with pytest.raises(ValueError, match="equi-join-probed"):
+        s_exact.query_stream(stream, k=2)

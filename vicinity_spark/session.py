@@ -37,7 +37,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode shares one JVM between driver and executors, so
+        # this caps ALL storage+execution memory. 8g was tight for the
+        # 2M bench tier: two back-to-back reps of a checkpoint-heavy
+        # pipeline OOM'd before the ContextCleaner released the first
+        # rep's localCheckpoint blocks (r5 repro). Xmx is a cap, not a
+        # reservation — 24g stays well inside the 128 GiB host even
+        # with a second concurrent session.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

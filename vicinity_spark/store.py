@@ -220,6 +220,34 @@ class VectorStore:
             out[r["query_id"]].append((json.loads(r["item_json"]), float(r["distance"])))
         return out
 
+    def query_stream(
+        self,
+        query_stream: DataFrame,
+        k: int = 10,
+        *,
+        ts_col: str = "ts",
+        watermark: str = "10 minutes",
+    ) -> DataFrame:
+        """Streaming k-NN serving: `query_stream` is a STREAMING
+        (query_id, qvec, ts) frame; returns a streaming (query_id, ts,
+        id, distance, rank) frame (append mode; results for a query
+        emit when the watermark passes its event time). Served by the
+        equi-join-probed strategies (lsh, ivf) — see
+        streaming/query.py for the plan shape. The reference's query()
+        is batch-only (vicinity.py:118-141); this is the ★ streaming
+        twin."""
+        from vicinity_spark.streaming.query import stream_knn
+
+        return stream_knn(
+            self.df,
+            query_stream,
+            k=k,
+            metric=self._metric,
+            strategy=self.strategy,
+            ts_col=ts_col,
+            watermark=watermark,
+        )
+
     def threshold_df(self, queries: DataFrame, threshold: float = 0.5) -> DataFrame:
         return self.strategy.threshold(
             self.df,
