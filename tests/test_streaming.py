@@ -458,3 +458,54 @@ def test_store_query_stream_facade(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="equi-join-probed"):
         s_exact.query_stream(stream, k=2)
+
+def test_stream_threshold_matches_batch(spark, tmp_path):
+    """Streaming radius search: stateless candidate join + distance
+    filter + watermark-bounded emit-first-seen dedup — same hit set as
+    the batch strategy's threshold() for the same corpus and queries,
+    and hits emit in the arrival micro-batch (no watermark wait)."""
+    import datetime as dt
+
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.streaming import stream_threshold
+
+    rng = np.random.default_rng(31)
+    n, dim, t = 200, 8, 0.35
+    corpus_df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.random(dim)]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+    strat = LSHStrategy(n_tables=8, n_bits=4)
+    built = strat.build(corpus_df, Metric.COSINE, dim).cache()
+    built.count()
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    qrows = [(i, [float(x) for x in rng.random(dim)], t0) for i in range(4)]
+    qschema = "query_id long, qvec array<float>, ts timestamp"
+    src = tmp_path / "thr_queries"
+    # NO flush file: radius hits must emit without the watermark
+    # advancing past the query's event time (dedup is emit-first-seen)
+    spark.createDataFrame(qrows, qschema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(qschema).parquet(str(src))
+    res = stream_threshold(built, stream, threshold=t, metric="cosine", strategy=strat)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("stream_thr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from stream_thr").collect()
+
+    batch_q = spark.createDataFrame(
+        [(i, v) for i, v, _ in qrows], "query_id long, qvec array<float>"
+    )
+    exp = strat.threshold(built, batch_q, threshold=t, metric=Metric.COSINE).collect()
+    assert {(r.query_id, r.id) for r in got} == {(r.query_id, r.id) for r in exp}
+    assert len(got) == len(exp)  # no surviving duplicates
+    gd = {(r.query_id, r.id): r.distance for r in got}
+    for r in exp:
+        assert gd[(r.query_id, r.id)] == pytest.approx(r.distance, abs=1e-9)

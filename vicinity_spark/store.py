@@ -248,6 +248,31 @@ class VectorStore:
             watermark=watermark,
         )
 
+    def query_stream_threshold(
+        self,
+        query_stream: DataFrame,
+        threshold: float = 0.5,
+        *,
+        ts_col: str = "ts",
+        watermark: str = "10 minutes",
+    ) -> DataFrame:
+        """Streaming radius search — the ★ streaming twin of
+        query_threshold (vicinity.py:140-165). Stateless except for an
+        emit-first-seen dedup bounded by the watermark horizon, so hits
+        emit in the arrival micro-batch; see streaming/query.py
+        stream_threshold."""
+        from vicinity_spark.streaming.query import stream_threshold
+
+        return stream_threshold(
+            self.df,
+            query_stream,
+            threshold=threshold,
+            metric=self._metric,
+            strategy=self.strategy,
+            ts_col=ts_col,
+            watermark=watermark,
+        )
+
     def threshold_df(self, queries: DataFrame, threshold: float = 0.5) -> DataFrame:
         return self.strategy.threshold(
             self.df,

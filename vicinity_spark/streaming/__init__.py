@@ -8,7 +8,7 @@ from vicinity_spark.streaming.neardup import (
     stateless_minhash,
     stream_neardup_candidates,
 )
-from vicinity_spark.streaming.query import stream_knn
+from vicinity_spark.streaming.query import stream_knn, stream_threshold
 from vicinity_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "stream_exact_dedup",
     "stream_knn",
     "stream_neardup_candidates",
+    "stream_threshold",
     "stream_vector_ingest",
     "windowed_event_counts",
 ]

@@ -53,6 +53,82 @@ from vicinity_spark.datatypes import Metric
 from vicinity_spark.functions.metrics import clip_distance, distance_expr
 
 
+def _stream_scored(
+    corpus: DataFrame,
+    query_stream: DataFrame,
+    metric: Metric,
+    strategy,
+    ts_col: str,
+) -> DataFrame:
+    """(query_id, ts, id, distance) candidate scores for a streaming
+    query frame — the shared stateless front half of stream_knn /
+    stream_threshold: executor-side probe carrying (ts, qvec),
+    stream-static equi-join, Catalyst distance expression."""
+    from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
+    from vicinity_spark.backends.lsh import BUCKETS_COL, LSHStrategy
+
+    dim = strategy.params.get("dim")
+    if isinstance(strategy, LSHStrategy):
+        probe = strategy._probe_df(query_stream, metric, extra_cols=(ts_col, "qvec"))
+        exploded = corpus.select(
+            "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
+        )
+        cand = exploded.join(probe, ["table", "bucket"])
+    elif isinstance(strategy, IVFStrategy):
+        probe = strategy._probe_df(query_stream, extra_cols=(ts_col, "qvec"))
+        cand = corpus.select("id", "vector", CLUSTER_COL).join(probe, CLUSTER_COL)
+    else:
+        raise ValueError(
+            "streaming queries serve the equi-join-probed families (lsh, ivf); "
+            f"got {type(strategy).__name__}"
+        )
+    return cand.select(
+        "query_id",
+        ts_col,
+        "id",
+        # RAW distance for ranking; clip only the returned values
+        # (the reference's argsort-then-clip order — see score_joined)
+        distance_expr(metric, F.col("vector"), F.col("qvec"), dim).alias("distance"),
+    )
+
+
+def stream_threshold(
+    corpus: DataFrame,
+    query_stream: DataFrame,
+    threshold: float,
+    metric: "str | Metric",
+    strategy,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(query_id, ts, id, distance) — all neighbors within `threshold`
+    for each query in a STREAMING (query_id, qvec, ts) frame, against a
+    static pre-built LSH/IVF corpus (the streaming twin of the
+    reference's query_threshold, vicinity.py:140-165).
+
+    Lower-latency than stream_knn: radius search needs no ranking, so
+    there is no aggregation waiting out the watermark — hits emit in
+    the micro-batch the query arrives in. The only state is
+    dropDuplicatesWithinWatermark on (query_id, id) (emit-first-seen,
+    so it adds no latency), which collapses LSH's per-co-bucketed-table
+    re-scores; the deterministic distance expression makes every
+    duplicate bit-identical, so the dedup never chooses between values.
+    State is bounded by the watermark horizon, not stream history. IVF
+    candidates are duplicate-free by construction but flow through the
+    same dedup for uniform semantics."""
+    metric = Metric.from_string(metric)
+    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col)
+    return (
+        scored.where(F.col("distance") <= F.lit(float(threshold)))
+        .withColumn("distance", clip_distance(F.col("distance")))
+        .withWatermark(ts_col, watermark)
+        # ts in the key so a re-used query_id at a later event time is
+        # a new query, not a duplicate
+        .dropDuplicatesWithinWatermark(["query_id", ts_col, "id"])
+    )
+
+
 def stream_knn(
     corpus: DataFrame,
     query_stream: DataFrame,
@@ -72,37 +148,10 @@ def stream_knn(
     stateless stream-side). Results for a query emit once the
     watermark passes its event time.
     """
-    from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
-    from vicinity_spark.backends.lsh import BUCKETS_COL, LSHStrategy
-
     if k < 1:
         raise ValueError("k must be greater than 0")
     metric = Metric.from_string(metric)
-    dim = strategy.params.get("dim")
-
-    if isinstance(strategy, LSHStrategy):
-        probe = strategy._probe_df(query_stream, metric, extra_cols=(ts_col, "qvec"))
-        exploded = corpus.select(
-            "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
-        )
-        cand = exploded.join(probe, ["table", "bucket"])
-    elif isinstance(strategy, IVFStrategy):
-        probe = strategy._probe_df(query_stream, extra_cols=(ts_col, "qvec"))
-        cand = corpus.select("id", "vector", CLUSTER_COL).join(probe, CLUSTER_COL)
-    else:
-        raise ValueError(
-            "stream_knn serves the equi-join-probed families (lsh, ivf); "
-            f"got {type(strategy).__name__}"
-        )
-
-    scored = cand.select(
-        "query_id",
-        ts_col,
-        "id",
-        # RAW distance for ranking; clip only the returned values
-        # (the reference's argsort-then-clip order — see score_joined)
-        distance_expr(metric, F.col("vector"), F.col("qvec"), dim).alias("distance"),
-    )
+    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col)
     topk = (
         scored.withWatermark(ts_col, watermark)
         .groupBy("query_id", ts_col)
