@@ -396,6 +396,10 @@ def test_stream_knn_matches_batch(spark, tmp_path, backend):
         .start()
     )
     q.awaitTermination(180)
+    # the serving plan's ONLY stateful operator is the top-k aggregate:
+    # candidate generation is a stateless stream-static join (this is
+    # the bounded-state claim, asserted at runtime, not by reading code)
+    assert len(q.lastProgress["stateOperators"]) == 1
     got = spark.sql(f"select * from stream_knn_{backend}").collect()
     got = [r for r in got if r.query_id != 99]
 
@@ -498,6 +502,9 @@ def test_stream_threshold_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    # one stateful operator (the emit-first-seen dedup) — the join and
+    # the distance filter are stateless
+    assert len(q.lastProgress["stateOperators"]) == 1
     got = spark.sql("select * from stream_thr").collect()
 
     batch_q = spark.createDataFrame(
