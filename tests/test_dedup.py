@@ -203,3 +203,49 @@ def test_band_buckets_onepass_equals_row_form(spark):
             a = {(r.doc_id, r.band, r.bkey) for r in row.collect()}
             b = {(r.doc_id, r.band, r.bkey) for r in fast.collect()}
             assert a == b, (fam, n_hashes, rpb)
+
+
+def test_shingles_matches_window_form(spark):
+    """The projection-form shingles must be ROW-IDENTICAL to the
+    posexplode + lead-window form it replaced (including empty-token
+    and shorter-than-n edge cases) — the DuckDB oracles replicate these
+    exact semantics."""
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one  two three"),        # double space -> empty token
+            (3, "short text"),            # < n tokens -> no shingles
+            (4, "x"),
+            (5, "a b c a b c a b c"),     # repeated grams -> distinct
+            (6, ""),                      # empty text
+            (7, "MiXeD CaSe TOKENS here"),
+        ],
+        "doc_id long, text string",
+    )
+    n = 3
+
+    def window_form(docs):
+        t = docs.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        out = t.select("doc_id", *[c.alias(f"t{i}") for i, c in enumerate(cols)])
+        out = out.where(F.col(f"t{n - 1}").isNotNull())
+        return out.select(
+            "doc_id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle")
+        ).distinct()
+
+    from vicinity_spark.operators.dedup import shingles
+
+    got = {(r.doc_id, r.shingle) for r in shingles(docs, n=n).collect()}
+    want = {(r.doc_id, r.shingle) for r in window_form(docs).collect()}
+    assert got == want
+    # and the new plan is shuffle-free before the distinct: no Window,
+    # exactly one Exchange (the distinct's)
+    plan = shingles(docs, n=n)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # distinct = partial+final around 1 exchange

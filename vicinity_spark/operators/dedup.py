@@ -46,18 +46,30 @@ def token_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams via posexplode + lead."""
-    t = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(text_col), " ")).alias("pos", "tok"),
+    """(doc_id, shingle) — distinct word n-grams as a PURE PROJECTION:
+    slice the token array per row and explode the gram array. Row-
+    identical to the posexplode + lead-window form this replaces
+    (test_shingles_matches_window_form), but with ZERO shuffles before
+    the distinct — the window form shuffled and sorted the entire token
+    stream by doc_id just to line up adjacent tokens that were already
+    adjacent in the row's array. At corpus scale that was the single
+    largest avoidable shuffle in every shingle-based dedup pipeline
+    (Jaccard mining, MinHash-LSH, the e2e composition). Docs with
+    fewer than n tokens yield no shingles (the lead-form's trailing
+    NULL filter)."""
+    toks = F.split(F.lower(text_col), " ")
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    out = t.select("doc_id", *[c.alias(f"t{i}") for i, c in enumerate(cols)])
-    out = out.where(F.col(f"t{n - 1}").isNotNull())
-    return out.select(
-        "doc_id", F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("shingle")
-    ).distinct()
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
