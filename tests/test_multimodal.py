@@ -1,6 +1,7 @@
 """Multimodal plumbing: schemas, mapInPandas batch contracts, stub
 gating (NotImplementedError without fake=True)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.utils import PythonException
@@ -233,3 +234,158 @@ def test_decode_meta_reports_decoded_not_declared_dims(spark):
 
     with pytest.raises(PythonException, match="NotImplementedError"):
         decode_meta(df, fake=False).collect()
+
+
+# ---- WAV/PCM audio codec (r5) ---------------------------------------
+
+
+def test_wav_roundtrip_property():
+    """encode→decode is lossless up to 16-bit quantization for
+    arbitrary frame counts, channel counts, and rates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vicinity_spark.operators.multimodal import _wav_decode, _wav_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        frames=st.integers(min_value=1, max_value=200),
+        channels=st.integers(min_value=1, max_value=3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(frames, channels, rate, seed):
+        rng = np.random.default_rng(seed)
+        x = (rng.random((frames, channels)).astype(np.float32) - 0.5) * 1.8
+        y, r = _wav_decode(_wav_encode(x, rate))
+        assert r == rate
+        assert y.shape == (frames, channels)
+        np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1.5 / 32768)
+
+    check()
+
+
+def test_wav_decode_all_sample_formats():
+    """8-bit unsigned, 16/32-bit signed PCM, and IEEE float32 data
+    chunks all decode; chunk walking skips ancillary chunks."""
+    from vicinity_spark.operators.multimodal import _wav_decode
+
+    def wav(fmt_code, bits, data, channels=1, rate=8000, extra_chunk=b""):
+        block = channels * bits // 8
+        fmt = (
+            fmt_code.to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        body = b"WAVE" + extra_chunk + b"fmt " + (16).to_bytes(4, "little") + fmt
+        body += b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # 16-bit signed: full-scale positive
+    x, r = _wav_decode(wav(1, 16, np.array([32767, -32768, 0], "<i2").tobytes()))
+    np.testing.assert_allclose(x[:, 0], [32767 / 32768, -1.0, 0.0], atol=1e-6)
+    # 8-bit unsigned
+    x, _ = _wav_decode(wav(1, 8, bytes([255, 0, 128])))
+    np.testing.assert_allclose(x[:, 0], [127 / 128, -1.0, 0.0], atol=1e-6)
+    # 32-bit signed
+    x, _ = _wav_decode(wav(1, 32, np.array([2**31 - 1, -(2**31)], "<i4").tobytes()))
+    np.testing.assert_allclose(x[:, 0], [1.0, -1.0], atol=1e-6)
+    # IEEE float32
+    x, _ = _wav_decode(wav(3, 32, np.array([0.25, -0.75], "<f4").tobytes()))
+    np.testing.assert_allclose(x[:, 0], [0.25, -0.75], atol=1e-7)
+    # ancillary LIST chunk before fmt is skipped (odd size → padded)
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+    x, _ = _wav_decode(wav(1, 16, np.array([100], "<i2").tobytes(), extra_chunk=junk))
+    assert x.shape == (1, 1)
+
+
+def test_synthetic_wav_media_features_closed_form(spark):
+    """REAL-codec feature extraction over the synthetic WAV corpus:
+    windowed RMS ≈ 0.5·bit of (id % 255) + 1 and zero-crossing rate
+    ≈ 0.5·bit — the audio analog of the BMP bit-pattern invariant."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wav_media,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    media = synthetic_wav_media(ids)
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 40
+    for r in rows:
+        p = (r.media_id % 255) + 1
+        f = r.feature
+        assert len(f) == 16
+        for i in range(8):
+            bit = (p >> i) & 1
+            assert f[i] == pytest.approx(0.5 * bit, abs=5e-3), (r.media_id, i)
+            if bit:
+                assert 0.4 <= f[8 + i] <= 0.6, (r.media_id, i)
+            else:
+                assert f[8 + i] == 0.0
+
+
+def test_extract_features_mixed_bmp_wav_corpus(spark):
+    """One corpus, two real codecs: per-row sniffing dispatches BMP
+    rows to the image kernel and WAV rows to the audio kernel with
+    fake=False."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        synthetic_bmp_media,
+        synthetic_wav_media,
+    )
+
+    ids = spark.range(0, 10)
+    bmp = synthetic_bmp_media(ids.select(F.col("id").alias("media_id")))
+    wav = synthetic_wav_media(ids.select((F.col("id") + 100).alias("media_id")))
+    feats = extract_features(bmp.unionByName(wav), fake=False).collect()
+    assert len(feats) == 20
+    by_type = {}
+    for r in feats:
+        by_type.setdefault(r.media_type, []).append(r)
+    assert len(by_type["image"]) == 10 and len(by_type["audio"]) == 10
+
+
+def test_resample_audio_real_wav(spark):
+    """Real resample: half the rate → half the frames, duration
+    recomputed from the DECODED frame count, RMS feature half
+    preserved (nearest-neighbor sampling of per-window constant
+    amplitudes)."""
+    from vicinity_spark.operators.multimodal import (
+        _wav_decode,
+        extract_features,
+        resample_audio,
+        synthetic_wav_media,
+    )
+
+    ids = spark.range(0, 8).select(F.col("id").alias("media_id"))
+    media = synthetic_wav_media(ids, rate=8000)
+    half = resample_audio(media, rate=4000)
+    rows = half.collect()
+    for r in rows:
+        x, rate = _wav_decode(bytes(r.payload))
+        assert rate == 4000
+        assert x.shape[0] == 256  # 512 frames @8k → 256 @4k
+        assert r.meta_duration_ms == 64  # 256/4000 s
+    orig = {r.media_id: r.feature for r in extract_features(media, fake=False).collect()}
+    res = {r.media_id: r.feature for r in extract_features(half, fake=False).collect()}
+    for mid, f in res.items():
+        np.testing.assert_allclose(f[:8], orig[mid][:8], atol=5e-3)
+
+
+def test_fake_mode_total_on_corrupt_wav_sniff(spark):
+    """A payload that sniffs as WAV but fails to decode falls back to
+    the stand-in under fake=True (totality) and raises under
+    fake=False — the same contract as the corrupt-BMP rule."""
+    from vicinity_spark.operators.multimodal import extract_features
+
+    corrupt = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"\x00" * 40
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(corrupt), None, None, None)],
+        "media_id long, media_type string, payload binary, "
+        "meta_width int, meta_height int, meta_duration_ms int",
+    )
+    rows = extract_features(df, fake=True).collect()
+    assert len(rows) == 1 and len(rows[0].feature) == 16
+    with pytest.raises(PythonException, match="WAV|ValueError"):
+        extract_features(df, fake=False).collect()

@@ -3,14 +3,17 @@ opaque `binary` columns with typed metadata, processed by Arrow-batched
 `mapInPandas` kernels.
 
 The Spark-side plumbing — schemas, batch iteration, partition-sized
-work units, output contracts — is real and tested. One codec is real:
-uncompressed 24-bit BMP decodes/encodes in pure numpy (`_bmp_decode` /
-`_bmp_encode`), so `extract_features(fake=False)` and
-`resize_images(fake=False)` genuinely execute on BMP payloads in this
-container. Every other format still needs PIL/ffmpeg and raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-synthetic decode (seeded by the content hash) stands in so downstream
-operators and tests have stable inputs.
+work units, output contracts — is real and tested. Two codecs are
+real, one per modality: uncompressed 24-bit BMP (`_bmp_decode` /
+`_bmp_encode`, r4) and RIFF/WAVE PCM audio (`_wav_decode` /
+`_wav_encode`, r5 — 8/16/32-bit integer + float32 samples), both in
+pure numpy, so `extract_features(fake=False)`,
+`resize_images(fake=False)` and `resample_audio(fake=False)` genuinely
+execute on BMP/WAV payloads in this container. Every other format
+still needs PIL/ffmpeg and raises NotImplementedError unless
+`fake=True`, in which case a deterministic synthetic decode (seeded by
+the content hash) stands in so downstream operators and tests have
+stable inputs.
 
 At 100 TB: binary payloads dominate row size, so these operators
 repartition by size budget rather than row count and never widen the
@@ -149,6 +152,115 @@ def _bmp_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+# ---- real codec: RIFF/WAVE PCM (pure numpy) -------------------------
+# WAV is the audio analog of BMP: a chunked container whose standard
+# payloads (PCM integer / IEEE-float samples) need no codec library.
+# Decoding it makes the AUDIO arm of the multimodal column genuinely
+# executable in this container, the same upgrade r4 gave images.
+
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) >= 44 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _wav_decode(payload: bytes) -> "tuple[np.ndarray, int]":
+    """RIFF/WAVE → ((n_samples, n_channels) float32 in [-1, 1], rate).
+
+    Walks the chunk list properly (chunks are even-aligned; fmt may
+    precede or follow ancillary chunks). Supports PCM 8-bit unsigned,
+    16/32-bit signed, and IEEE float32."""
+    if not _is_wav(payload):
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1 or rate <= 0:
+        raise ValueError(f"invalid WAV fmt (channels={channels}, rate={rate})")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV encoding (format={audio_fmt}, bits={bits})")
+    frames = len(x) // channels
+    if frames == 0:
+        raise ValueError("empty WAV data chunk")
+    return x[: frames * channels].reshape(frames, channels), rate
+
+
+def _wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """(n_samples, n_channels) float in [-1, 1] → 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).round().astype("<i2").tobytes()
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + (int(rate) * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+_WAV_WINDOWS = FEATURE_DIM // 2
+
+
+def _wav_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(frames, channels) float32 → FEATURE_DIM floats: the audio twin
+    of the BMP pooled grid — 8 windowed RMS energies + 8 windowed
+    zero-crossing rates over the mono mix, all in [0, 1]. Pure exact
+    arithmetic (no FFT), position-sensitive; the RMS half is
+    resample-stable (ZCR scales with the sample rate by nature)."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    edges = np.linspace(0, n, _WAV_WINDOWS + 1).astype(int)
+    out = np.empty(FEATURE_DIM, np.float32)
+    for i in range(_WAV_WINDOWS):
+        w = mono[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        out[i] = float(np.sqrt(np.mean(w * w)))
+        out[_WAV_WINDOWS + i] = (
+            float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))) if len(w) > 1 else 0.0
+        )
+    return out
+
+
+def _wav_resample(samples: np.ndarray, rate: int, new_rate: int) -> np.ndarray:
+    """Nearest-neighbor resample to new_rate (the audio analog of
+    _bmp_resize — exact, library-free; production would band-limit)."""
+    frames = samples.shape[0]
+    out_frames = max(int(round(frames * new_rate / rate)), 1)
+    idx = (np.arange(out_frames) * frames // out_frames).clip(0, frames - 1)
+    return samples[idx]
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decode: content-hash-seeded feature vector.
     Replace with a real codec (PIL/torchvision/ffmpeg) in production."""
@@ -172,11 +284,18 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 b = bytes(p)
                 if _is_bmp(b):
                     # fake=True must stay total: a payload that merely
-                    # sniffs as BMP (arbitrary bytes starting 'BM', or a
-                    # truncated real BMP) falls back to the stand-in
-                    # instead of raising.
+                    # sniffs as BMP/WAV (arbitrary bytes with the right
+                    # magic, or a truncated real file) falls back to
+                    # the stand-in instead of raising.
                     try:
                         feats.append(_bmp_features(_bmp_decode(b)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                elif _is_wav(b):
+                    try:
+                        feats.append(_wav_features(*_wav_decode(b)))
                         continue
                     except ValueError:
                         if not fake:
@@ -185,7 +304,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_decode(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP media decode requires an image/audio codec; "
+                        "non-BMP/WAV media decode requires a codec library; "
                         "run with fake=True for the deterministic stand-in"
                     )
             yield pd.DataFrame(
@@ -232,6 +351,48 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
             out["payload"] = payloads
             out["meta_width"] = width
             out["meta_height"] = height
+            yield out
+
+    return media.mapInPandas(kernel, media.schema)
+
+
+def resample_audio(media: DataFrame, rate: int, fake: bool = False) -> DataFrame:
+    """Audio resample — the audio twin of resize_images: real
+    decode → nearest-neighbor resample → 16-bit PCM re-encode for WAV
+    payloads; passthrough (fake) or NotImplementedError for formats
+    that need ffmpeg. meta_duration_ms is recomputed from the DECODED
+    frame count, not trusted from the input."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            payloads, durations = [], []
+            for p, dur in zip(out["payload"], out["meta_duration_ms"]):
+                b = bytes(p)
+                if _is_wav(b):
+                    # same totality rule as resize_images: fake=True
+                    # passes through payloads that sniff as WAV but
+                    # fail to decode rather than raising
+                    try:
+                        x, r = _wav_decode(b)
+                        y = _wav_resample(x, r, rate)
+                        payloads.append(_wav_encode(y, rate))
+                        durations.append(int(len(y) * 1000 / rate))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                if fake:
+                    payloads.append(b)
+                    durations.append(None if pd.isna(dur) else int(dur))
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio resample requires ffmpeg; use fake=True"
+                    )
+            out["payload"] = payloads
+            out["meta_duration_ms"] = pd.array(durations, dtype="Int32")
             yield out
 
     return media.mapInPandas(kernel, media.schema)
@@ -305,6 +466,49 @@ def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4,
                     "meta_width": np.int32(side),
                     "meta_height": np.int32(side),
                     "meta_duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(
+    ids: DataFrame, id_col: str = "media_id", rate: int = 8000, window_frames: int = 64
+) -> DataFrame:
+    """Deterministic WAV corpus: one 16-bit PCM mono clip per id,
+    generated executor-side with the REAL encoder (`_wav_encode`).
+
+    Each id maps to the 8-bit pattern `(id % 255) + 1`: feature window
+    i carries a full-scale ±0.5 square wave (period 4 frames) iff bit
+    i is set, else silence. Windowed RMS is then exactly
+    0.5·bit·(32767·0.5 rounded / 32768 precision) per component and
+    the zero-crossing rate is bit·(1/2 - edge term) — closed-form
+    checkable like the BMP bit-pattern corpus (test_multimodal)."""
+    n_frames = _WAV_WINDOWS * window_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            base = np.tile(np.array([0.5, 0.5, -0.5, -0.5], np.float32), n_frames // 4 + 1)[
+                :n_frames
+            ]
+            for mid in pdf[id_col]:
+                p = (int(mid) % 255) + 1
+                mask = np.zeros(n_frames, np.float32)
+                for i in range(_WAV_WINDOWS):
+                    if (p >> i) & 1:
+                        mask[i * window_frames : (i + 1) * window_frames] = 1.0
+                payloads.append(_wav_encode(base * mask, rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64").values,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta_width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "meta_height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "meta_duration_ms": np.int32(n_frames * 1000 // rate),
                 }
             )
 
