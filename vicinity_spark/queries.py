@@ -1392,13 +1392,49 @@ def _bmp_on_value() -> float:
     return float(vals[0])
 
 
+_MA_NC, _MA_NQ = 256, 8
+
+
+def _wav_on_values() -> "tuple[float, float, int]":
+    """(rms_on, zcr_on, n_bytes) of the synthetic WAV corpus, produced
+    by the REAL encode→decode→feature pipeline (not assumed): an
+    all-bits-set clip must yield a uniform RMS across its 8 windows
+    and a uniform zero-crossing rate."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _WAV_WINDOWS,
+        _wav_decode,
+        _wav_encode,
+        _wav_features,
+    )
+
+    n_frames = _WAV_WINDOWS * 64
+    base = np.tile(np.array([0.5, 0.5, -0.5, -0.5], np.float32), n_frames // 4)
+    payload = _wav_encode(base, 8000)
+    vals = _wav_features(*_wav_decode(payload))
+    rms = set(map(float, vals[:_WAV_WINDOWS]))
+    zcr = set(map(float, vals[_WAV_WINDOWS:]))
+    assert len(rms) == 1 and len(zcr) == 1, "all-on clip must be window-uniform"
+    return rms.pop(), zcr.pop(), len(payload)
+
+
 def _multimodal_knn_sql() -> str:
+    # image branch: features are on·bit over 16 pooled cells
     on = repr(_bmp_on_value())
     nbits = _MM_GRID * _MM_GRID
     feat = "[" + ", ".join(
         f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {on} ELSE 0.0 END)" for k in range(nbits)
     ) + "]"
     dist = sql_distance("cosine", "q.qv", "f.feature", dim=nbits, clip=False)
+    # audio branch: 8 windowed RMS + 8 zero-crossing rates, rms_on·bit /
+    # zcr_on·bit over the 8 bits of (id % 255) + 1
+    rms_on, zcr_on, wav_bytes = _wav_on_values()
+    afeat = "[" + ", ".join(
+        [f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {rms_on!r} ELSE 0.0 END)" for k in range(8)]
+        + [f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {zcr_on!r} ELSE 0.0 END)" for k in range(8)]
+    ) + "]"
+    adist = sql_distance("cosine", "q.qv", "f.feature", dim=16, clip=False)
     return f"""
 WITH ids AS (
   SELECT doc_id AS media_id, ((doc_id % 65535) + 1) AS p
@@ -1414,31 +1450,62 @@ ranked AS (
   SELECT query_id, id, d,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
   FROM pairs
+),
+aids AS (
+  SELECT doc_id AS media_id, ((doc_id % 255) + 1) AS p
+  FROM documents WHERE doc_id < {_MA_NC}
+),
+af AS (SELECT media_id, {afeat} AS feature FROM aids),
+aq AS (SELECT media_id AS query_id, feature AS qv FROM af WHERE media_id < {_MA_NQ}),
+apairs AS (
+  SELECT q.query_id, f.media_id AS id, {adist} AS d
+  FROM aq AS q CROSS JOIN af AS f
+),
+aranked AS (
+  SELECT query_id, id, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM apairs
 )
-SELECT query_id, id,
+SELECT 'image_bmp' AS branch, query_id, id,
        CAST({_MM_SIDE} AS INTEGER) AS width,
        CAST({_MM_SIDE} AS INTEGER) AS height,
        CAST({_MM_NBYTES} AS BIGINT) AS n_bytes,
        round(greatest(d, 0.0), 6) AS distance, rank
 FROM ranked WHERE rank <= {_MM_K}
+UNION ALL
+SELECT 'audio_wav' AS branch, query_id, id,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST({wav_bytes} AS BIGINT) AS n_bytes,
+       round(greatest(d, 0.0), 6) AS distance, rank
+FROM aranked WHERE rank <= {_MM_K}
 """
 
 
 @register("multimodal_knn", _multimodal_knn_sql())
 def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on the REAL BMP codec
-    (operators/multimodal.py, fake=False at every step): documents ids
-    → deterministic BMP corpus (real encoder) → decode + 4×4 pooled
-    grayscale features (real decoder) → exact cosine k-NN over the
-    feature column → join the DECODED width/height/n_bytes of each
-    neighbor. Proves the binary media column is a first-class vector
-    source: the same knn_join that serves the embeddings table serves
-    codec-derived features, and the decoded metadata (incl. the 4-byte
-    BMP row-stride padding in n_bytes) is hash-checked, not declared."""
+    """End-to-end multimodal pipeline on BOTH REAL codecs
+    (operators/multimodal.py, fake=False at every step), as one labeled
+    union:
+
+    - `image_bmp`: documents ids → deterministic BMP corpus (real
+      encoder) → decode + 4×4 pooled grayscale features (real decoder)
+      → exact cosine k-NN → join the DECODED width/height/n_bytes of
+      each neighbor (incl. the 4-byte BMP row-stride padding).
+    - `audio_wav` (r5): ids → deterministic 16-bit PCM WAV corpus
+      (real encoder) → decode + windowed RMS/zero-crossing features
+      (real decoder) → the same k-NN; n_bytes is the real encoded
+      payload length.
+
+    Proves the binary media column is a first-class vector source for
+    BOTH modalities: the same knn_join that serves the embeddings
+    table serves codec-derived features, and the metadata is decoded,
+    not declared."""
     from vicinity_spark.operators.multimodal import (
         decode_meta,
         extract_features,
         synthetic_bmp_media,
+        synthetic_wav_media,
     )
 
     ids = (
@@ -1459,7 +1526,8 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_meta(media).select(
         F.col("media_id").alias("id"), "width", "height", "n_bytes"
     )
-    return res.join(meta, "id").select(
+    image = res.join(meta, "id").select(
+        F.lit("image_bmp").alias("branch"),
         "query_id",
         "id",
         "width",
@@ -1468,6 +1536,35 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("distance", 6).alias("distance"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+    aids = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _MA_NC)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    amedia = synthetic_wav_media(aids)
+    afeats = extract_features(amedia, fake=False)
+    acorpus = afeats.select(
+        F.col("media_id").alias("id"), F.col("feature").alias("vector"), "n_bytes"
+    )
+    aqueries = afeats.where(F.col("media_id") < _MA_NQ).select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    ares = knn_join(
+        acorpus.select("id", "vector"), aqueries, k=_MM_K, metric="cosine",
+        algorithm="window", dim=16,
+    )
+    audio = ares.join(acorpus.select("id", "n_bytes"), "id").select(
+        F.lit("audio_wav").alias("branch"),
+        "query_id",
+        "id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "n_bytes",
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return image.unionByName(audio)
 
 
 @register(
