@@ -389,3 +389,103 @@ def test_fake_mode_total_on_corrupt_wav_sniff(spark):
     assert len(rows) == 1 and len(rows[0].feature) == 16
     with pytest.raises(PythonException, match="WAV|ValueError"):
         extract_features(df, fake=False).collect()
+
+
+# ---- AVI video codec (r5) -------------------------------------------
+
+
+def test_avi_roundtrip():
+    """_avi_encode → _avi_decode_frames is lossless for uncompressed
+    24-bit frames at several sizes (incl. non-multiple-of-4 widths
+    exercising row-stride padding)."""
+    from vicinity_spark.operators.multimodal import _avi_decode_frames, _avi_encode
+
+    rng = np.random.default_rng(13)
+    for w, h, n in [(16, 16, 3), (5, 7, 2), (1, 1, 1), (10, 3, 4)]:
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+        got, usec = _avi_decode_frames(_avi_encode(frames, usec_per_frame=50_000))
+        assert usec == 50_000 and len(got) == n
+        for a, b in zip(frames, got):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_sample_frames_real_avi(spark):
+    """REAL frame sampling: AVI clips decode, sample by container
+    timing, and re-encode as real BMPs whose features hit the real
+    image path — video → frames → image features, end to end with
+    fake=False everywhere."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_avi_media,
+    )
+
+    ids = spark.range(0, 6).select(F.col("id").alias("media_id"))
+    media = synthetic_avi_media(ids, n_frames=6, usec_per_frame=100_000)
+    # every_ms=200 at 10 fps → every 2nd frame → 3 frames per clip
+    frames = sample_frames(media, every_ms=200, fake=False)
+    rows = frames.collect()
+    assert len(rows) == 18
+    assert all(r.media_type == "image" and bytes(r.payload)[:2] == b"BM" for r in rows)
+    feats = extract_features(frames, fake=False).collect()
+    on = None
+    for r in feats:
+        clip_id, f_idx = divmod(r.media_id, 100_000)
+        p = ((clip_id + f_idx * 2) % 65535) + 1  # sampled every 2nd frame
+        if on is None:
+            nz = [x for x in r.feature if x > 0]
+            on = nz[0]
+        for k in range(16):
+            want = on if (p >> k) & 1 else 0.0
+            assert r.feature[k] == pytest.approx(want, abs=1e-6), (r.media_id, k)
+
+
+def test_extract_features_clip_level_temporal_mean(spark):
+    """Clip-level video features are the temporal mean of the
+    per-frame grids — closed-form: mean over f of on·bit_k(pattern
+    (id+f) % 65535 + 1)."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        synthetic_avi_media,
+    )
+
+    n_frames = 4
+    ids = spark.range(0, 8).select(F.col("id").alias("media_id"))
+    media = synthetic_avi_media(ids, n_frames=n_frames)
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 8
+    nz = sorted({round(x, 6) for r in rows for x in r.feature if x > 0})
+    on = None
+    for r in rows:
+        for k in range(16):
+            bits = [
+                ((((r.media_id + f) % 65535) + 1) >> k) & 1 for f in range(n_frames)
+            ]
+            frac = sum(bits) / n_frames
+            if on is None and frac > 0:
+                on = r.feature[k] / frac
+            if on is not None:
+                assert r.feature[k] == pytest.approx(on * frac, abs=1e-6), (r.media_id, k)
+
+
+def test_fake_mode_total_on_corrupt_avi_sniff(spark):
+    """Corrupt AVI-sniffing payloads: stand-in under fake=True, raise
+    under fake=False — same contract as BMP/WAV."""
+    from vicinity_spark.operators.multimodal import extract_features, sample_frames
+
+    corrupt = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 60
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(corrupt), None, None, 3000)],
+        "media_id long, media_type string, payload binary, "
+        "meta_width int, meta_height int, meta_duration_ms int",
+    )
+    rows = extract_features(df, fake=True).collect()
+    assert len(rows) == 1 and len(rows[0].feature) == 16
+    with pytest.raises(PythonException, match="AVI|ValueError"):
+        extract_features(df, fake=False).collect()
+    # sample_frames totality: fake=True falls back to declared-duration
+    # passthrough rows; fake=False raises
+    rows = sample_frames(df, every_ms=1000, fake=True).collect()
+    assert len(rows) == 3
+    with pytest.raises(PythonException, match="AVI|ValueError"):
+        sample_frames(df, every_ms=1000, fake=False).collect()

@@ -230,6 +230,121 @@ def _wav_encode(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# ---- real codec: RIFF/AVI with uncompressed DIB frames --------------
+# AVI completes the modality triple: a chunked RIFF container whose
+# '00db' (uncompressed device-independent bitmap) frames are raw
+# bottom-up BGR rows — the same pixel layout BMP uses, so the decoder
+# shares the BMP row logic and sampled frames re-encode as real BMPs.
+
+
+def _is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def _avi_decode_frames(payload: bytes) -> "tuple[list[np.ndarray], int]":
+    """RIFF/AVI → ([(H, W, 3) uint8 RGB per frame], usec_per_frame).
+
+    Supports the standard uncompressed layout: LIST hdrl (avih for
+    dims + frame timing, strl ignored), LIST movi with '00db' raw DIB
+    chunks (24bpp bottom-up BGR, 4-byte row stride)."""
+    if not _is_avi(payload):
+        raise ValueError("not an AVI payload")
+
+    def walk(buf, pos, end, out):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            if pos + 8 + sz > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(buf, pos + 12, pos + 8 + sz, out)
+            else:
+                out.append((cid, pos + 8, sz))
+            pos += 8 + sz + (sz & 1)
+
+    chunks: "list[tuple[bytes, int, int]]" = []
+    walk(payload, 12, len(payload), chunks)
+    avih = next((payload[o : o + s] for c, o, s in chunks if c == b"avih"), None)
+    if avih is None or len(avih) < 40:
+        raise ValueError("AVI missing avih header")
+    usec = int.from_bytes(avih[0:4], "little")
+    w = int.from_bytes(avih[32:36], "little")
+    h = int.from_bytes(avih[36:40], "little")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid AVI dimensions {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for cid, off, sz in chunks:
+        if cid != b"00db":
+            continue
+        if sz < h * stride:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(payload, np.uint8, count=h * stride, offset=off).reshape(
+            h, stride
+        )
+        frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+    if not frames:
+        raise ValueError("AVI contains no uncompressed '00db' frames")
+    return frames, usec
+
+
+def _avi_encode(frames: "list[np.ndarray]", usec_per_frame: int = 100_000) -> bytes:
+    """[(H, W, 3) uint8 RGB] → RIFF/AVI with uncompressed 24-bit DIB
+    frames (standard avih/strh/strf headers + movi '00db' chunks)."""
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    frame_bytes = h * stride
+    avih = (
+        int(usec_per_frame).to_bytes(4, "little")
+        + (frame_bytes * 1_000_000 // max(usec_per_frame, 1)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; flags minimal
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # one stream
+        + frame_bytes.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + bytes(16)
+    )
+    strh = (
+        b"vids" + b"DIB " + bytes(12)
+        + int(usec_per_frame).to_bytes(4, "little")   # scale
+        + (1_000_000).to_bytes(4, "little")           # rate → fps = rate/scale
+        + (0).to_bytes(4, "little")
+        + len(frames).to_bytes(4, "little")
+        + frame_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + bytes(8)
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + frame_bytes.to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for img in frames:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        movi_body += chunk(b"00db", rows.tobytes())
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 _WAV_WINDOWS = FEATURE_DIM // 2
 
 
@@ -300,11 +415,26 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_avi(b):
+                    # video feature = temporal mean pooling of the
+                    # per-frame image features (standard clip-level
+                    # descriptor); frame decode is the real DIB path
+                    try:
+                        frames, _ = _avi_decode_frames(b)
+                        feats.append(
+                            np.mean([_bmp_features(f) for f in frames], axis=0).astype(
+                                np.float32
+                            )
+                        )
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 if fake:
                     feats.append(_fake_decode(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/WAV media decode requires a codec library; "
+                        "non-BMP/WAV/AVI media decode requires a codec library; "
                         "run with fake=True for the deterministic stand-in"
                     )
             yield pd.DataFrame(
@@ -399,25 +529,55 @@ def resample_audio(media: DataFrame, rate: int, fake: bool = False) -> DataFrame
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
-    """Video frame sampling stub: emits one synthetic frame row per
-    `every_ms` of duration (fake) or raises. Output reuses MEDIA_SCHEMA
-    with media_type='image'."""
+    """Video frame sampling: REAL for RIFF/AVI payloads with
+    uncompressed DIB frames — decode, take every `every_ms`-th frame
+    by the container's frame timing, and re-encode each sampled frame
+    as a real BMP (media_type='image'), so the sampled rows feed the
+    real image feature path directly. Non-AVI payloads emit one
+    passthrough row per `every_ms` of declared duration under
+    fake=True (the codec-free stand-in) or raise. Output reuses
+    MEDIA_SCHEMA."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError("frame sampling requires ffmpeg; use fake=True")
             rows = []
             for r in pdf.itertuples():
+                b = bytes(r.payload)
+                if _is_avi(b):
+                    # same totality rule as the other codecs: under
+                    # fake=True a payload that sniffs as AVI but fails
+                    # to decode falls through to the stand-in
+                    try:
+                        frames, usec = _avi_decode_frames(b)
+                        step = max(int(round(every_ms * 1000 / max(usec, 1))), 1)
+                        for i, img in enumerate(frames[::step]):
+                            rows.append(
+                                {
+                                    "media_id": r.media_id * 100_000 + i,
+                                    "media_type": "image",
+                                    "payload": _bmp_encode(img),
+                                    "meta_width": int(img.shape[1]),
+                                    "meta_height": int(img.shape[0]),
+                                    "meta_duration_ms": 0,
+                                }
+                            )
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
+                if not fake:
+                    raise NotImplementedError(
+                        "non-AVI frame sampling requires ffmpeg; use fake=True"
+                    )
                 n = max(int((r.meta_duration_ms or 0) // every_ms), 0)
                 for i in range(n):
                     rows.append(
                         {
                             "media_id": r.media_id * 100_000 + i,
                             "media_type": "image",
-                            "payload": bytes(r.payload),
+                            "payload": b,
                             "meta_width": r.meta_width,
                             "meta_height": r.meta_height,
                             "meta_duration_ms": 0,
@@ -466,6 +626,53 @@ def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4,
                     "meta_width": np.int32(side),
                     "meta_height": np.int32(side),
                     "meta_duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def synthetic_avi_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_frames: int = 6,
+    grid: int = 4,
+    cell_px: int = 4,
+    usec_per_frame: int = 100_000,
+) -> DataFrame:
+    """Deterministic AVI corpus: one `n_frames`-frame uncompressed-DIB
+    clip per id, generated executor-side with the REAL encoder
+    (`_avi_encode`). Frame f shows the BMP-style bit-pattern grid of
+    `((id + f) % 65535) + 1`, so sampled frames and the clip-level
+    temporal-mean feature are both closed-form checkable."""
+    side = grid * cell_px
+
+    def pattern_img(p: int) -> np.ndarray:
+        img = np.zeros((side, side, 3), np.uint8)
+        for i in range(grid):
+            for j in range(grid):
+                if (p >> (i * grid + j)) & 1:
+                    img[i * cell_px : (i + 1) * cell_px, j * cell_px : (j + 1) * cell_px, :] = 255
+        return img
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for mid in pdf[id_col]:
+                frames = [
+                    pattern_img(((int(mid) + f) % 65535) + 1) for f in range(n_frames)
+                ]
+                payloads.append(_avi_encode(frames, usec_per_frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64").values,
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta_width": np.int32(side),
+                    "meta_height": np.int32(side),
+                    "meta_duration_ms": np.int32(n_frames * usec_per_frame // 1000),
                 }
             )
 
