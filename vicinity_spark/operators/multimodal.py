@@ -421,10 +421,18 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     # descriptor); frame decode is the real DIB path
                     try:
                         frames, _ = _avi_decode_frames(b)
+                        # float64 accumulation: the mean is then the
+                        # IEEE double mean of the float32 frame grids,
+                        # reproducible closed-form by an external
+                        # oracle (float32 accumulation order wouldn't
+                        # be)
                         feats.append(
-                            np.mean([_bmp_features(f) for f in frames], axis=0).astype(
-                                np.float32
-                            )
+                            np.mean(
+                                np.stack([_bmp_features(f) for f in frames]).astype(
+                                    np.float64
+                                ),
+                                axis=0,
+                            ).astype(np.float32)
                         )
                         continue
                     except ValueError:

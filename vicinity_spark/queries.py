@@ -1393,6 +1393,17 @@ def _bmp_on_value() -> float:
 
 
 _MA_NC, _MA_NQ = 256, 8
+_MV_NC, _MV_NQ, _MV_FRAMES = 128, 8, 4
+
+
+def _avi_n_bytes() -> int:
+    """Real encoded length of one synthetic AVI clip (not assumed)."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import _avi_encode
+
+    side = _MM_GRID * _MM_CELL
+    return len(_avi_encode([np.zeros((side, side, 3), np.uint8)] * _MV_FRAMES))
 
 
 def _wav_on_values() -> "tuple[float, float, int]":
@@ -1435,6 +1446,21 @@ def _multimodal_knn_sql() -> str:
         + [f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {zcr_on!r} ELSE 0.0 END)" for k in range(8)]
     ) + "]"
     adist = sql_distance("cosine", "q.qv", "f.feature", dim=16, clip=False)
+    # video branch: clip-level temporal-mean features — on·(set-bit
+    # fraction across the _MV_FRAMES per-frame patterns (id+f)%65535+1),
+    # float64 mean cast to float32 exactly as the operator computes it
+    vbits = lambda k: " + ".join(  # noqa: E731
+        f"(CASE WHEN (((p{f} >> {k}) & 1)) = 1 THEN 1.0 ELSE 0.0 END)"
+        for f in range(_MV_FRAMES)
+    )
+    vfeat = "[" + ", ".join(
+        f"CAST(({on} * ({vbits(k)})) / {float(_MV_FRAMES)!r} AS REAL)" for k in range(nbits)
+    ) + "]"
+    vpats = ", ".join(
+        f"((doc_id + {f}) % 65535) + 1 AS p{f}" for f in range(_MV_FRAMES)
+    )
+    vdist = sql_distance("cosine", "q.qv", "f.feature", dim=nbits, clip=False)
+    vid_bytes = _avi_n_bytes()
     return f"""
 WITH ids AS (
   SELECT doc_id AS media_id, ((doc_id % 65535) + 1) AS p
@@ -1465,6 +1491,21 @@ aranked AS (
   SELECT query_id, id, d,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
   FROM apairs
+),
+vids AS (
+  SELECT doc_id AS media_id, {vpats}
+  FROM documents WHERE doc_id < {_MV_NC}
+),
+vf AS (SELECT media_id, {vfeat} AS feature FROM vids),
+vq AS (SELECT media_id AS query_id, feature AS qv FROM vf WHERE media_id < {_MV_NQ}),
+vpairs AS (
+  SELECT q.query_id, f.media_id AS id, {vdist} AS d
+  FROM vq AS q CROSS JOIN vf AS f
+),
+vranked AS (
+  SELECT query_id, id, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM vpairs
 )
 SELECT 'image_bmp' AS branch, query_id, id,
        CAST({_MM_SIDE} AS INTEGER) AS width,
@@ -1479,6 +1520,13 @@ SELECT 'audio_wav' AS branch, query_id, id,
        CAST({wav_bytes} AS BIGINT) AS n_bytes,
        round(greatest(d, 0.0), 6) AS distance, rank
 FROM aranked WHERE rank <= {_MM_K}
+UNION ALL
+SELECT 'video_avi' AS branch, query_id, id,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST({vid_bytes} AS BIGINT) AS n_bytes,
+       round(greatest(d, 0.0), 6) AS distance, rank
+FROM vranked WHERE rank <= {_MM_K}
 """
 
 
@@ -1504,6 +1552,7 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vicinity_spark.operators.multimodal import (
         decode_meta,
         extract_features,
+        synthetic_avi_media,
         synthetic_bmp_media,
         synthetic_wav_media,
     )
@@ -1564,7 +1613,35 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("distance", 6).alias("distance"),
         F.col("rank").cast("long").alias("rank"),
     )
-    return image.unionByName(audio)
+
+    vids = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _MV_NC)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    vmedia = synthetic_avi_media(vids, n_frames=_MV_FRAMES)
+    vfeats = extract_features(vmedia, fake=False)
+    vcorpus = vfeats.select(
+        F.col("media_id").alias("id"), F.col("feature").alias("vector"), "n_bytes"
+    )
+    vqueries = vfeats.where(F.col("media_id") < _MV_NQ).select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    vres = knn_join(
+        vcorpus.select("id", "vector"), vqueries, k=_MM_K, metric="cosine",
+        algorithm="window", dim=_MM_GRID * _MM_GRID,
+    )
+    video = vres.join(vcorpus.select("id", "n_bytes"), "id").select(
+        F.lit("video_avi").alias("branch"),
+        "query_id",
+        "id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "n_bytes",
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return image.unionByName(audio).unionByName(video)
 
 
 @register(
