@@ -87,6 +87,17 @@ def _stream_scored(
     # trigger's arrival slice — the bounded-structure rule admits it.
     if isinstance(strategy, LSHStrategy):
         probe = strategy._probe_df(query_stream, metric, extra_cols=(ts_col, "qvec"))
+        # NOTE on the reloaded-store postings layout (backends/lsh.py
+        # save_extra): the batch reload path probes the bucket-group-
+        # partitioned posting parquet with DPP file pruning, which wins
+        # for ONE-SHOT probes. For serving it would trade the cached
+        # explode for a per-micro-batch corpus-wide shuffle attaching
+        # vectors back by id (postings carry only ids) — strictly worse
+        # every trigger. A serving deployment that cannot cache the
+        # exploded side should persist postings WITH vectors instead
+        # (inverted lists carrying payloads — n_tables× storage, the
+        # standard serving trade); until a deployment needs it, the
+        # cached explode is the honest single-host layout.
         exploded = corpus.select(
             "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )
