@@ -516,3 +516,45 @@ def test_stream_threshold_matches_batch(spark, tmp_path):
     gd = {(r.query_id, r.id): r.distance for r in got}
     for r in exp:
         assert gd[(r.query_id, r.id)] == pytest.approx(r.distance, abs=1e-9)
+
+def test_streaming_media_feature_extraction(spark, tmp_path):
+    """The multimodal feature kernel is stateless mapInPandas, so it
+    runs unchanged inside a streaming query: media parquet stream →
+    REAL-codec decode+features (all three modalities in one mixed
+    stream) → append sink, row-identical to the batch pass."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        synthetic_avi_media,
+        synthetic_bmp_media,
+        synthetic_wav_media,
+    )
+
+    ids = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("media_id"))  # noqa: E731
+    media = (
+        synthetic_bmp_media(ids(0, 6))
+        .unionByName(synthetic_wav_media(ids(6, 12)))
+        .unionByName(synthetic_avi_media(ids(12, 18), n_frames=3))
+    )
+    src = tmp_path / "media_src"
+    media.coalesce(2).write.parquet(str(src))
+
+    stream = spark.readStream.schema(media.schema).parquet(str(src))
+    q = (
+        extract_features(stream, fake=False)
+        .writeStream.format("memory")
+        .queryName("stream_media_feats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.media_id: (r.media_type, tuple(r.feature))
+        for r in spark.sql("select * from stream_media_feats").collect()
+    }
+    want = {
+        r.media_id: (r.media_type, tuple(r.feature))
+        for r in extract_features(media, fake=False).collect()
+    }
+    assert got == want
+    assert {t for t, _ in got.values()} == {"image", "audio", "video"}
