@@ -28,7 +28,7 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + py_path if py_path else "")
         )
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -46,8 +46,23 @@ def get_spark(
         # with a second concurrent session.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_STATE_STORE=rocksdb switches streaming state to the
+    # RocksDB provider (bundled with Spark 4) — the production choice
+    # when keyed state outgrows executor heap (long watermark horizons,
+    # high-cardinality dedup/serving buckets). Default stays the
+    # HDFS-backed in-memory provider: state in every test and bench
+    # here is small, and the in-memory provider avoids RocksDB's
+    # per-batch snapshot/compaction overhead at that scale. Verified
+    # working in this build (streaming agg runs with RocksDB custom
+    # metrics reported).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    return builder.getOrCreate()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
