@@ -618,3 +618,70 @@ def test_graph_ivf_seed_state_survives_save_reload(spark, tmp_path):
     loaded.strategy.build = boom
     loaded.strategy._fit_seed_clusters = boom
     assert loaded.query(X[:2], k=5) == want
+
+
+def test_threshold_auto_routes_large_query_tables_to_grid(spark):
+    """r5 VERDICT item 1: `threshold_join(algorithm="auto")` (now the
+    default) must mirror knn_join's routing — a bounded query batch
+    keeps the oracle-matched expr plan (query side broadcast), but a
+    query TABLE past AUTO_GRID_QUERY_ROWS routes to the block-grid
+    kernel: NO broadcast of the query side, query vectors arrive
+    through the block join. Routing is asserted on the physical plan:
+    the grid kernel is the only MapInPandas in either plan."""
+    import vicinity_spark.operators.knn as knn_mod
+    from vicinity_spark.plans.checks import explain_str
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 4
+    X = rng.random((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+
+    # bounded batch → expr: broadcast join present, no python kernel
+    small = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(5)],
+        "query_id long, qvec array<float>",
+    )
+    res_small = threshold_join(corpus, small, threshold=0.4, metric="cosine")
+    plan_small = explain_str(res_small, "simple")
+    assert "MapInPandas" not in plan_small
+    assert "Broadcast" in plan_small
+    n_small = res_small.count()
+
+    # large query table → grid: python kernel present, and the QUERY
+    # side is never broadcast (the only joins are over bounded block
+    # rows; the raw 8193-row query relation reaches the kernel via the
+    # block fold, not a driver/broadcast materialization)
+    nq = knn_mod.AUTO_GRID_QUERY_ROWS + 1
+    big = spark.range(nq).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.rand(seed=s) + F.lit(0.01) for s in range(dim)])
+        .cast("array<float>")
+        .alias("qvec"),
+    )
+    res_big = threshold_join(corpus, big, threshold=2.0, metric="cosine")
+    plan_big = explain_str(res_big, "simple")
+    assert "MapInPandas" in plan_big
+    # every query is within cosine distance 2.0 of everything → n rows each
+    assert res_big.count() == nq * n
+
+    # same rows either way on the bounded batch (routing changed the
+    # plan, not the answer)
+    got_grid = {
+        (r["query_id"], r["id"])
+        for r in threshold_join(
+            corpus, small, threshold=0.4, metric="cosine", algorithm="grid"
+        ).collect()
+    }
+    got_expr = {
+        (r["query_id"], r["id"])
+        for r in res_small.collect()
+    }
+    assert got_expr == got_grid and len(got_expr) == n_small
+
+
+def test_threshold_join_rejects_unknown_algorithm(spark, corpus_df, queries_df):
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        threshold_join(corpus_df, queries_df, 0.4, "cosine", algorithm="nope")

@@ -47,6 +47,12 @@ class ExactStrategy(IndexStrategy):
         *,
         payload_cols: Optional[Sequence[str]] = None,
     ) -> DataFrame:
+        # params["algorithm"] names a KNN plan (window/partial/grid/auto);
+        # only "grid" has a threshold twin — map everything else to the
+        # auto router so an unbounded query table is never force-broadcast
+        algo = self.params.get("threshold_algorithm") or (
+            "grid" if self.params.get("algorithm") == "grid" else "auto"
+        )
         return threshold_join(
             corpus,
             queries,
@@ -54,4 +60,5 @@ class ExactStrategy(IndexStrategy):
             metric=metric,
             payload_cols=payload_cols,
             dim=self.params.get("dim"),
+            algorithm=algo,
         )

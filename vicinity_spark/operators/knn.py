@@ -430,23 +430,40 @@ def threshold_join(
     query_vector_col: str = "qvec",
     payload_cols: Optional[Sequence[str]] = None,
     dim: Optional[int] = None,
-    algorithm: str = "expr",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Radius search: all corpus rows with distance <= threshold.
 
-    `expr` (default): filter-only plan — no window, no sort (output
-    unsorted, matching vicinity.py:147). The filter sits directly on
-    the scan side of the broadcast join, so Catalyst prunes columns and
-    the cross product streams without materialization. The JVM
-    expression chain is bit-comparable to the DuckDB oracle; the
-    bounded-batch facade path.
+    `expr`: filter-only plan — no window, no sort (output unsorted,
+    matching vicinity.py:147). The filter sits directly on the scan
+    side of the broadcast join, so Catalyst prunes columns and the
+    cross product streams without materialization. The JVM expression
+    chain is bit-comparable to the DuckDB oracle; the bounded-batch
+    facade path. Force-broadcasts the QUERY side — only safe when the
+    query table is bounded.
 
     `grid`: corpus blocks × query blocks scored by the chunked
     vectorized kernel (operators/grid.py) — the plan for UNBOUNDED
     query tables: no broadcast of the query side, no dim-wide JVM
-    expression (which falls out of codegen at large dim), same rows.
+    expression (which falls out of codegen at large dim), same rows
+    (asserted by test_threshold_grid_equals_expr).
+
+    `auto` (default): bounded query batch (≤ AUTO_GRID_QUERY_ROWS,
+    decided exactly like `knn_join` — optimizer maxRows when defined,
+    else a limit-bounded count probe) → `expr`; otherwise `grid`. The
+    same eager-probe caveat as `knn_join` applies: pass an explicit
+    algorithm to skip the probe on expensive lazily-derived query
+    pipelines.
     """
     metric = Metric.from_string(metric)
+    if algorithm == "auto":
+        # mirror knn_join's routing (operators/knn.py:306-315): a query
+        # table past the broadcast ceiling must never be force-broadcast
+        algorithm = (
+            "expr"
+            if _queries_are_bounded(queries, AUTO_GRID_QUERY_ROWS)
+            else "grid"
+        )
     if algorithm == "grid":
         from vicinity_spark.operators.grid import (
             _CCHUNK,
@@ -489,6 +506,8 @@ def threshold_join(
                 corpus.select(F.col(id_col).alias("id"), *payload_cols), "id", "left"
             )
         return out.select("query_id", "id", "distance", *(payload_cols or []))
+    if algorithm != "expr":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("__qvec"),
