@@ -564,14 +564,22 @@ _RECALL_L, _RECALL_B, _RECALL_SEED, _RECALL_K = 8, 8, 42, 10
 # production-shaped pruning: nprobe=2 of nlist=8 lists searched.
 _RECALL_IVF_IDS = [3, 65, 127, 189, 251, 313, 375, 437]
 _RECALL_IVF_NPROBE = 2
+# PQ branch (r6): codebooks = the per-subspace slices of those SAME
+# preset rows (m=4 subspaces × ksub=8 centroids × dsub=16 dims) — a
+# data-point codebook instead of a KMeans fit, so subspace code
+# assignment and the ADC distance are argmin/lookup computations the
+# oracle replicates from the same rows. Euclidean metric: PQ's raw-
+# space L2 ADC path, which needs no unit-normalization chain in SQL.
+# refine=4 → a 40-candidate ADC pool per query, honestly sub-1 recall.
+_RECALL_PQ_M, _RECALL_PQ_REFINE = 4, 4
 
 
-def _recall_tail(prefix: str) -> str:
+def _recall_tail(prefix: str, metric: str = "cosine") -> str:
     """Shared recall-summary SQL tail: `prefix` must define CTEs
     q(query_id, qv) and cand(query_id, id) [distinct pairs]; the tail
     re-ranks candidates, compares against the exact top-k, and emits
     (query_id, n_candidates, hits, recall)."""
-    dist = sql_distance("cosine", "q.qv", "e.embedding", clip=False)
+    dist = sql_distance(metric, "q.qv", "e.embedding", clip=False)
     return f"""
 WITH {prefix},
 annd AS (
@@ -654,6 +662,46 @@ cand AS (SELECT p.query_id, a.id FROM probe p JOIN asg a ON a.cid = p.cid)"""
     return _recall_tail(prefix)
 
 
+def _recall_pq_sql() -> str:
+    m, dsub = _RECALL_PQ_M, DIM // _RECALL_PQ_M
+    ids = ", ".join(map(str, _RECALL_IVF_IDS))
+    kk = _RECALL_K * _RECALL_PQ_REFINE
+
+    def sub_l2(a: str, b: str, j: int) -> str:
+        return _chain(
+            [
+                f"(({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE) * ({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE))"
+                for i in range(j * dsub + 1, (j + 1) * dsub + 1)
+            ]
+        )
+
+    code_aggs = ",\n         ".join(
+        f"arg_min(c.cid, {sub_l2('e.embedding', 'c.cvec', j)}) AS c{j}" for j in range(m)
+    )
+    adc_joins = " ".join(f"JOIN cent t{j} ON t{j}.cid = k.c{j}" for j in range(m))
+    adc_d = " + ".join(sub_l2("q.qv", f"t{j}.cvec", j) for j in range(m))
+    prefix = f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+codes AS (
+  SELECT e.vec_id AS id,
+         {code_aggs}
+  FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id
+),
+adc AS (
+  SELECT q.query_id, k.id, ({adc_d}) AS ad
+  FROM q CROSS JOIN codes k {adc_joins}
+),
+cand AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY ad, id) AS r FROM adc
+  ) WHERE r <= {kk}
+)"""
+    return _recall_tail(prefix, metric="euclidean")
+
+
 def _recall_summary_of(queries: DataFrame, cand: DataFrame, ann: DataFrame, exact: DataFrame) -> DataFrame:
     """(query_id, n_candidates, hits, recall) from a candidate-pair
     set, the ANN top-k, and the exact top-k — the F15 `evaluate`
@@ -675,10 +723,12 @@ def _recall_summary_of(queries: DataFrame, cand: DataFrame, ann: DataFrame, exac
     )
 
 
-def _recall_exact_topk(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+def _recall_exact_topk(
+    corpus: DataFrame, queries: DataFrame, metric: str = "cosine"
+) -> DataFrame:
     return knn_join(
         corpus.select("id", "vector"), queries, k=_RECALL_K,
-        metric="cosine", algorithm="window", dim=DIM,
+        metric=metric, algorithm="window", dim=DIM,
     ).select("query_id", "id")
 
 
@@ -719,27 +769,77 @@ def _recall_ivf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary_of(queries, cand, ann, _recall_exact_topk(built, queries))
 
 
+def _recall_pq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vicinity_spark.backends.pq import PQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    corpus = _emb_corpus(spark, sf_dir).select("id", "vector")
+    # bounded driver collect: the same 8 preset rows as the IVF branch,
+    # sliced into m per-subspace codebooks
+    cents = corpus.where(F.col("id").isin(_RECALL_IVF_IDS)).orderBy("id").collect()
+    dsub = DIM // _RECALL_PQ_M
+    books = [
+        [[float(x) for x in r.vector[j * dsub : (j + 1) * dsub]] for r in cents]
+        for j in range(_RECALL_PQ_M)
+    ]
+    strat = PQStrategy(
+        m=_RECALL_PQ_M,
+        ksub=len(cents),
+        refine=_RECALL_PQ_REFINE,
+        codebooks=books,
+    )
+    built = strat.build(corpus, Metric.EUCLIDEAN, DIM)
+    queries = _emb_queries(spark, sf_dir)
+    # the strategy's own candidate pool: global top-(k·refine) by ADC
+    # distance — the exact set knn() re-ranks (backends/pq.py:238)
+    kk = _RECALL_K * _RECALL_PQ_REFINE
+    w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+    cand = (
+        strat._candidates(built, queries, _RECALL_K, Metric.EUCLIDEAN)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= kk)
+        .select("query_id", "id")
+    )
+    ann = strat.knn(built, queries, k=_RECALL_K, metric=Metric.EUCLIDEAN).select(
+        "query_id", "id"
+    )
+    return _recall_summary_of(
+        queries, cand, ann, _recall_exact_topk(built, queries, metric="euclidean")
+    )
+
+
 @register(
     "ann_recall_summary",
     _labeled_sql("family", "lsh", _recall_lsh_sql())
     + "\nUNION ALL\n"
-    + _labeled_sql("family", "ivf", _recall_ivf_sql()),
+    + _labeled_sql("family", "ivf", _recall_ivf_sql())
+    + "\nUNION ALL\n"
+    + _labeled_sql("family", "pq", _recall_pq_sql()),
 )
 def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k at HONEST sub-1-recall production parameters
-    for TWO backend families as one labeled union (F15 `evaluate`
+    for THREE backend families as one labeled union (F15 `evaluate`
     methodology, vicinity.py:328-393, as a DataFrame program):
     candidate counts, exact-top-k hits, recall — everything downstream
     a pipeline needs to monitor ANN quality at scale. The `lsh` branch
     replicates the sparse ±1 projection family bit-exactly in SQL; the
     `ivf` branch (r5) uses preset data-point centroids so cluster
     assignment and nprobe=2-of-nlist=8 probing are argmin computations
-    the oracle reproduces from the same rows."""
+    the oracle reproduces from the same rows; the `pq` branch (r6)
+    slices those same rows into per-subspace codebooks so code
+    assignment (arg_min per subspace) and the ADC candidate pool are
+    equally SQL-reproducible. The graph family is deliberately absent:
+    NN-descent's randomized build is not oracle-reproducible, so its
+    production-params recall is gated by the
+    test_evaluate_ann_recall_floor test instead."""
     return (
         _recall_lsh_branch(spark, sf_dir)
         .select(F.lit("lsh").alias("family"), "*")
         .unionByName(
             _recall_ivf_branch(spark, sf_dir).select(F.lit("ivf").alias("family"), "*")
+        )
+        .unionByName(
+            _recall_pq_branch(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
         )
     )
 
