@@ -322,6 +322,53 @@ def multimodal_bmp_200k(spark, sf_dir):
     return run
 
 
+def lsh_mutate_200k(spark, sf_dir):
+    """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
+    store, insert 1% (2,000) new rows — which invalidates the persisted
+    posting lists (backends/lsh.py on_insert) so candidates are never
+    lost — then run the 100-query batch against the mutated store.
+    Times the full mutate-and-serve path: reload + insert + the
+    degraded post-mutation query plan (corpus explode + equi-join
+    instead of the DPP-pruned postings read). BENCHNOTES.md "mutation
+    at scale" has the clean posting-path twin measurement and the
+    re-save guidance the pair implies. Build+save are untimed setup;
+    each rep reloads fresh so the insert never compounds."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from vicinity_spark.store import VectorStore
+
+    tmp = tempfile.mkdtemp(prefix="lsh_mutate_")
+    atexit.register(shutil.rmtree, tmp, True)
+    folder = os.path.join(tmp, "store")
+    src = _synth_vectors(spark, n=200_000).withColumn(
+        "item", F.col("id").cast("string")
+    )
+    store = VectorStore.from_dataframe(
+        src, backend_type="lsh", metric="cosine", n_tables=8, n_bits=12
+    )
+    store.save(folder)
+    rng = np.random.default_rng(7)
+    V = rng.random((2_000, 64)).astype(np.float64)
+    queries = _synth_vectors(spark, n=100).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    # untimed warm-up: reload + posting-path and explode-path codegen
+    warm = VectorStore.load(folder, spark)
+    warm.insert(["w0"], V[:1])
+    warm.query_df(queries, k=10).count()
+
+    def run(s, d):
+        st = VectorStore.load(folder, s)
+        st.insert([f"new{i}" for i in range(len(V))], V)
+        return st.query_df(queries, k=10)
+
+    return run
+
+
 def neardup_inmem_sweep(spark, sf_dir):
     """Embedding near-dup pairs (same semantics as the oracle-checked
     neardup_embeddings query) with the vectorized block kernel: each
@@ -404,6 +451,9 @@ BENCH = {
     "lsh_scale_2m": lsh_scale_2m,
     "lsh_neardup_2m": lsh_neardup_2m,
     "dedup_e2e_2m": dedup_e2e_2m,
+    # r6 additions, appended so every earlier entry keeps its suite
+    # position (cross-round comparability, r5 VERDICT item 7)
+    "lsh_mutate_200k": lsh_mutate_200k,
 }
 
 
