@@ -88,14 +88,19 @@ def _ann_batch(strategy_name):
             from vicinity_spark.backends.graph import GraphStrategy
 
             # k_build=16/iters=2 buys graph quality in the UNTIMED
-            # build; seed_mode="ivf" (r5) seeds each query from its 4
+            # build; seed_mode="ivf" (r5) seeds each query from its
             # nearest centroids' member sets instead of the fixed
-            # entry ring, so ONE expansion round reaches the recall
-            # two ring-seeded rounds bought (0.459 vs 0.455 at sf0.1)
-            # with zero intermediate materialization barriers
+            # entry ring. r6 recall-per-cost sweep (BENCHNOTES "graph
+            # recall-per-cost frontier", 31 points at the ~4s budget):
+            # time is dominated by per-round fixed cost, recall by the
+            # seed pool (seed_probe×seed_members) and beam — so spend
+            # the budget on seeds/beam, not rounds. The knee
+            # (beam=64, probe=8, members=16, 1 expansion) measures
+            # recall@10 0.769 at 3.97s vs r5's 0.459 at 4.65s —
+            # better on both axes.
             strat = GraphStrategy(
-                k_build=16, iters=2, beam=32, expansions=1,
-                seed_mode="ivf", seed_probe=4, seed_members=8,
+                k_build=16, iters=2, beam=64, expansions=1,
+                seed_mode="ivf", seed_probe=8, seed_members=16,
             )
         elif strategy_name == "ivf":
             from vicinity_spark.backends.ivf import IVFStrategy
