@@ -170,6 +170,11 @@ def _knn_scale(n, parts=32):
 
 knn_scale_200k = _knn_scale(200_000)
 knn_scale_2m = _knn_scale(2_000_000, parts=64)
+# 5M tier (r6, VERDICT item 8): the third half-decade, promoted from
+# the r5 off-suite measurement to a driver-recorded entry for the two
+# cheap query paths only (~6s suite cost; the heavy pair-mining paths
+# keep their documented off-suite 5M points)
+knn_scale_5m = _knn_scale(5_000_000, parts=96)
 
 
 def _lsh_neardup(n, n_dups, n_bits, parts=32):
@@ -295,6 +300,7 @@ def _lsh_scale(n, n_bits, parts=32):
 
 lsh_scale_200k = _lsh_scale(200_000, 12)
 lsh_scale_2m = _lsh_scale(2_000_000, 16, parts=64)
+lsh_scale_5m = _lsh_scale(5_000_000, 17, parts=96)  # r6: see knn_scale_5m note
 
 
 def multimodal_bmp_200k(spark, sf_dir):
@@ -459,6 +465,8 @@ BENCH = {
     # r6 additions, appended so every earlier entry keeps its suite
     # position (cross-round comparability, r5 VERDICT item 7)
     "lsh_mutate_200k": lsh_mutate_200k,
+    "knn_scale_5m": knn_scale_5m,
+    "lsh_scale_5m": lsh_scale_5m,
 }
 
 
@@ -482,9 +490,10 @@ def main():
     import gc
 
     timings = {}
+    failed = {}
     for name, fn in BENCH.items():
         try:
-            if name.startswith("ann_") or name.endswith("_200k") or name.endswith("_2m"):
+            if name.startswith("ann_") or name.endswith(("_200k", "_2m", "_5m")):
                 fn = fn(spark, sf_dir)  # untimed index build + cache
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
@@ -509,11 +518,11 @@ def main():
             timings[name] = round(t1, 3)
             print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — one entry must not zero the suite
-            # record the failure loudly but keep the suite JSON intact:
-            # a crashed entry reports -1 (unmistakable in BENCH_r*.json)
-            # and the driver still gets every other entry's number
-            timings[name] = -1.0
-            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            # record the failure in its own map, NOT as a sentinel mixed
+            # into the seconds (r5 ADVICE: a -1.0 in `queries` silently
+            # skews any consumer that sums/averages the timings)
+            failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# {name}: FAILED {failed[name]}", file=sys.stderr)
         # drop cached indexes so entries don't contend for executor
         # memory, and nudge the JVM to actually release block-manager
         # memory (broadcast/checkpoint blocks are only freed after their
@@ -522,18 +531,17 @@ def main():
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -558,3 +558,42 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
     }
     assert got == want
     assert {t for t, _ in got.values()} == {"image", "audio", "video"}
+
+
+def test_serving_static_cache_memoized(spark):
+    """r5 ADVICE: repeated serving calls on the same store must reuse
+    ONE cached static side (keyed on the corpus plan), not stack a
+    fresh (n_rows × n_tables)-row cache per call — and
+    unpersist_serving_cache releases it."""
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.streaming.query import _stream_scored, unpersist_serving_cache
+
+    rng = np.random.default_rng(3)
+    corpus_df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.random(8)]) for i in range(50)],
+        "id long, vector array<float>",
+    )
+    strat = LSHStrategy(n_tables=4, n_bits=4)
+    built = strat.build(corpus_df, Metric.COSINE, 8)
+    q = spark.createDataFrame(
+        [(0, [0.5] * 8, None)], "query_id long, qvec array<float>, ts timestamp"
+    )
+
+    _stream_scored(built, q, Metric.COSINE, strat, "ts", persist_static=True)
+    first = strat._serving_cache
+    assert first is not None
+    _stream_scored(built, q, Metric.COSINE, strat, "ts", persist_static=True)
+    # same corpus plan → the SAME cached DataFrame object, not a new one
+    assert strat._serving_cache[1] is first[1]
+
+    # a different corpus plan misses the key and replaces the cache
+    built2 = built.where(F.col("id") < 25)
+    _stream_scored(built2, q, Metric.COSINE, strat, "ts", persist_static=True)
+    second = strat._serving_cache
+    assert second[1] is not first[1] and second[0] != first[0]
+    assert not first[1].is_cached, "stale cache was not unpersisted"
+
+    unpersist_serving_cache(strat)
+    assert strat._serving_cache is None
+    assert not second[1].is_cached

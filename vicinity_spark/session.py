@@ -11,6 +11,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """24g where the host affords it, else ~half of physical memory.
+
+    24g suits the 128 GiB bench host (the 2M bench tier OOM'd at 8g —
+    r5 repro), but a blanket 24g default would set Xmx ABOVE physical
+    memory on small hosts, risking host-level OOM/swap instead of a
+    clean Spark OOM (r5 ADVICE). Half of MemTotal, floored at 2g,
+    keeps small hosts safe; SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(24, int(total_gib / 2)))}g"
+    except OSError:
+        pass  # non-Linux: keep the bench-host default
+    return "24g"
+
+
 def get_spark(
     app_name: str = "vicinity-spark",
     cpus: "int | str | None" = None,
@@ -38,13 +57,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode shares one JVM between driver and executors, so
-        # this caps ALL storage+execution memory. 8g was tight for the
-        # 2M bench tier: two back-to-back reps of a checkpoint-heavy
-        # pipeline OOM'd before the ContextCleaner released the first
-        # rep's localCheckpoint blocks (r5 repro). Xmx is a cap, not a
-        # reservation — 24g stays well inside the 128 GiB host even
-        # with a second concurrent session.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # this caps ALL storage+execution memory. Xmx is a cap, not a
+        # reservation; see _default_driver_mem for the sizing rule.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
+        )
         .config("spark.ui.enabled", "false")
     )
     # SPARK_GRAFT_STATE_STORE=rocksdb switches streaming state to the

@@ -8,7 +8,11 @@ from vicinity_spark.streaming.neardup import (
     stateless_minhash,
     stream_neardup_candidates,
 )
-from vicinity_spark.streaming.query import stream_knn, stream_threshold
+from vicinity_spark.streaming.query import (
+    stream_knn,
+    stream_threshold,
+    unpersist_serving_cache,
+)
 from vicinity_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
@@ -20,5 +24,6 @@ __all__ = [
     "stream_neardup_candidates",
     "stream_threshold",
     "stream_vector_ingest",
+    "unpersist_serving_cache",
     "windowed_event_counts",
 ]

@@ -53,6 +53,39 @@ from vicinity_spark.datatypes import Metric
 from vicinity_spark.functions.metrics import clip_distance, distance_expr
 
 
+def _cache_static(strategy, corpus: DataFrame, prepared: DataFrame) -> DataFrame:
+    """Memoized `.cache()` of the prepared static side, keyed on the
+    corpus plan's semantic hash and held ON the strategy object — so
+    repeated query_stream/query_stream_threshold calls against the
+    same store reuse ONE cached copy instead of stacking a fresh
+    (n_rows × n_tables)-row cache per call (r5 ADVICE). A different
+    corpus plan under the same strategy (rebuild, filter) misses the
+    key and replaces the cache, unpersisting the stale copy."""
+    try:
+        key = corpus._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # plan shapes without semanticHash (Connect)
+        key = id(corpus)
+    memo = getattr(strategy, "_serving_cache", None)
+    if memo is not None and memo[0] == key:
+        return memo[1]
+    if memo is not None:
+        memo[1].unpersist()
+    cached = prepared.cache()
+    strategy._serving_cache = (key, cached)
+    return cached
+
+
+def unpersist_serving_cache(strategy) -> None:
+    """Release the static-side cache `_stream_scored` pinned for this
+    strategy's serving queries. Call when a serving query stops and
+    the store will not be probed again — e.g. before rebuilding the
+    corpus or tearing down a serving session."""
+    memo = getattr(strategy, "_serving_cache", None)
+    if memo is not None:
+        memo[1].unpersist()
+        strategy._serving_cache = None
+
+
 def _stream_scored(
     corpus: DataFrame,
     query_stream: DataFrame,
@@ -102,13 +135,13 @@ def _stream_scored(
             "id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )
         if persist_static:
-            exploded = exploded.cache()
+            exploded = _cache_static(strategy, corpus, exploded)
         cand = exploded.join(F.broadcast(probe), ["table", "bucket"])
     elif isinstance(strategy, IVFStrategy):
         probe = strategy._probe_df(query_stream, extra_cols=(ts_col, "qvec"))
         static = corpus.select("id", "vector", CLUSTER_COL)
         if persist_static:
-            static = static.cache()
+            static = _cache_static(strategy, corpus, static)
         cand = static.join(F.broadcast(probe), CLUSTER_COL)
     else:
         raise ValueError(
@@ -150,7 +183,7 @@ def stream_threshold(
     Lower-latency than stream_knn: radius search needs no ranking, so
     there is no aggregation waiting out the watermark — hits emit in
     the micro-batch the query arrives in. The only state is
-    dropDuplicatesWithinWatermark on (query_id, id) (emit-first-seen,
+    dropDuplicatesWithinWatermark on (query_id, ts, id) (emit-first-seen,
     so it adds no latency), which collapses LSH's per-co-bucketed-table
     re-scores; the deterministic distance expression makes every
     duplicate bit-identical, so the dedup never chooses between values.
@@ -188,6 +221,18 @@ def stream_knn(
     equi-join-probed families — their candidate generation is
     stateless stream-side). Results for a query emit once the
     watermark passes its event time.
+
+    State bound (r5 ADVICE, explicit): the top-k aggregate keeps the
+    FULL candidate list per open (query_id, ts) group until the
+    watermark evicts it — collect_list cannot be truncated
+    incrementally, so per-key state is O(candidates per query) =
+    O(probed buckets × bucket density), NOT O(k). Total state ≈
+    arrival rate × watermark horizon × candidates-per-query; size the
+    watermark (and bucket density via n_bits/nprobe) to that budget.
+    The RocksDB state-store option (session.py, SPARK_GRAFT_STATE_STORE)
+    moves the state off-heap but does not bound it. If per-query
+    candidate volume is large and k small, prefer stream_threshold
+    (no aggregation state) or reduce bucket density.
     """
     if k < 1:
         raise ValueError("k must be greater than 0")
