@@ -597,3 +597,72 @@ def test_serving_static_cache_memoized(spark):
     unpersist_serving_cache(strat)
     assert strat._serving_cache is None
     assert not second[1].is_cached
+
+
+def test_stream_knn_foreachbatch_matches_batch(spark, tmp_path):
+    """The memory-bounded serving fallback (foreachBatch: each
+    micro-batch planned as a BATCH query) returns exactly the batch
+    strategy's top-k — here against a RELOADED store, so candidate
+    generation runs the DPP-prunable posting-layout path, the layout
+    the fallback exists to serve from."""
+    import datetime as dt
+
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.store import VectorStore
+    from vicinity_spark.streaming import stream_knn_foreachbatch
+
+    rng = np.random.default_rng(21)
+    n, dim, k = 300, 8, 5
+    X = rng.random((n, dim)).astype(np.float32)
+    store = VectorStore.from_vectors_and_items(
+        spark, X, [f"i{i}" for i in range(n)],
+        backend_type="lsh", metric="cosine", n_tables=8, n_bits=4,
+    )
+    folder = str(tmp_path / "store")
+    store.save(folder)
+    loaded = VectorStore.load(folder, spark)
+    assert loaded.strategy._postings is not None  # posting-layout path
+
+    t0 = dt.datetime(2024, 1, 1)
+    qrows = [
+        (i, [float(x) for x in rng.random(dim)], t0 + dt.timedelta(minutes=i))
+        for i in range(6)
+    ]
+    qschema = "query_id long, qvec array<float>, ts timestamp"
+    src = tmp_path / "fb_queries"
+    spark.createDataFrame(qrows[:3], qschema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(qrows[3:], qschema).coalesce(1).write.mode("append").parquet(str(src))
+
+    got_batches = []
+
+    def sink(df, batch_id):
+        got_batches.append(df.collect())
+
+    stream = (
+        spark.readStream.schema(qschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    writer = stream_knn_foreachbatch(
+        loaded.df, stream, k=k, metric="cosine", strategy=loaded.strategy, sink=sink
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert len(got_batches) >= 2  # one sink call per data micro-batch
+
+    got = {
+        (r.query_id, r.rank): (r.id, r.distance, r.ts)
+        for b in got_batches
+        for r in b
+    }
+    batch_q = spark.createDataFrame(
+        [(i, v) for i, v, _ in qrows], "query_id long, qvec array<float>"
+    )
+    expected = loaded.strategy.knn(loaded.df, batch_q, k=k, metric=Metric.COSINE).collect()
+    exp = {(r.query_id, r.rank): (r.id, r.distance) for r in expected}
+    assert set(got) == set(exp)
+    ts_by_qid = {i: t for i, _, t in qrows}
+    for key, (gid, gdist, gts) in got.items():
+        eid, edist = exp[key]
+        assert gid == eid and gdist == pytest.approx(edist, abs=1e-9)
+        assert gts == ts_by_qid[key[0]]  # event time rides through

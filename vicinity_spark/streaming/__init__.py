@@ -10,6 +10,7 @@ from vicinity_spark.streaming.neardup import (
 )
 from vicinity_spark.streaming.query import (
     stream_knn,
+    stream_knn_foreachbatch,
     stream_threshold,
     unpersist_serving_cache,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "stream_events",
     "stream_exact_dedup",
     "stream_knn",
+    "stream_knn_foreachbatch",
     "stream_neardup_candidates",
     "stream_threshold",
     "stream_vector_ingest",
