@@ -666,3 +666,38 @@ def test_stream_knn_foreachbatch_matches_batch(spark, tmp_path):
         eid, edist = exp[key]
         assert gid == eid and gdist == pytest.approx(edist, abs=1e-9)
         assert gts == ts_by_qid[key[0]]  # event time rides through
+
+
+def test_store_query_stream_foreachbatch_facade(spark, tmp_path):
+    """Facade twin of stream_knn_foreachbatch on VectorStore."""
+    import datetime as dt
+
+    from vicinity_spark.store import VectorStore
+
+    rng = np.random.default_rng(31)
+    n, dim, k = 120, 8, 3
+    X = rng.random((n, dim)).astype(np.float32)
+    store = VectorStore.from_vectors_and_items(
+        spark, X, [f"i{i}" for i in range(n)],
+        backend_type="ivf", metric="cosine", nlist=4, nprobe=2,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    qrows = [(i, [float(x) for x in X[i]], t0) for i in range(4)]
+    qschema = "query_id long, qvec array<float>, ts timestamp"
+    src = tmp_path / "fb_facade_q"
+    spark.createDataFrame(qrows, qschema).coalesce(1).write.parquet(str(src))
+
+    got = []
+    writer = store.query_stream_foreachbatch(
+        spark.readStream.schema(qschema).parquet(str(src)),
+        sink=lambda df, bid: got.extend(df.collect()),
+        k=k,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    # self-queries: rank 1 is the row itself at distance ~0
+    best = {r.query_id: (r.id, r.distance) for r in got if r.rank == 1}
+    assert set(best) == {0, 1, 2, 3}
+    for qid, (rid, d) in best.items():
+        assert rid == qid and d < 1e-6
+    assert all(r.ts == t0 for r in got)

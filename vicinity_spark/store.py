@@ -248,6 +248,36 @@ class VectorStore:
             watermark=watermark,
         )
 
+    def query_stream_foreachbatch(
+        self,
+        query_stream: DataFrame,
+        sink,
+        k: int = 10,
+        *,
+        ts_col: str = "ts",
+    ):
+        """Memory-bounded streaming k-NN serving: each micro-batch is
+        planned as a BATCH query (foreachBatch), so AQE + dynamic
+        partition pruning apply and a RELOADED store probes its
+        partitioned posting layout with per-trigger file pruning — no
+        in-memory static cache. `sink(result_df, batch_id)` receives
+        each batch's (query_id, ts, id, distance, rank). Returns the
+        DataStreamWriter; call `.trigger(...).start()`. See
+        streaming/query.py stream_knn_foreachbatch for when to prefer
+        this over query_stream (cached-explode footprint vs
+        per-trigger planning cost)."""
+        from vicinity_spark.streaming.query import stream_knn_foreachbatch
+
+        return stream_knn_foreachbatch(
+            self.df,
+            query_stream,
+            k=k,
+            metric=self._metric,
+            strategy=self.strategy,
+            sink=sink,
+            ts_col=ts_col,
+        )
+
     def query_stream_threshold(
         self,
         query_stream: DataFrame,
