@@ -249,7 +249,10 @@ def _dedup_e2e(n, n_dups, parts=32):
     band-bucket keys live in a 64-bit hash space, so bucket density is
     collision-driven (near-dups only) at every tier and cost stays
     ∝ n with no knob change."""
-    from vicinity_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from vicinity_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs_rowwise,
+    )
 
     def make(spark, sf_dir):
         docs = _synth_docs(spark, n=n - n_dups, n_dups=n_dups, parts=parts).cache()
@@ -257,7 +260,12 @@ def _dedup_e2e(n, n_dups, parts=32):
 
         def run(s, d, _docs=None):
             base = _docs if _docs is not None else docs
-            pairs = minhash_lsh_pairs(
+            # r6: rowwise plan (signatures as a per-row projection,
+            # candidate-bounded verification) — pair-identical to the
+            # onepass miner, measured 24.9 vs 28.5s min-of-3
+            # interleaved at 2M for the mining phase and markedly more
+            # stable (BENCHNOTES r6 rowwise section)
+            pairs = minhash_lsh_pairs_rowwise(
                 base, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64"
             )
             comps = connected_components(base.select("doc_id"), pairs, id_col="doc_id")

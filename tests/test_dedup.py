@@ -249,3 +249,63 @@ def test_shingles_matches_window_form(spark):
     plan = shingles(docs, n=n)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2  # distinct = partial+final around 1 exchange
+
+
+def test_band_buckets_rowwise_matches_onepass(spark):
+    """r6: the zero-shuffle rowwise band-bucket projection must be
+    row-identical to band_buckets_onepass over shingles(docs) for both
+    hash families (incl. a partial last band and a doc too short to
+    shingle) — and its plan really is a projection: no Exchange."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_onepass,
+        band_buckets_rowwise,
+        shingles,
+    )
+    from vicinity_spark.plans.checks import plan_summary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "totally different words here now ok fine yes"),
+            (4, "too short"),  # < 3 tokens → no shingles → no buckets
+            (5, "a b c a b c a b c"),  # in-row duplicate grams
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=3)
+    for fam in ["md5", "xxhash64"]:
+        for n_hashes, rpb in [(16, 2), (12, 5)]:
+            one = band_buckets_onepass(sh, "shingle", n_hashes, rpb, fam)
+            row = band_buckets_rowwise(
+                docs, n_hashes, rpb, shingle_n=3, hash_fn=fam
+            )
+            a = {(r.doc_id, r.band, r.bkey) for r in one.collect()}
+            b = {(r.doc_id, r.band, r.bkey) for r in row.collect()}
+            assert a == b, (fam, n_hashes, rpb)
+    assert "Exchange" not in plan_summary(
+        band_buckets_rowwise(docs, 16, 2, shingle_n=3, hash_fn="xxhash64")
+    )
+
+
+def test_minhash_lsh_pairs_rowwise_matches(docs_df):
+    """r6: the candidate-bounded rowwise miner returns exactly the
+    pairs (and jaccard values) of minhash_lsh_pairs for both hash
+    families."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    for fam in ["md5", "xxhash64"]:
+        ref = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in minhash_lsh_pairs(
+                docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3, hash_fn=fam
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in minhash_lsh_pairs_rowwise(
+                docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3, hash_fn=fam
+            ).collect()
+        }
+        assert got == ref, fam
+        assert (0, 1) in got  # planted exact dup survives end to end

@@ -3,6 +3,7 @@ from vicinity_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_rowwise,
     shingles,
     simhash_fingerprints,
     simhash_pairs,
@@ -19,6 +20,7 @@ __all__ = [
     "jaccard_pairs",
     "knn_join",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_rowwise",
     "neardup_join",
     "salted_aggregate",
     "salted_join",

@@ -43,6 +43,25 @@ def token_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return tokens(docs, text_col, id_col).distinct()
 
 
+def _grams_arr(n: int, text_col: str):
+    """Per-row DISTINCT word-n-gram array — the column expression
+    behind `shingles()` (explode + global distinct) and the r6 rowwise
+    MinHash path (array_distinct in-row; equal because doc_id is
+    unique per row). Docs with fewer than n tokens yield an empty
+    array."""
+    toks = F.split(F.lower(text_col), " ")
+    n_toks = F.size(toks)
+    return F.when(
+        n_toks >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_toks - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -57,17 +76,15 @@ def shingles(
     (Jaccard mining, MinHash-LSH, the e2e composition). Docs with
     fewer than n tokens yield no shingles (the lead-form's trailing
     NULL filter)."""
-    toks = F.split(F.lower(text_col), " ")
-    n_toks = F.size(toks)
-    grams = F.when(
-        n_toks >= n,
-        F.transform(
-            F.sequence(F.lit(1), n_toks - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(_grams_arr(n, text_col)).alias("shingle")
+        )
+        # in-row array_distinct (inside _grams_arr) already deduped
+        # each doc's grams; the global distinct remains only to honor
+        # the declared (doc_id, shingle)-set contract if a caller
+        # passes duplicate doc_id rows, and shuffles the pre-deduped
+        # (smaller) stream
         .distinct()
     )
 
@@ -191,13 +208,23 @@ def band_buckets_onepass(
     band key layout), but the row form crossJoins the seed table first
     — shuffling n_hashes× the shingle rows into a two-key aggregation —
     where this shuffles exactly one combined row per doc."""
-    import math
-
     aggs = [
         F.min(_seed_mh_expr(s, feature_col, hash_fn)).alias(f"__mh{s}")
         for s in range(n_hashes)
     ]
     per_doc = sh.groupBy("doc_id").agg(*aggs)
+    bands = _band_key_cols(n_hashes, rows_per_band)
+    return per_doc.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+
+
+def _band_key_cols(n_hashes: int, rows_per_band: int):
+    """The banded-key projection shared by the onepass and rowwise
+    forms: band b's key is md5 over the '|'-joined stringified minhash
+    values of its seed slice (the layout minhash_band_buckets emits)."""
+    import math
+
     bands = []
     for b in range(math.ceil(n_hashes / rows_per_band)):
         seeds = range(b * rows_per_band, min((b + 1) * rows_per_band, n_hashes))
@@ -205,9 +232,111 @@ def band_buckets_onepass(
             F.concat_ws("|", *[F.col(f"__mh{s}").cast("string") for s in seeds]).cast("binary")
         )
         bands.append(F.struct(F.lit(b).cast("bigint").alias("band"), key.alias("bkey")))
+    return bands
+
+
+def band_buckets_rowwise(
+    docs: DataFrame,
+    n_hashes: int,
+    rows_per_band: int,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, band, bkey) with ZERO shuffles (r6): the signature is
+    computed per ROW as `array_min(transform(shingle_array,
+    hash(seed, ·)))` over the in-row distinct gram array — no exploded
+    shingle stream, no distinct shuffle, no groupBy. Value-identical
+    to band_buckets_onepass over `shingles(docs)` (same hash families,
+    seed order, and band-key layout; per-row array_distinct ≡ the
+    global distinct because doc_id is unique per row —
+    test_band_buckets_rowwise_matches_onepass), but the whole
+    signature+banding phase is a projection: at corpus scale the only
+    shuffle left in MinHash candidate mining is the bucket equi-join
+    itself, over narrow (doc_id, band, bkey) rows."""
+
+    def mh(seed: int):
+        if hash_fn == "xxhash64":
+            f = lambda g: F.xxhash64(F.lit(seed).cast("bigint"), g)  # noqa: E731
+        elif hash_fn == "md5":
+            f = lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit(":"), g).cast("binary"))  # noqa: E731
+        else:
+            raise ValueError(f"unknown minhash family {hash_fn!r}")
+        return F.array_min(F.transform(F.col("__sh"), f))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _grams_arr(shingle_n, text_col).alias("__sh")
+    ).where(F.size("__sh") > 0)  # docs with no shingles emit no buckets
+    per_doc = base.select(
+        "doc_id", *[mh(s).alias(f"__mh{s}") for s in range(n_hashes)]
+    )
+    bands = _band_key_cols(n_hashes, rows_per_band)
     return per_doc.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
         "doc_id", "bb.band", "bb.bkey"
     )
+
+
+def minhash_lsh_pairs_rowwise(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with CANDIDATE-BOUNDED verification
+    (r6) — same output as minhash_lsh_pairs (row-identical by test),
+    different plan:
+
+    - candidate mining: band_buckets_rowwise (a pure projection) →
+      bucket self-equi-join. No full-corpus shuffle anywhere — the
+      exploded-shingle distinct AND the signature groupBy of the
+      onepass plan are both gone.
+    - verification: the shingle table is exploded ONLY for docs that
+      appear in some candidate pair (semi-join on the bucket-join
+      output), so the exact-Jaccard equi-join and the set-size
+      aggregation shuffle candidate volume, not corpus volume.
+
+    At 100 TB this is the structural difference between shuffling the
+    token stream (∝ total text) and shuffling candidates (∝ near-dup
+    rate). No max_df here: the hot-shingle cap needs global document
+    frequencies, which is exactly the full-stream aggregation this
+    plan exists to avoid — capped flows keep minhash_lsh_pairs."""
+    buckets = band_buckets_rowwise(
+        docs, n_hashes, rows_per_band, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+    )
+    # materialize the narrow (doc_id, band, bkey) table ONCE: the
+    # bucket self-join consumes it on both sides, and a projection has
+    # no shuffle for Spark's ReusedExchange to share (unlike the
+    # onepass groupBy plan) — without this the whole signature chain
+    # runs twice (measured: the win below disappears at 2M)
+    buckets = buckets.localCheckpoint(eager=True)
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        # feeds the id semi-join AND the verification join — one
+        # materialization instead of two bucket-join re-runs
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(_grams_arr(shingle_n, "__text")).alias("shingle"))
+    )
+    return jaccard_pairs(sh_cand, "shingle", min_jaccard, candidates=cands)
 
 
 def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:

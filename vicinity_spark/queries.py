@@ -2035,10 +2035,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: shingle → 16 minhashes → 4 bands →
     bucket-equi-join candidates → exact-Jaccard verify ≥ 0.5
     (operators/dedup.py). Portable md5 hashing makes even the LSH
-    candidate generation oracle-checkable."""
-    from vicinity_spark.operators.dedup import minhash_lsh_pairs
+    candidate generation oracle-checkable. r6: runs the ROWWISE plan
+    (signatures as a per-row projection, candidate-bounded
+    verification — zero full-corpus shuffles), so the oracle
+    hash-checks the production plan; output is pair-identical to
+    minhash_lsh_pairs (also pinned by test)."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
 
-    j = minhash_lsh_pairs(
+    j = minhash_lsh_pairs_rowwise(
         _t(spark, sf_dir, "documents"), n_hashes=16, rows_per_band=4, min_jaccard=0.5
     )
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
