@@ -309,3 +309,25 @@ def test_minhash_lsh_pairs_rowwise_matches(docs_df):
         }
         assert got == ref, fam
         assert (0, 1) in got  # planted exact dup survives end to end
+
+
+def test_simhash_rowwise_matches(spark, docs_df):
+    """r6: the zero-shuffle rowwise SimHash must be row-identical to
+    simhash_fingerprints (exploded votes + groupBy), including the
+    empty-text and repeated-token edges, and its plan must be
+    Exchange-free."""
+    from vicinity_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_rowwise,
+    )
+    from vicinity_spark.plans.checks import plan_summary
+
+    edge = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "same same same words words")],
+        "doc_id long, text string",
+    )
+    for df in (docs_df, edge):
+        a = {(r.doc_id, r.simhash) for r in simhash_fingerprints(df).collect()}
+        b = {(r.doc_id, r.simhash) for r in simhash_fingerprints_rowwise(df).collect()}
+        assert a == b
+    assert "Exchange" not in plan_summary(simhash_fingerprints_rowwise(docs_df))

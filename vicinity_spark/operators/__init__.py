@@ -6,6 +6,7 @@ from vicinity_spark.operators.dedup import (
     minhash_lsh_pairs_rowwise,
     shingles,
     simhash_fingerprints,
+    simhash_fingerprints_rowwise,
     simhash_pairs,
     token_set,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "salted_join",
     "shingles",
     "simhash_fingerprints",
+    "simhash_fingerprints_rowwise",
     "simhash_pairs",
     "stratified_hash_split",
     "threshold_join",

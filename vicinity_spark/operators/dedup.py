@@ -437,6 +437,52 @@ def simhash_fingerprints(
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_fingerprints_rowwise(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — the zero-shuffle SimHash (r6): the whole
+    fingerprint is computed per ROW. The distinct token set is
+    array_distinct in-row; each token hashes ONCE inside a transform;
+    the 32 ±1 vote counters are a single `aggregate` fold with a
+    zip_with array accumulator. Value-identical to
+    simhash_fingerprints (the vote totals are integer sums — exact and
+    order-independent — and the per-row distinct equals the global
+    distinct because doc_id is unique per row;
+    test_simhash_rowwise_matches), but the plan is a pure projection:
+    no token explode, no distinct shuffle, no 32-sum groupBy. Docs
+    with no tokens emit no row (matching the exploded form)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(text_col), " "), lambda t: t != F.lit(""))
+    )
+    hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+
+    def vote_vec(h):
+        elems = []
+        for p in range(N_SIMHASH_BITS):
+            d, j = p // 4, 3 - (p % 4)
+            digit = F.instr(F.lit(HEX), F.substring(h, d + 1, 1)) - 1
+            bit = (digit / (1 << j)).cast("long") % 2
+            elems.append(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+        return F.array(*elems)
+
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), N_SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, vote_vec(h), lambda a, v: a + v),
+    )
+    fp = None
+    for p in range(N_SIMHASH_BITS):
+        term = F.when(
+            F.element_at(F.col("__s"), p + 1) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), sums.alias("__s"), F.size(toks).alias("__nt"))
+        .where(F.col("__nt") > 0)
+        .select("doc_id", fp.alias("simhash"))
+    )
+
+
 def _simhash_chunks(fingerprints: DataFrame, n_chunks: int, width: int) -> DataFrame:
     """(doc_id, simhash, chunk, cval) — the fingerprint split into
     n_chunks bit-slices of `width` bits (last slice may be narrower)."""

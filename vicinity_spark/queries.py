@@ -2080,10 +2080,13 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
 @register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints over the distinct token set
-    (operators/dedup.py: md5-bit voting, engine-portable)."""
-    from vicinity_spark.operators.dedup import simhash_fingerprints
+    (operators/dedup.py: md5-bit voting, engine-portable). r6: runs
+    the ROWWISE plan — the whole fingerprint is a per-row fold, zero
+    shuffles — so the oracle hash-checks the production plan
+    (row-identity to the exploded form is also test-pinned)."""
+    from vicinity_spark.operators.dedup import simhash_fingerprints_rowwise
 
-    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    return simhash_fingerprints_rowwise(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2097,10 +2100,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3."""
-    from vicinity_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+    """SimHash near-dup pairs within Hamming distance 3 (rowwise
+    fingerprints, r6)."""
+    from vicinity_spark.operators.dedup import (
+        simhash_fingerprints_rowwise,
+        simhash_pairs,
+    )
 
-    return simhash_pairs(simhash_fingerprints(_t(spark, sf_dir, "documents")), max_hamming=3)
+    return simhash_pairs(
+        simhash_fingerprints_rowwise(_t(spark, sf_dir, "documents")), max_hamming=3
+    )
 
 
 
