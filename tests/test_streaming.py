@@ -581,22 +581,24 @@ def test_serving_static_cache_memoized(spark):
     )
 
     _stream_scored(built, q, Metric.COSINE, strat, "ts", persist_static=True)
-    first = strat._serving_cache
-    assert first is not None
+    assert len(strat._serving_cache) == 1
+    first = next(iter(strat._serving_cache.values()))[1]
     _stream_scored(built, q, Metric.COSINE, strat, "ts", persist_static=True)
     # same corpus plan → the SAME cached DataFrame object, not a new one
-    assert strat._serving_cache[1] is first[1]
+    assert len(strat._serving_cache) == 1
+    assert next(iter(strat._serving_cache.values()))[1] is first
 
-    # a different corpus plan misses the key and replaces the cache
+    # a different corpus plan gets its OWN entry; the first stays
+    # cached — a running serving query may still be probing it
     built2 = built.where(F.col("id") < 25)
     _stream_scored(built2, q, Metric.COSINE, strat, "ts", persist_static=True)
-    second = strat._serving_cache
-    assert second[1] is not first[1] and second[0] != first[0]
-    assert not first[1].is_cached, "stale cache was not unpersisted"
+    assert len(strat._serving_cache) == 2
+    caches = [c for _, c in strat._serving_cache.values()]
+    assert first in caches and first.is_cached
 
     unpersist_serving_cache(strat)
     assert strat._serving_cache is None
-    assert not second[1].is_cached
+    assert all(not c.is_cached for c in caches)
 
 
 def test_stream_knn_foreachbatch_matches_batch(spark, tmp_path):

@@ -185,15 +185,17 @@ def minhash_signatures(
     )
 
 
-def _seed_mh_expr(seed: int, feature_col: str, hash_fn: str):
+def _seed_mh_expr(seed: int, feature, hash_fn: str):
     """hash(seed, feature) for one literal seed — value-identical to
     the minhash_signatures column families (the seed literal is cast
     bigint because xxhash64 hashes by input type and the row-form seed
-    column comes from spark.range)."""
+    column comes from spark.range). `feature` is a column name or a
+    Column (the rowwise form passes the transform lambda variable)."""
+    feature = F.col(feature) if isinstance(feature, str) else feature
     if hash_fn == "xxhash64":
-        return F.xxhash64(F.lit(seed).cast("bigint"), F.col(feature_col))
+        return F.xxhash64(F.lit(seed).cast("bigint"), feature)
     if hash_fn == "md5":
-        return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(feature_col)).cast("binary"))
+        return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), feature).cast("binary"))
     raise ValueError(f"unknown minhash family {hash_fn!r}")
 
 
@@ -257,13 +259,9 @@ def band_buckets_rowwise(
     itself, over narrow (doc_id, band, bkey) rows."""
 
     def mh(seed: int):
-        if hash_fn == "xxhash64":
-            f = lambda g: F.xxhash64(F.lit(seed).cast("bigint"), g)  # noqa: E731
-        elif hash_fn == "md5":
-            f = lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit(":"), g).cast("binary"))  # noqa: E731
-        else:
-            raise ValueError(f"unknown minhash family {hash_fn!r}")
-        return F.array_min(F.transform(F.col("__sh"), f))
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda g: _seed_mh_expr(seed, g, hash_fn))
+        )
 
     base = docs.select(
         F.col(id_col).alias("doc_id"), _grams_arr(shingle_n, text_col).alias("__sh")
@@ -304,7 +302,11 @@ def minhash_lsh_pairs_rowwise(
     token stream (∝ total text) and shuffling candidates (∝ near-dup
     rate). No max_df here: the hot-shingle cap needs global document
     frequencies, which is exactly the full-stream aggregation this
-    plan exists to avoid — capped flows keep minhash_lsh_pairs."""
+    plan exists to avoid — capped flows keep minhash_lsh_pairs.
+
+    Precondition: doc_id unique per row (the universal dedup-input
+    contract). Duplicate doc_id rows would bucket per-row here where
+    minhash_lsh_pairs merges them into one shingle set first."""
     buckets = band_buckets_rowwise(
         docs, n_hashes, rows_per_band, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, hash_fn=hash_fn,
@@ -335,6 +337,12 @@ def minhash_lsh_pairs_rowwise(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
         .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.explode(_grams_arr(shingle_n, "__text")).alias("shingle"))
+        # candidate-volume distinct: keeps the verification's set sizes
+        # and intersections exact even if a caller passes duplicate
+        # doc_id rows (candidate GENERATION would still see such docs
+        # per-row rather than as a merged shingle set — doc_id is
+        # expected unique per row, like every dedup pipeline input)
+        .distinct()
     )
     return jaccard_pairs(sh_cand, "shingle", min_jaccard, candidates=cands)
 
@@ -460,8 +468,7 @@ def simhash_fingerprints_rowwise(
         elems = []
         for p in range(N_SIMHASH_BITS):
             d, j = p // 4, 3 - (p % 4)
-            digit = F.instr(F.lit(HEX), F.substring(h, d + 1, 1)) - 1
-            bit = (digit / (1 << j)).cast("long") % 2
+            bit = (_hex_digit(h, d + 1) / (1 << j)).cast("long") % 2
             elems.append(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
         return F.array(*elems)
 

@@ -770,6 +770,8 @@ def _recall_ivf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_pq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from vicinity_spark.backends.pq import PQStrategy
     from vicinity_spark.datatypes import Metric
 
@@ -790,18 +792,61 @@ def _recall_pq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     built = strat.build(corpus, Metric.EUCLIDEAN, DIM)
     queries = _emb_queries(spark, sf_dir)
-    # the strategy's own candidate pool: global top-(k·refine) by ADC
-    # distance — the exact set knn() re-ranks (backends/pq.py:238)
+    # ADC pool cut DETERMINISTICALLY by (adc, id): the strategy's grid
+    # kernel truncates each cell's pool with argpartition, whose tie
+    # order is arbitrary — and with tiny preset codebooks duplicate PQ
+    # codes guarantee exact ADC ties at the kk boundary, so that cut is
+    # not oracle-reproducible (the SQL cuts ORDER BY ad, id). Here the
+    # ADC distance is computed for every (query, row) — a full scan,
+    # which IS the PQ family's scan shape — from the same per-query
+    # lookup tables (bounded: nq×m×ksub doubles), and the boundary is a
+    # row_number window over (adc, id). Equal codes give bit-equal adc
+    # in each engine, so the id tiebreak agrees with the oracle; the
+    # strategy's argpartition pool is this same pool up to tie choice.
+    from vicinity_spark.backends.pq import CODE_COL
+
     kk = _RECALL_K * _RECALL_PQ_REFINE
-    w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+    ksub = len(cents)
+    Tq = strat._adc_tables(
+        np.array([r.qvec for r in queries.orderBy("query_id").collect()], dtype=np.float64),
+        Metric.EUCLIDEAN,
+    )  # nq × m × ksub — bounded (8×4×8)
+    tbl_rows = [
+        (qi, [float(x) for x in Tq[qi].reshape(-1)]) for qi in range(Tq.shape[0])
+    ]
+    tbls = spark.createDataFrame(tbl_rows, "query_id long, tbl array<double>")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_RECALL_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("tbl"),
+            (j * ksub + F.element_at(F.col(CODE_COL), j + 1).cast("int") + 1).cast("int"),
+        ),
+    )
+    scored = (
+        built.select("id", CODE_COL)
+        .crossJoin(F.broadcast(tbls))
+        .select("query_id", "id", adc.alias("__adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc"), F.col("id"))
     cand = (
-        strat._candidates(built, queries, _RECALL_K, Metric.EUCLIDEAN)
-        .withColumn("__r", F.row_number().over(w))
+        scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= kk)
         .select("query_id", "id")
+        .localCheckpoint(eager=True)  # feeds ann re-rank + the count
     )
-    ann = strat.knn(built, queries, k=_RECALL_K, metric=Metric.EUCLIDEAN).select(
-        "query_id", "id"
+    # ann = exact re-rank of the SAME pool (what PQStrategy.knn does to
+    # its pool, backends/pq.py:243-252), deterministic end to end
+    from vicinity_spark.operators.knn import score_joined
+
+    joined = cand.join(built.select("id", "vector"), "id")
+    wk = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+    ann = (
+        score_joined(joined, queries, Metric.EUCLIDEAN)
+        .withColumn("__rk", F.row_number().over(wk))
+        .where(F.col("__rk") <= _RECALL_K)
+        .select("query_id", "id")
     )
     return _recall_summary_of(
         queries, cand, ann, _recall_exact_topk(built, queries, metric="euclidean")

@@ -17,17 +17,27 @@ def _default_driver_mem() -> str:
     24g suits the 128 GiB bench host (the 2M bench tier OOM'd at 8g —
     r5 repro), but a blanket 24g default would set Xmx ABOVE physical
     memory on small hosts, risking host-level OOM/swap instead of a
-    clean Spark OOM (r5 ADVICE). Half of MemTotal, floored at 2g,
-    keeps small hosts safe; SPARK_GRAFT_DRIVER_MEM overrides."""
+    clean Spark OOM (r5 ADVICE). Half of physical memory, floored at
+    2g, keeps small hosts safe; SPARK_GRAFT_DRIVER_MEM overrides.
+    Physical memory via sysconf (Linux AND macOS), /proc/meminfo as
+    backup; if neither is readable, fall back to 8g — conservative,
+    never above-physical on any plausible host — not 24g."""
+    total_b = None
     try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemTotal:"):
-                    total_gib = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(2, min(24, int(total_gib / 2)))}g"
-    except OSError:
-        pass  # non-Linux: keep the bench-host default
-    return "24g"
+        total_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        total_b = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
+    if not total_b:
+        return "8g"
+    total_gib = total_b / (1024**3)
+    return f"{max(2, min(24, int(total_gib / 2)))}g"
 
 
 def get_spark(

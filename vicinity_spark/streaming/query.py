@@ -58,32 +58,42 @@ def _cache_static(strategy, corpus: DataFrame, prepared: DataFrame) -> DataFrame
     corpus plan's semantic hash and held ON the strategy object — so
     repeated query_stream/query_stream_threshold calls against the
     same store reuse ONE cached copy instead of stacking a fresh
-    (n_rows × n_tables)-row cache per call (r5 ADVICE). A different
-    corpus plan under the same strategy (rebuild, filter) misses the
-    key and replaces the cache, unpersisting the stale copy."""
+    (n_rows × n_tables)-row cache per call (r5 ADVICE). Distinct
+    corpus plans get distinct entries; NOTHING is auto-unpersisted —
+    a running serving query may still be probing an older entry, and
+    dropping its cache would silently reintroduce the per-micro-batch
+    static rebuild. The map is bounded by the number of distinct
+    corpus plans served on this strategy (one per mutation, in
+    practice); release everything with unpersist_serving_cache() when
+    serving stops. Each entry holds its corpus DataFrame too, so the
+    id() fallback key (Connect, where semanticHash is unavailable)
+    can never alias a garbage-collected corpus's address."""
     try:
         key = corpus._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # plan shapes without semanticHash (Connect)
         key = id(corpus)
     memo = getattr(strategy, "_serving_cache", None)
-    if memo is not None and memo[0] == key:
-        return memo[1]
-    if memo is not None:
-        memo[1].unpersist()
+    if memo is None:
+        memo = strategy._serving_cache = {}
+    hit = memo.get(key)
+    if hit is not None:
+        return hit[1]
     cached = prepared.cache()
-    strategy._serving_cache = (key, cached)
+    memo[key] = (corpus, cached)
     return cached
 
 
 def unpersist_serving_cache(strategy) -> None:
-    """Release the static-side cache `_stream_scored` pinned for this
-    strategy's serving queries. Call when a serving query stops and
-    the store will not be probed again — e.g. before rebuilding the
-    corpus or tearing down a serving session."""
+    """Release every static-side cache `_stream_scored` pinned for
+    this strategy's serving queries. Call when serving stops and the
+    store will not be probed again — e.g. before rebuilding the
+    corpus or tearing down a serving session. Do NOT call while a
+    serving query is still running."""
     memo = getattr(strategy, "_serving_cache", None)
-    if memo is not None:
-        memo[1].unpersist()
-        strategy._serving_cache = None
+    if memo:
+        for _, cached in memo.values():
+            cached.unpersist()
+    strategy._serving_cache = None
 
 
 def _stream_scored(
@@ -246,7 +256,12 @@ def stream_knn_foreachbatch(
         res = strategy.knn(
             corpus, q.select("query_id", "qvec"), k=k, metric=metric
         )
-        sink(res.join(q.select("query_id", ts_col), "query_id"), batch_id)
+        sink(
+            res.join(q.select("query_id", ts_col), "query_id").select(
+                "query_id", ts_col, "id", "distance", "rank"
+            ),
+            batch_id,
+        )
 
     return query_stream.writeStream.foreachBatch(_process)
 
