@@ -331,3 +331,44 @@ def test_simhash_rowwise_matches(spark, docs_df):
         b = {(r.doc_id, r.simhash) for r in simhash_fingerprints_rowwise(df).collect()}
         assert a == b
     assert "Exchange" not in plan_summary(simhash_fingerprints_rowwise(docs_df))
+
+
+# ---- property-based: rowwise ≡ exploded on arbitrary corpora --------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus)
+def test_rowwise_forms_match_exploded_property(spark_prop, texts):
+    """For ARBITRARY small corpora (repeated words, empty docs,
+    too-short docs — whatever hypothesis finds), the r6 rowwise
+    MinHash buckets and SimHash fingerprints must equal their exploded
+    forms row-for-row."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_onepass,
+        band_buckets_rowwise,
+        shingles,
+        simhash_fingerprints,
+        simhash_fingerprints_rowwise,
+    )
+
+    spark = spark_prop
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    one = band_buckets_onepass(shingles(docs, n=2), "shingle", 8, 2, "md5")
+    row = band_buckets_rowwise(docs, 8, 2, shingle_n=2, hash_fn="md5")
+    assert {tuple(r) for r in one.collect()} == {tuple(r) for r in row.collect()}, texts
+    a = {tuple(r) for r in simhash_fingerprints(docs).collect()}
+    b = {tuple(r) for r in simhash_fingerprints_rowwise(docs).collect()}
+    assert a == b, texts
