@@ -685,3 +685,72 @@ def test_threshold_auto_routes_large_query_tables_to_grid(spark):
 def test_threshold_join_rejects_unknown_algorithm(spark, corpus_df, queries_df):
     with pytest.raises(ValueError, match="unknown algorithm"):
         threshold_join(corpus_df, queries_df, 0.4, "cosine", algorithm="nope")
+
+
+def test_topk_deterministic_under_duplicate_vectors_and_layouts(spark):
+    """r6 hardening: exact-distance ties (duplicate vectors) used to be
+    cut by argpartition's arbitrary order inside the partial/grid
+    kernels, making the emitted top-k depend on partition layout. Now
+    every boundary is a (distance, id) cut: with 30 of 60 rows sharing
+    one vector and k landing inside the tie set, every algorithm and
+    every partitioning must return the identical, id-ordered winners."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.random(8)
+    rows = []
+    for i in range(60):
+        v = base if i % 2 == 0 else rng.random(8)  # 30 exact duplicates
+        rows.append((i, [float(x) for x in v]))
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "query_id long, qvec array<float>"
+    )
+    expected = None
+    for parts in (1, 7, 32):
+        corpus = spark.createDataFrame(rows, "id long, vector array<float>").repartition(parts)
+        for algo in ("window", "partial", "grid"):
+            got = [
+                (r["rank"], r["id"])
+                for r in knn_join(corpus, q, k=5, metric="cosine", algorithm=algo)
+                .orderBy("rank")
+                .collect()
+            ]
+            # distance-0 ties must resolve to the 5 smallest duplicate ids
+            assert got == [(1, 0), (2, 2), (3, 4), (4, 6), (5, 8)], (algo, parts)
+            if expected is None:
+                expected = got
+            assert got == expected, (algo, parts)
+
+
+def test_pq_pool_deterministic_under_duplicate_codes(spark):
+    """Quantized paths: duplicate PQ codes give bit-equal ADC
+    distances, so the candidate-pool boundary is tie-dense. The pool
+    (and hence knn) must be identical across partition layouts."""
+    import numpy as np
+
+    from vicinity_spark.backends.pq import PQStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(9)
+    # 2 distinct vector values × 40 copies → codes collide massively
+    vals = [rng.random(8) for _ in range(2)]
+    rows = [(i, [float(x) for x in vals[i % 2]]) for i in range(80)]
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vals[0]])], "query_id long, qvec array<float>"
+    )
+    books = [[list(map(float, rng.random(4))) for _ in range(4)] for _ in range(2)]
+    results = []
+    for parts in (1, 5, 16):
+        corpus = spark.createDataFrame(rows, "id long, vector array<float>").repartition(parts)
+        strat = PQStrategy(m=2, ksub=4, refine=2, codebooks=books)
+        built = strat.build(corpus, Metric.EUCLIDEAN, 8)
+        got = [
+            (r["rank"], r["id"], round(r["distance"], 9))
+            for r in strat.knn(built, q, k=6, metric=Metric.EUCLIDEAN)
+            .orderBy("rank")
+            .collect()
+        ]
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    # rank-1..: the query's own duplicates, smallest ids first
+    assert [r[1] for r in results[0][:3]] == [0, 2, 4]

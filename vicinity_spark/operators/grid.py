@@ -67,21 +67,63 @@ def corpus_blocks(corpus: DataFrame, payload_col: str, n_blocks: int = None) -> 
 
 
 def cell_arrays(pdf: pd.DataFrame, i: int):
-    """Decode one grid-cell row back to numpy (ids, payload, qids, Q)."""
+    """Decode one grid-cell row back to numpy (ids, payload, qids, Q).
+
+    Corpus entries come back SORTED BY id: collect_list order is
+    nondeterministic, and the top-k kernels below break exact-distance
+    ties by array position — sorting here makes position order ≡ id
+    order, so every cut is a deterministic (distance, id) cut that
+    matches the SQL oracles' ORDER BY d, id regardless of partition
+    layout (ties are real: duplicate vectors, duplicate quantization
+    codes)."""
     ids = np.asarray(pdf["__cids"].iloc[i], dtype=np.int64)
     payload = np.vstack([np.asarray(c) for c in pdf["__ccodes"].iloc[i]])
+    order = np.argsort(ids, kind="stable")
+    ids, payload = ids[order], payload[order]
     qids = np.asarray(pdf["__qids"].iloc[i], dtype=np.int64)
     Q = np.vstack([np.asarray(v) for v in pdf["__qvecs"].iloc[i]]).astype(np.float64)
     return ids, payload, qids, Q
+
+
+def det_topk_idx(D: np.ndarray, cap: int) -> np.ndarray:
+    """Per-row indices of the top-`cap` entries by (value, index) —
+    DETERMINISTIC at equal values, where argpartition's tie order is
+    arbitrary (and real: duplicate vectors / quantization codes tie
+    bit-exactly, so an argpartition boundary is partition-layout-
+    dependent). The bulk selection stays O(n) argpartition; only rows
+    whose boundary has ties pay a small exact resolution. Column
+    index order must equal id order (cell_arrays sorts by id)."""
+    n, w = D.shape
+    cap = min(cap, w)
+    if cap == w:
+        return np.broadcast_to(np.arange(w, dtype=np.int64), (n, w))
+    part = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+    kth = np.take_along_axis(D, part, axis=1).max(axis=1)
+    out = np.empty((n, cap), dtype=np.int64)
+    for r in range(n):
+        cand = np.nonzero(D[r] <= kth[r])[0]  # ascending index order
+        if len(cand) > cap:  # boundary ties — resolve by (value, index)
+            cand = cand[np.argsort(D[r, cand], kind="stable")[:cap]]
+        elif len(cand) < cap:  # NaNs poisoned the kth compare
+            cand = np.argsort(D[r], kind="stable")[:cap]
+        out[r] = cand
+    return out
 
 
 def _merge_parts(qids, ids, parts_d, parts_i, kk: int) -> pd.DataFrame:
     Dall = np.concatenate(parts_d, axis=1)
     Iall = np.concatenate(parts_i, axis=1)
     cap = min(kk, Dall.shape[1])
-    sel = np.argpartition(Dall, cap - 1, axis=1)[:, :cap]
-    dd = np.take_along_axis(Dall, sel, axis=1)
-    ii = np.take_along_axis(Iall, sel, axis=1)
+    # deterministic (distance, index) cut: pre-order columns by index
+    # (index ≡ id rank — cell_arrays sorts by id), then det_topk_idx
+    # breaks exact-distance ties by id. The merge matrix is small
+    # (cap × n_chunks wide), so the full column re-order is cheap.
+    ordI = np.argsort(Iall, axis=1, kind="stable")
+    D2 = np.take_along_axis(Dall, ordI, axis=1)
+    I2 = np.take_along_axis(Iall, ordI, axis=1)
+    sel = det_topk_idx(D2, cap)
+    dd = np.take_along_axis(D2, sel, axis=1)
+    ii = np.take_along_axis(I2, sel, axis=1)
     return pd.DataFrame(
         {
             "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),
@@ -100,7 +142,9 @@ def cell_topk(qids, ids, codes, tables, m: int, kk: int) -> pd.DataFrame:
     for s in range(0, len(ids), _CCHUNK):
         D = tables[:, np.arange(m), codes[s : s + _CCHUNK]].sum(axis=2)
         cap = min(kk, D.shape[1])
-        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+        # chunk columns are in ascending-id order (cell arrays are
+        # id-sorted), so det_topk_idx's index tiebreak is an id tiebreak
+        idx = det_topk_idx(D, cap)
         parts_d.append(np.take_along_axis(D, idx, axis=1))
         parts_i.append(idx + s)
     return _merge_parts(qids, ids, parts_d, parts_i, kk)
@@ -115,7 +159,7 @@ def dense_cell_topk(qids, ids, X: np.ndarray, Q: np.ndarray, metric, kk: int) ->
     for s in range(0, len(ids), _CCHUNK):
         D = _np_distances(metric, Q, X[s : s + _CCHUNK])
         cap = min(kk, D.shape[1])
-        idx = np.argpartition(D, cap - 1, axis=1)[:, :cap]
+        idx = det_topk_idx(D, cap)  # ties cut by id (see cell_topk)
         parts_d.append(np.take_along_axis(D, idx, axis=1))
         parts_i.append(idx + s)
     return _merge_parts(qids, ids, parts_d, parts_i, kk)

@@ -233,9 +233,18 @@ def _partial_topk(
                 continue
             X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
+            # sort the batch by id, then STABLE-sort distances: the
+            # per-partition cut then breaks exact-distance ties
+            # (duplicate vectors) by id, so the emitted pool — and
+            # therefore the final window result — is deterministic
+            # and matches the oracle's ORDER BY d, id at any layout
+            order = np.argsort(ids, kind="stable")
+            ids, X = ids[order], X[order]
             D = _np_distances(metric, Q, X)
             kk = min(k, D.shape[1])
-            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            from vicinity_spark.operators.grid import det_topk_idx
+
+            idx = det_topk_idx(D, kk)
             out_qid = np.repeat(qids, kk)
             out_id = ids[idx.ravel()]
             out_d = np.take_along_axis(D, idx, axis=1).ravel()
