@@ -283,7 +283,7 @@ class GraphStrategy(IndexStrategy):
         def probe(v: pd.Series) -> pd.Series:
             Q = space(np.vstack(v.to_numpy()).astype(np.float64), angular)
             D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argsort(D, axis=1)[:, :p].astype(np.int32)
+            nearest = np.argsort(D, axis=1, kind="stable")[:, :p].astype(np.int32)
             return pd.Series(list(nearest))
 
         probed = queries.select("query_id", F.explode(probe(F.col("qvec"))).alias("__scl"))

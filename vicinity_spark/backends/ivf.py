@@ -132,7 +132,7 @@ class IVFStrategy(IndexStrategy):
         def probe(v: pd.Series) -> pd.Series:
             Q = np.vstack(v.to_numpy()).astype(np.float64)
             D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argsort(D, axis=1)[:, :nprobe].astype(np.int32)
+            nearest = np.argsort(D, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
             return pd.Series(list(nearest))
 
         return queries.select(

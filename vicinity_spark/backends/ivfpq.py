@@ -356,7 +356,7 @@ class IVFPQStrategy(PQStrategy):
         C = np.asarray(self.params["centroids"], dtype=np.float64)
         nprobe = min(self.params["nprobe"], len(C))
         D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return np.argsort(D, axis=1)[:, :nprobe]
+        return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
 
     def _candidates(
         self, corpus: DataFrame, queries: DataFrame, k: int, metric: Metric
@@ -406,7 +406,7 @@ class IVFPQStrategy(PQStrategy):
                 Q = np.vstack([np.asarray(v) for v in vecs]).astype(np.float64)
                 P = _probe_space(Q)
                 D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                ps = np.argsort(D, axis=1)[:, :nprobe]
+                ps = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
                 out.append(np.unique(ps).astype(np.int32))
             return pd.Series(out)
 
@@ -427,7 +427,7 @@ class IVFPQStrategy(PQStrategy):
                     cluster = int(pdf[CLUSTER_COL].iloc[i])
                     P = _probe_space(Q)
                     D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    probes = np.argsort(D, axis=1)[:, :nprobe]
+                    probes = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
                     mask = (probes == cluster).any(axis=1)
                     if not mask.any():
                         continue

@@ -110,7 +110,7 @@ class IVFSQStrategy(SQStrategy):
             for vecs in qv:
                 Q = np.vstack([np.asarray(v) for v in vecs]).astype(np.float64)
                 D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                ps = np.argsort(D, axis=1)[:, :nprobe]
+                ps = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
                 out.append(np.unique(ps).astype(np.int32))
             return pd.Series(out)
 
@@ -128,7 +128,7 @@ class IVFSQStrategy(SQStrategy):
                     ids, codes, qids, Q = cell_arrays(pdf, i)
                     cluster = int(pdf[CLUSTER_COL].iloc[i])
                     D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    probes = np.argsort(D, axis=1)[:, :nprobe]
+                    probes = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
                     mask = (probes == cluster).any(axis=1)
                     if not mask.any():
                         continue
