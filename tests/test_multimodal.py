@@ -489,3 +489,138 @@ def test_fake_mode_total_on_corrupt_avi_sniff(spark):
     assert len(rows) == 3
     with pytest.raises(PythonException, match="AVI|ValueError"):
         sample_frames(df, every_ms=1000, fake=False).collect()
+
+
+# ---- PNG codec (r6) -------------------------------------------------
+
+def test_png_roundtrip_property():
+    """encode→decode is the identity for arbitrary RGB images."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import _png_decode, _png_encode
+
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = _png_decode(_png_encode(img))
+        assert out.shape == (h, w, 3)
+        assert (out == img).all(), (h, w)
+
+
+def test_png_decode_all_filters_and_colortypes():
+    """Hand-built PNGs exercising every scanline filter (0-4) and the
+    greyscale/RGB/RGBA color types decode to the correct pixels."""
+    import zlib
+
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import _PNG_SIG, _png_chunk, _png_decode
+
+    def build(w, h, color, raw):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 2x2 RGB, rows filtered Sub(1) then Up(2)
+    img = np.array(
+        [[[10, 20, 30], [40, 60, 80]], [[15, 25, 35], [50, 70, 90]]], np.uint8
+    )
+    row0 = img[0].reshape(-1).astype(np.int32)
+    row1 = img[1].reshape(-1).astype(np.int32)
+    sub0 = row0.copy()
+    sub0[3:] = (row0[3:] - row0[:-3]) % 256
+    up1 = (row1 - row0) % 256
+    raw = b"\x01" + bytes(sub0.astype(np.uint8)) + b"\x02" + bytes(up1.astype(np.uint8))
+    assert (_png_decode(build(2, 2, 2, raw)) == img).all()
+
+    # 2x2 RGB via Average(3) then Paeth(4): encode by applying the
+    # filter forward with the spec formulas, decoder must invert
+    avg0 = row0.copy()
+    for x in range(len(avg0)):
+        a = row0[x - 3] if x >= 3 else 0
+        avg0[x] = (row0[x] - (a >> 1)) % 256  # prev row = 0
+    pae1 = row1.copy()
+    for x in range(len(pae1)):
+        a = row1[x - 3] if x >= 3 else 0
+        c = row0[x - 3] if x >= 3 else 0
+        b = row0[x]
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+        pae1[x] = (row1[x] - pred) % 256
+    raw = b"\x03" + bytes(avg0.astype(np.uint8)) + b"\x04" + bytes(pae1.astype(np.uint8))
+    assert (_png_decode(build(2, 2, 2, raw)) == img).all()
+
+    # greyscale → replicated channels; RGBA → alpha dropped
+    g = np.array([[7, 200]], np.uint8)
+    raw = b"\x00" + bytes(g[0])
+    out = _png_decode(build(2, 1, 0, raw))
+    assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+    rgba = bytes([1, 2, 3, 255, 9, 8, 7, 0])
+    out = _png_decode(build(2, 1, 6, b"\x00" + rgba))
+    assert (out == np.array([[[1, 2, 3], [9, 8, 7]]], np.uint8)).all()
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from vicinity_spark.operators.multimodal import _png_decode, _png_encode
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = _png_encode(img)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _png_decode(b"whatever")
+    # flip the IHDR interlace byte (offset: 8 sig + 8 len/type + 12)
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1
+    with _pytest.raises(ValueError, match="interlaced"):
+        _png_decode(bytes(interlaced))
+    # corrupt the DEFLATE stream
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        _png_decode(bytes(bad))
+    # truncated pixel data: declare 4x4 but provide 2x2's stream
+    import zlib
+
+    from vicinity_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        _png_decode(short)
+
+
+def test_png_media_pipeline_matches_bmp(spark):
+    """synthetic_png_media → extract_features/decode_meta/resize runs
+    the REAL PNG path (fake=False) and produces byte-for-byte the same
+    features as the BMP encoding of the same pattern images."""
+    from vicinity_spark.operators.multimodal import (
+        extract_features,
+        decode_meta,
+        resize_images,
+        synthetic_bmp_media,
+        synthetic_png_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    png = synthetic_png_media(ids)
+    bmp = synthetic_bmp_media(ids)
+    fp = {r.media_id: r.feature for r in extract_features(png, fake=False).collect()}
+    fb = {r.media_id: r.feature for r in extract_features(bmp, fake=False).collect()}
+    assert fp == fb and len(fp) == 40
+    meta = decode_meta(png, fake=False).collect()
+    assert all(r.width == 16 and r.height == 16 for r in meta)
+    small = resize_images(png, 8, 8, fake=False)
+    m2 = decode_meta(small, fake=False).collect()
+    assert all(r.width == 8 and r.height == 8 for r in m2)

@@ -152,6 +152,140 @@ def _bmp_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+# ---- real codec: PNG (stdlib zlib + numpy) --------------------------
+# PNG joins BMP as a real image codec (r6): DEFLATE is in the Python
+# standard library, and scanline unfiltering is plain numpy — no
+# codec dependency. Coverage: 8-bit greyscale/RGB/RGBA,
+# non-interlaced (the overwhelmingly common web/PIL default output);
+# 16-bit, palette, and interlaced files raise honestly.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _is_png(payload: bytes) -> bool:
+    return len(payload) >= 8 and payload[:8] == _PNG_SIG
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (0-4) → (h, stride) uint8.
+
+    Filters None/Up are vectorized (the only filters our encoder
+    emits); Sub/Average/Paeth carry per-pixel dependencies and run as
+    per-byte loops — correct for any compliant file, just slower."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = cur.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = cur.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = cur.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                cur[x] = (cur[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+    return out.astype(np.uint8)
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit greyscale/RGB/RGBA PNG → (H, W, 3) uint8
+    RGB (alpha dropped, grey replicated)."""
+    import zlib
+
+    if not _is_png(payload):
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # skip CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None or depth != 8:
+        raise ValueError(
+            f"only 8-bit greyscale/RGB/RGBA PNG supported (depth={depth}, color={color})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from None
+    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
+def _png_encode(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG
+    (filter 0 scanlines)."""
+    import zlib
+
+    h, w = img.shape[:2]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # ---- real codec: RIFF/WAVE PCM (pure numpy) -------------------------
 # WAV is the audio analog of BMP: a chunked container whose standard
 # payloads (PCM integer / IEEE-float samples) need no codec library.
@@ -408,6 +542,15 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_png(b):
+                    # same grid embedding as BMP: image features are
+                    # codec-independent once decoded to RGB
+                    try:
+                        feats.append(_bmp_features(_png_decode(b)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 elif _is_wav(b):
                     try:
                         feats.append(_wav_features(*_wav_decode(b)))
@@ -442,7 +585,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_decode(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/WAV/AVI media decode requires a codec library; "
+                        "non-BMP/PNG/WAV/AVI media decode requires a codec library; "
                         "run with fake=True for the deterministic stand-in"
                     )
             yield pd.DataFrame(
@@ -482,10 +625,21 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_png(b):
+                    # decode → shared nearest-neighbor resample →
+                    # re-encode with the real PNG encoder
+                    try:
+                        payloads.append(_png_encode(_bmp_resize(_png_decode(b), width, height)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 if fake:
                     payloads.append(b)
                 else:
-                    raise NotImplementedError("non-BMP image resize requires PIL; use fake=True")
+                    raise NotImplementedError(
+                        "non-BMP/PNG image resize requires PIL; use fake=True"
+                    )
             out["payload"] = payloads
             out["meta_width"] = width
             out["meta_height"] = height
@@ -607,6 +761,22 @@ def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4,
     cell is identical, `_bmp_features` of the encoded image is exactly
     `on_value·bit` per component — closed-form checkable by an external
     oracle without running a codec (see queries.py multimodal_knn)."""
+    return _synthetic_image_media(ids, _bmp_encode, id_col, grid, cell_px)
+
+
+def synthetic_png_media(
+    ids: DataFrame, id_col: str = "media_id", grid: int = 4, cell_px: int = 4
+) -> DataFrame:
+    """The PNG twin of synthetic_bmp_media (r6): the same closed-form
+    grid-pattern images, encoded with the REAL PNG encoder — so the
+    DEFLATE+unfilter decode path is exercised end to end while the
+    pooled features stay oracle-checkable closed-form."""
+    return _synthetic_image_media(ids, _png_encode, id_col, grid, cell_px)
+
+
+def _synthetic_image_media(
+    ids: DataFrame, encode, id_col: str, grid: int, cell_px: int
+) -> DataFrame:
     side = grid * cell_px
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -625,7 +795,7 @@ def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4,
                                 j * cell_px : (j + 1) * cell_px,
                                 :,
                             ] = 255
-                payloads.append(_bmp_encode(img))
+                payloads.append(encode(img))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64").values,
@@ -755,9 +925,9 @@ def decode_meta(media: DataFrame, fake: bool = False) -> DataFrame:
             widths, heights = [], []
             for p, mw, mh in zip(pdf["payload"], pdf["meta_width"], pdf["meta_height"]):
                 b = bytes(p)
-                if _is_bmp(b):
+                if _is_bmp(b) or _is_png(b):
                     try:
-                        img = _bmp_decode(b)
+                        img = _bmp_decode(b) if _is_bmp(b) else _png_decode(b)
                         heights.append(int(img.shape[0]))
                         widths.append(int(img.shape[1]))
                         continue

@@ -1672,14 +1672,21 @@ SELECT 'video_avi' AS branch, query_id, id,
        CAST({vid_bytes} AS BIGINT) AS n_bytes,
        round(greatest(d, 0.0), 6) AS distance, rank
 FROM vranked WHERE rank <= {_MM_K}
+UNION ALL
+SELECT 'image_png' AS branch, query_id, id,
+       CAST({_MM_SIDE} AS INTEGER) AS width,
+       CAST({_MM_SIDE} AS INTEGER) AS height,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       round(greatest(d, 0.0), 6) AS distance, rank
+FROM ranked WHERE rank <= {_MM_K}
 """
 
 
 @register("multimodal_knn", _multimodal_knn_sql())
 def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on BOTH REAL codecs
-    (operators/multimodal.py, fake=False at every step), as one labeled
-    union:
+    """End-to-end multimodal pipeline on FOUR REAL codecs — BMP, WAV,
+    AVI, and (r6) PNG — (operators/multimodal.py, fake=False at every
+    step), as one labeled union:
 
     - `image_bmp`: documents ids → deterministic BMP corpus (real
       encoder) → decode + 4×4 pooled grayscale features (real decoder)
@@ -1699,6 +1706,7 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         synthetic_avi_media,
         synthetic_bmp_media,
+        synthetic_png_media,
         synthetic_wav_media,
     )
 
@@ -1786,7 +1794,34 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("distance", 6).alias("distance"),
         F.col("rank").cast("long").alias("rank"),
     )
-    return image.unionByName(audio).unionByName(video)
+
+    # image_png (r6, fourth real codec): the same pattern corpus
+    # through the REAL PNG encoder → DEFLATE+unfilter decode →
+    # features → k-NN; width/height are the DECODED dimensions.
+    # n_bytes is NULL on both sides — a PNG payload's size depends on
+    # the DEFLATE stream, which no SQL oracle reproduces closed-form.
+    pmedia = synthetic_png_media(ids, grid=_MM_GRID, cell_px=_MM_CELL)
+    pfeats = extract_features(pmedia, fake=False)
+    pcorpus = pfeats.select(F.col("media_id").alias("id"), F.col("feature").alias("vector"))
+    pqueries = pfeats.where(F.col("media_id") < _MM_NQ).select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    pres = knn_join(
+        pcorpus, pqueries, k=_MM_K, metric="cosine", algorithm="window",
+        dim=_MM_GRID * _MM_GRID,
+    )
+    pmeta = decode_meta(pmedia).select(F.col("media_id").alias("id"), "width", "height")
+    png = pres.join(pmeta, "id").select(
+        F.lit("image_png").alias("branch"),
+        "query_id",
+        "id",
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return image.unionByName(audio).unionByName(video).unionByName(png)
 
 
 @register(
