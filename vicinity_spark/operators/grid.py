@@ -86,27 +86,30 @@ def cell_arrays(pdf: pd.DataFrame, i: int):
 
 
 def det_topk_idx(D: np.ndarray, cap: int) -> np.ndarray:
-    """Per-row indices of the top-`cap` entries by (value, index) —
+    """Per-row index SETS of the top-`cap` entries by (value, index) —
     DETERMINISTIC at equal values, where argpartition's tie order is
     arbitrary (and real: duplicate vectors / quantization codes tie
     bit-exactly, so an argpartition boundary is partition-layout-
-    dependent). The bulk selection stays O(n) argpartition; only rows
-    whose boundary has ties pay a small exact resolution. Column
-    index order must equal id order (cell_arrays sorts by id)."""
+    dependent). The selected SET is deterministic; order within a row
+    is unspecified (every caller re-cuts by (distance, id) downstream).
+    Rows whose boundary is tie-free keep the pure O(n) argpartition
+    result; only tie-straddling (or NaN-poisoned) rows pay an exact
+    per-row resolution. Column index order must equal id order
+    (cell_arrays sorts by id)."""
     n, w = D.shape
     cap = min(cap, w)
     if cap == w:
         return np.broadcast_to(np.arange(w, dtype=np.int64), (n, w))
     part = np.argpartition(D, cap - 1, axis=1)[:, :cap]
     kth = np.take_along_axis(D, part, axis=1).max(axis=1)
-    out = np.empty((n, cap), dtype=np.int64)
-    for r in range(n):
-        cand = np.nonzero(D[r] <= kth[r])[0]  # ascending index order
-        if len(cand) > cap:  # boundary ties — resolve by (value, index)
-            cand = cand[np.argsort(D[r, cand], kind="stable")[:cap]]
-        elif len(cand) < cap:  # NaNs poisoned the kth compare
-            cand = np.argsort(D[r], kind="stable")[:cap]
-        out[r] = cand
+    counts = (D <= kth[:, None]).sum(axis=1)
+    out = part.astype(np.int64)
+    for r in np.nonzero(counts != cap)[0]:
+        if counts[r] > cap:  # boundary ties — resolve by (value, index)
+            cand = np.nonzero(D[r] <= kth[r])[0]  # ascending index order
+            out[r] = cand[np.argsort(D[r, cand], kind="stable")[:cap]]
+        else:  # NaNs poisoned the kth compare
+            out[r] = np.argsort(D[r], kind="stable")[:cap]
     return out
 
 
