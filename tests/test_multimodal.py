@@ -624,3 +624,40 @@ def test_png_media_pipeline_matches_bmp(spark):
     small = resize_images(png, 8, 8, fake=False)
     m2 = decode_meta(small, fake=False).collect()
     assert all(r.width == 8 and r.height == 8 for r in m2)
+
+
+def test_png_decompression_bomb_rejected():
+    """A KB-sized payload declaring huge dimensions must raise a
+    ValueError (fake=True totality: bombs fall back, never OOM)."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vicinity_spark.operators.multimodal import _PNG_SIG, _png_chunk, _png_decode
+
+    w = h = 30_000  # 2.7 GB declared pixel bytes from a ~3 MB payload
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * 16), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 4 * 1024 * 1024
+    with _pytest.raises(ValueError, match="cap"):
+        _png_decode(bomb)
+
+    # under the cap but with an over-long DEFLATE stream: decode stops
+    # at the declared pixel bytes instead of materializing the rest
+    img = np.zeros((2, 2, 3), np.uint8)
+    from vicinity_spark.operators.multimodal import _png_encode
+
+    ihdr2 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    padded = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr2)
+        + _png_chunk(b"IDAT", zlib.compress((b"\x00" + b"\x00" * 6) * 2 + b"\xff" * 10_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_png_decode(padded) == img).all()

@@ -42,6 +42,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from vicinity_spark.datatypes import Metric
 from vicinity_spark.functions.metrics import clip_distance, distance_expr
+from vicinity_spark.operators.grid import det_topk_idx
 
 
 def _np_distances(metric: Metric, Q: np.ndarray, X: np.ndarray) -> np.ndarray:
@@ -242,8 +243,6 @@ def _partial_topk(
             ids, X = ids[order], X[order]
             D = _np_distances(metric, Q, X)
             kk = min(k, D.shape[1])
-            from vicinity_spark.operators.grid import det_topk_idx
-
             idx = det_topk_idx(D, kk)
             out_qid = np.repeat(qids, kk)
             out_id = ids[idx.ravel()]

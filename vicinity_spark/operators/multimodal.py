@@ -3,14 +3,16 @@ opaque `binary` columns with typed metadata, processed by Arrow-batched
 `mapInPandas` kernels.
 
 The Spark-side plumbing — schemas, batch iteration, partition-sized
-work units, output contracts — is real and tested. Two codecs are
-real, one per modality: uncompressed 24-bit BMP (`_bmp_decode` /
-`_bmp_encode`, r4) and RIFF/WAVE PCM audio (`_wav_decode` /
-`_wav_encode`, r5 — 8/16/32-bit integer + float32 samples), both in
-pure numpy, so `extract_features(fake=False)`,
-`resize_images(fake=False)` and `resample_audio(fake=False)` genuinely
-execute on BMP/WAV payloads in this container. Every other format
-still needs PIL/ffmpeg and raises NotImplementedError unless
+work units, output contracts — is real and tested. FOUR codecs are
+real: uncompressed 24-bit BMP (`_bmp_decode`/`_bmp_encode`, r4), PNG
+via stdlib zlib + numpy unfiltering (`_png_decode`/`_png_encode`,
+r6), RIFF/WAVE PCM audio (`_wav_decode`/`_wav_encode`, r5 — 8/16/32-
+bit integer + float32 samples), and RIFF/AVI uncompressed-DIB video
+(`_avi_decode_frames`/`_avi_encode`, r5) — so
+`extract_features(fake=False)`, `resize_images(fake=False)`,
+`resample_audio(fake=False)` and `sample_frames(fake=False)`
+genuinely execute on those payloads in this container. Every other
+format still needs PIL/ffmpeg and raises NotImplementedError unless
 `fake=True`, in which case a deterministic synthetic decode (seeded by
 the content hash) stands in so downstream operators and tests have
 stable inputs.
@@ -160,6 +162,9 @@ def _bmp_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
 # 16-bit, palette, and interlaced files raise honestly.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# decode ceiling: 256 MB of raw pixel bytes (~9k×9k RGB) — larger
+# declarations raise rather than risk a decompression-bomb OOM
+_PNG_MAX_PIXEL_BYTES = 256 * 1024 * 1024
 
 
 def _is_png(payload: bytes) -> bool:
@@ -260,11 +265,22 @@ def _png_decode(payload: bytes) -> np.ndarray:
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    stride = w * channels
+    expected = h * (stride + 1)
+    # decompression-bomb guard: a KB-sized payload can declare huge
+    # dimensions and DEFLATE ~1000:1 — reject oversized declarations
+    # as a ValueError (honest bound, and fake=True totality holds: a
+    # bomb falls back instead of OOM-killing the executor), and never
+    # decompress past the declared pixel bytes
+    if expected > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG declares {expected} pixel bytes (> {_PNG_MAX_PIXEL_BYTES} cap)"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from None
-    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if color == 0:
         return np.repeat(px, 3, axis=2).copy()
     return px[:, :, :3].copy()
@@ -750,6 +766,20 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     return media.where(F.col("media_type") == "video").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def _pattern_img(p: int, grid: int, cell_px: int) -> np.ndarray:
+    """The shared closed-form test-pattern image: pooled cell (i, j)
+    solid white iff bit i·grid+j of `p` is set — used by the BMP, PNG,
+    and AVI synthetic generators so all three oracles share ONE
+    pattern encoding."""
+    side = grid * cell_px
+    img = np.zeros((side, side, 3), np.uint8)
+    for i in range(grid):
+        for j in range(grid):
+            if (p >> (i * grid + j)) & 1:
+                img[i * cell_px : (i + 1) * cell_px, j * cell_px : (j + 1) * cell_px, :] = 255
+    return img
+
+
 def synthetic_bmp_media(ids: DataFrame, id_col: str = "media_id", grid: int = 4, cell_px: int = 4) -> DataFrame:
     """Deterministic 24-bit BMP corpus: one (grid·cell_px)² RGB image
     per id, generated executor-side with the REAL encoder (`_bmp_encode`).
@@ -785,17 +815,7 @@ def _synthetic_image_media(
                 continue
             payloads = []
             for mid in pdf[id_col]:
-                p = (int(mid) % 65535) + 1
-                img = np.zeros((side, side, 3), np.uint8)
-                for i in range(grid):
-                    for j in range(grid):
-                        if (p >> (i * grid + j)) & 1:
-                            img[
-                                i * cell_px : (i + 1) * cell_px,
-                                j * cell_px : (j + 1) * cell_px,
-                                :,
-                            ] = 255
-                payloads.append(encode(img))
+                payloads.append(encode(_pattern_img((int(mid) % 65535) + 1, grid, cell_px)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64").values,
@@ -825,14 +845,6 @@ def synthetic_avi_media(
     temporal-mean feature are both closed-form checkable."""
     side = grid * cell_px
 
-    def pattern_img(p: int) -> np.ndarray:
-        img = np.zeros((side, side, 3), np.uint8)
-        for i in range(grid):
-            for j in range(grid):
-                if (p >> (i * grid + j)) & 1:
-                    img[i * cell_px : (i + 1) * cell_px, j * cell_px : (j + 1) * cell_px, :] = 255
-        return img
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -840,7 +852,8 @@ def synthetic_avi_media(
             payloads = []
             for mid in pdf[id_col]:
                 frames = [
-                    pattern_img(((int(mid) + f) % 65535) + 1) for f in range(n_frames)
+                    _pattern_img(((int(mid) + f) % 65535) + 1, grid, cell_px)
+                    for f in range(n_frames)
                 ]
                 payloads.append(_avi_encode(frames, usec_per_frame))
             yield pd.DataFrame(
@@ -913,10 +926,10 @@ _DECODED_META_SCHEMA = StructType(
 
 def decode_meta(media: DataFrame, fake: bool = False) -> DataFrame:
     """DECODED (not declared) image dimensions + payload size — the
-    header-parse slice of the real codec path. BMP payloads report the
-    dimensions the decoder actually produced; other formats fall back
-    to the declared meta columns under fake=True (same totality rule as
-    extract_features) or raise."""
+    header-parse slice of the real codec path. BMP and PNG payloads
+    report the dimensions the decoder actually produced; other formats
+    fall back to the declared meta columns under fake=True (same
+    totality rule as extract_features) or raise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -939,7 +952,7 @@ def decode_meta(media: DataFrame, fake: bool = False) -> DataFrame:
                     heights.append(None if pd.isna(mh) else int(mh))
                 else:
                     raise NotImplementedError(
-                        "non-BMP media decode requires an image/audio codec; "
+                        "non-BMP/PNG media decode requires an image/audio codec; "
                         "run with fake=True to fall back to declared metadata"
                     )
             yield pd.DataFrame(
