@@ -754,3 +754,54 @@ def test_pq_pool_deterministic_under_duplicate_codes(spark):
     assert results[0] == results[1] == results[2]
     # rank-1..: the query's own duplicates, smallest ids first
     assert [r[1] for r in results[0][:3]] == [0, 2, 4]
+
+
+def test_lsh_expr_bucketize_matches_arrow_kernel(spark):
+    """r6: the pure-Catalyst bucketize for the sparse ±1 and
+    bit-sampling families must be BIT-IDENTICAL to the Arrow kernel
+    (the sparse projection is the same IEEE double subtraction in both
+    engines; numpy's zero plane coordinates contribute exact zeros),
+    and the expr build/probe plans must contain no Python evaluation."""
+    import numpy as np
+
+    from vicinity_spark.backends.lsh import (
+        BUCKETS_COL,
+        LSHStrategy,
+        _bucket_matrix_np,
+        _expr_bucket_family,
+    )
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.plans.checks import explain_str
+
+    rng = np.random.default_rng(13)
+    n, dim = 300, 16
+    X = rng.random((n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+    cases = [
+        (LSHStrategy(n_tables=4, n_bits=6, plane_family="sparse"), Metric.COSINE),
+        (LSHStrategy(n_tables=4, n_bits=6, plane_family="sparse"), Metric.INNER_PRODUCT),
+        (LSHStrategy(n_tables=4, n_bits=6), Metric.HAMMING),  # bit-sample
+    ]
+    for strat, metric in cases:
+        assert _expr_bucket_family(dict(strat.params, plane_family=strat.params.get("plane_family")), metric)
+        built = strat.build(df, metric, dim)
+        plan = explain_str(built, "simple")
+        assert "Python" not in plan and "Arrow" not in plan, (metric, plan)
+        got = {r["id"]: list(r[BUCKETS_COL]) for r in built.collect()}
+        M = _bucket_matrix_np(dict(strat.params), X.astype(np.float64), metric)
+        for i in range(n):
+            assert got[i] == [int(x) for x in M[i]], (metric, i)
+        # probe side too: same expr family, no Python eval
+        q = df.limit(5).select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
+        probe = strat._probe_df(q, metric)
+        assert "Python" not in explain_str(probe, "simple")
+        res = strat.knn(built, q, k=3, metric=metric)
+        assert res.count() > 0  # end-to-end query path runs
+
+    # the gaussian default keeps the Arrow kernel
+    g = LSHStrategy(n_tables=4, n_bits=6)
+    gbuilt = g.build(df, Metric.COSINE, dim)
+    assert "Arrow" in explain_str(gbuilt, "simple")

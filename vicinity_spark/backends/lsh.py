@@ -123,6 +123,64 @@ def _bucket_matrix_np(params: dict, X: np.ndarray, metric: Metric) -> np.ndarray
     return (bits * weights).sum(axis=2)
 
 
+def _expr_bucket_family(params: dict, metric: Metric) -> "str | None":
+    """Which pure-Catalyst bucketize applies, if any.
+
+    "sign-sparse": sparse ±1 planes + sign-bit hashing (cosine/IP/
+    default metrics) — each bit is a two-coordinate compare.
+    "bit-sample": hamming/tanimoto bit-sampling — each bit is one raw
+    coordinate compare. The gaussian-plane and euclidean bucket-width
+    families keep the Arrow kernel (dim-wide dots / floor-mod combines
+    that don't reduce to a small expression)."""
+    if metric in (Metric.HAMMING, Metric.TANIMOTO):
+        return "bit-sample"
+    if metric in (Metric.EUCLIDEAN, Metric.L2_SQUARED, Metric.MANHATTAN):
+        return None
+    if params.get("plane_family") == "sparse":
+        return "sign-sparse"
+    return None
+
+
+def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
+    """array<long> per-table buckets as a PURE Catalyst expression —
+    the JVM twin of _bucket_matrix_np for the families
+    _expr_bucket_family admits. Bit-identical to the Arrow kernel
+    (test-pinned): the sparse projection is IEEE double subtraction in
+    both engines, and the plane's exact-zero coordinates contribute
+    exact zeros to numpy's dot, which never change the sum. Keeping
+    the hashing in codegen removes the Python worker from the build
+    and probe paths — on streaming serving, probe-worker spin-up was
+    a measured part of the per-micro-batch fixed cost."""
+    L, B = params["n_tables"], params["n_bits"]
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    family = _expr_bucket_family(params, metric)
+    if family == "bit-sample":
+        coords = _sampled_coords_np(params, dim)
+        bit = lambda t, j: F.element_at(v, int(coords[t, j]) + 1).cast("double") > 0.0  # noqa: E731
+    elif family == "sign-sparse":
+        a, b = _sparse_pairs(L, B, dim, params["seed"])
+        means = params.get("means") or [0.0] * dim
+
+        def bit(t, j):
+            ai, bi = int(a[t, j]), int(b[t, j])
+            proj = (
+                F.element_at(v, ai + 1).cast("double") - F.lit(float(means[ai]))
+            ) - (F.element_at(v, bi + 1).cast("double") - F.lit(float(means[bi])))
+            return proj > 0.0
+    else:
+        raise ValueError("no expression bucketize for this family")
+    tables = []
+    for t in range(L):
+        acc = None
+        for j in range(B):
+            term = F.when(bit(t, j), F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = term if acc is None else acc + term
+        tables.append(acc)
+    return F.array(*tables)
+
+
 class LSHStrategy(IndexStrategy):
     backend = Backend.LSH
     exact = False
@@ -165,6 +223,12 @@ class LSHStrategy(IndexStrategy):
 
             self.params["means"] = [float(m) for m in vector_stats(df, "vector").mean]
         params = dict(self.params)
+        if _expr_bucket_family(params, metric) is not None:
+            # JVM-side hashing (sparse/bit-sample families): no Python
+            # worker in the build path, whole-stage codegen all the way
+            return df.withColumn(
+                BUCKETS_COL, _bucket_expr(params, int(dim), "vector", metric)
+            )
 
         @F.pandas_udf(ArrayType(LongType()))
         def bucketize(v: pd.Series) -> pd.Series:
@@ -209,11 +273,22 @@ class LSHStrategy(IndexStrategy):
         self, queries: DataFrame, metric: Metric, extra_cols: Sequence[str] = ()
     ) -> DataFrame:
         """(query_id, *extra_cols, table, bucket) probes — hashed
-        executor-side with the same Arrow-vectorized kernel as build (no
-        driver roundtrip). `extra_cols` ride along for callers that need
+        executor-side with the same family as build (no driver
+        roundtrip). `extra_cols` ride along for callers that need
         the query's payload past the probe (the streaming serving path
-        carries ts + qvec so scoring never re-joins the query stream)."""
+        carries ts + qvec so scoring never re-joins the query stream).
+        Sparse/bit-sample families probe with the pure-Catalyst
+        `_bucket_expr` — no Python worker per micro-batch."""
         params = dict(self.params)
+        dim = params.get("dim")
+        if dim is not None and _expr_bucket_family(params, metric) is not None:
+            return queries.select(
+                "query_id",
+                *extra_cols,
+                F.posexplode(_bucket_expr(params, int(dim), "qvec", metric)).alias(
+                    "table", "bucket"
+                ),
+            )
 
         @F.pandas_udf(ArrayType(LongType()))
         def bucketize(v: pd.Series) -> pd.Series:
