@@ -43,3 +43,23 @@ def test_lsh_and_sq_build_at_dim_512(spark):
     sq = SQStrategy(refine=2)
     assert sq.build(df, Metric.COSINE, 512).count() == 120
     assert len(sq.params["mins"]) == len(sq.params["scales"]) == 512
+
+
+def test_langid_rowwise_matches_exploded(spark):
+    """r6: the fold-based language ID must be row-identical to the
+    explode+groupBy form, including empty-string and no-token edges."""
+    from vicinity_spark.operators.textops import langid_scores, langid_scores_rowwise
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a to and the"),
+            (1, "palabras sin coincidencias aqui presentes"),
+            (2, ""),
+            (3, "the"),
+            (4, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in langid_scores(docs).collect()}
+    b = {tuple(r) for r in langid_scores_rowwise(docs).collect()}
+    assert a == b

@@ -705,3 +705,72 @@ def test_store_query_stream_foreachbatch_facade(spark, tmp_path):
     for qid, (rid, d) in best.items():
         assert rid == qid and d < 1e-6
     assert all(r.ts == t0 for r in got)
+
+
+def test_stream_clean_pipeline(spark, tmp_path):
+    """Streaming cleaning twin (r6): quality + language projection
+    filters and first-seen exact dedup over micro-batches. The
+    predicate columns must agree row-for-row with the batch scorers
+    (quality_scores / langid_scores_rowwise), and the stream must keep
+    the first-arrived copy of cross-micro-batch exact duplicates."""
+    import datetime as dt
+
+    from vicinity_spark.operators.textops import langid_scores_rowwise, quality_scores
+    from vicinity_spark.streaming import (
+        predicted_lang_col,
+        quality_pass_col,
+        stream_clean,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the river bank again today with a friend"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    b1 = [
+        (0, good, at(0)),                      # survivor
+        (1, "short text", at(0)),              # fails quality (<20 toks)
+        (2, "palabras sin ingles " * 8, at(0)),  # fails language
+        (3, good + " extra", at(0)),           # survivor
+    ]
+    b2 = [
+        (4, good, at(5)),                      # exact dup of 0 → dropped
+        (5, good + " fresh words", at(5)),     # survivor
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    src = tmp_path / "clean_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        stream_clean(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("stream_clean_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.lastProgress["stateOperators"]) == 1  # dedup only
+    got = {r.doc_id for r in spark.sql("select * from stream_clean_out").collect()}
+    assert got == {0, 3, 5}
+
+    # predicate columns ≡ batch scorers on the same rows
+    batch = spark.createDataFrame(b1 + b2, schema)
+    via_cols = batch.select(
+        "doc_id",
+        quality_pass_col("text").alias("qp"),
+        predicted_lang_col("text").alias("pl"),
+    ).collect()
+    qs = {r.doc_id: r.quality_pass for r in quality_scores(batch).collect()}
+    ls = {r.doc_id: r.predicted_lang for r in langid_scores_rowwise(batch).collect()}
+    for r in via_cols:
+        assert int(r.qp) == qs[r.doc_id]
+        assert r.pl == ls[r.doc_id]

@@ -74,6 +74,36 @@ def langid_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def langid_scores_rowwise(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, en_hits, predicted_lang) — the zero-shuffle language-ID
+    (r6): stopword hits counted by ONE `aggregate` fold over the in-row
+    token array instead of explode + groupBy. Integer sums, so exactly
+    row-identical to langid_scores (test-pinned) — and being a pure
+    projection, it composes into streaming pipelines with no
+    aggregation state (streaming/clean.py)."""
+    toks = _toks(text_col)
+    hits = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(t.isin(*EN_STOPWORDS), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits.alias("en_hits"),
+        F.size(toks).cast("long").alias("nt"),
+    )
+    return base.select(
+        "doc_id",
+        "en_hits",
+        F.when(F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fingerprint) — md5 over the sorted distinct token set:
     an order-insensitive content signature."""

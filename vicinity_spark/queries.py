@@ -1249,11 +1249,12 @@ def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
         shingles,
     )
-    from vicinity_spark.operators.textops import langid_scores, quality_scores
+    from vicinity_spark.operators.textops import langid_scores_rowwise, quality_scores
 
     d = _t(spark, sf_dir, "documents")
     q = quality_scores(d).where(F.col("quality_pass") == 1).select("doc_id")
-    l = langid_scores(d).where(F.col("predicted_lang") == "en").select("doc_id")
+    # r6: rowwise language-ID — a projection, not explode+groupBy
+    l = langid_scores_rowwise(d).where(F.col("predicted_lang") == "en").select("doc_id")
     base = d.join(q, "doc_id").join(l, "doc_id")
     exkeep = base.groupBy(F.md5(F.col("text").cast("binary"))).agg(
         F.min("doc_id").alias("doc_id")
@@ -1464,9 +1465,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (n-gram heuristic family). The synthetic
     corpus is English-vocab with random lang labels, so the heuristic's
     value here is determinism, not accuracy."""
-    from vicinity_spark.operators.textops import langid_scores
+    from vicinity_spark.operators.textops import langid_scores_rowwise
 
-    return langid_scores(_t(spark, sf_dir, "documents"))
+    # r6: the oracle hash-checks the zero-shuffle rowwise plan
+    return langid_scores_rowwise(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1,3 +1,8 @@
+from vicinity_spark.streaming.clean import (
+    predicted_lang_col,
+    quality_pass_col,
+    stream_clean,
+)
 from vicinity_spark.streaming.dedup import stream_exact_dedup
 from vicinity_spark.streaming.ingest import (
     stream_events,
@@ -17,9 +22,12 @@ from vicinity_spark.streaming.query import (
 from vicinity_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
+    "predicted_lang_col",
+    "quality_pass_col",
     "sessionize_stream",
     "stateless_minhash",
     "stream_events",
+    "stream_clean",
     "stream_exact_dedup",
     "stream_knn",
     "stream_knn_foreachbatch",

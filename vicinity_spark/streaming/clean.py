@@ -1,0 +1,82 @@
+"""Streaming twin of the composed cleaning pipeline (★ — the batch
+form is the oracle-checked `docs_clean_pipeline` query): quality
+filter → language filter → exact dedup, over a STREAMING
+(doc_id, text, ts) frame.
+
+Why this composes with bounded state: the quality and (r6 rowwise)
+language-ID predicates are pure projections, so the only stateful
+operator is the exact-dedup `dropDuplicatesWithinWatermark` on the
+content hash — state ∝ distinct content within the watermark horizon,
+exactly the stream_exact_dedup bound. Near-dup canonicalization is
+deliberately NOT in the streaming plan: connected components is a
+global fixpoint, so the pipeline follows the documented
+detect-streaming/verify-in-batch split — compose
+`stream_neardup_candidates` on this function's output to mine
+candidate pairs in-stream, and canonicalize them in the periodic
+batch pass (operators/dedup.py connected_components).
+
+Semantics note vs the batch pipeline: batch keep-first is min(doc_id)
+per content hash (deterministic over a static corpus); a stream keeps
+the FIRST ARRIVED copy (the only streaming-meaningful choice, shared
+with stream_exact_dedup). Quality/language survivors are identical —
+the predicates are the same expressions (test-pinned against
+quality_scores / langid_scores_rowwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_pass_col(text_col: str = "text") -> Column:
+    """quality_scores' pass predicate as a single Column (same
+    thresholds: ≥20 tokens, type-token ratio ≥ 0.3)."""
+    toks = F.split(F.lower(text_col), " ")
+    nt = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nt.cast("double")
+    return (nt >= 20) & (ttr >= 0.3)
+
+
+def predicted_lang_col(text_col: str = "text") -> Column:
+    """langid_scores_rowwise's predicted_lang as a single Column."""
+    from vicinity_spark.operators.textops import EN_STOPWORDS
+
+    toks = F.split(F.lower(text_col), " ")
+    hits = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(t.isin(*EN_STOPWORDS), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return F.when(
+        hits.cast("double") / F.size(toks).cast("double") >= 0.05, "en"
+    ).otherwise("unknown")
+
+
+def stream_clean(
+    docs_stream: DataFrame,
+    *,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cleaned docs frame: quality_pass == 1, predicted language ==
+    `lang`, first-arrived copy per exact content hash. The projection
+    filters add no latency or state; rows emit in append mode in the
+    arrival micro-batch (dedup is emit-first-seen). Works on a batch
+    frame too (the dedup then keeps an arbitrary copy — use the batch
+    pipeline when min-id determinism matters)."""
+    return (
+        docs_stream.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), F.col(ts_col)
+        )
+        .where(quality_pass_col("text"))
+        .where(predicted_lang_col("text") == F.lit(lang))
+        .withWatermark(ts_col, watermark)
+        .withColumn("__ch", F.md5(F.col("text").cast("binary")))
+        .dropDuplicatesWithinWatermark(["__ch"])
+        .drop("__ch")
+    )
