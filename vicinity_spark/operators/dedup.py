@@ -247,27 +247,47 @@ def band_buckets_rowwise(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, band, bkey) with ZERO shuffles (r6): the signature is
-    computed per ROW as `array_min(transform(shingle_array,
-    hash(seed, ·)))` over the in-row distinct gram array — no exploded
-    shingle stream, no distinct shuffle, no groupBy. Value-identical
-    to band_buckets_onepass over `shingles(docs)` (same hash families,
+    computed per ROW by ONE `aggregate` fold over the in-row distinct
+    gram array — each gram is visited once and hashed n_hashes times
+    into a zip_with(least) array accumulator — no exploded shingle
+    stream, no distinct shuffle, no groupBy. Value-identical to
+    band_buckets_onepass over `shingles(docs)` (same hash families,
     seed order, and band-key layout; per-row array_distinct ≡ the
     global distinct because doc_id is unique per row —
     test_band_buckets_rowwise_matches_onepass), but the whole
     signature+banding phase is a projection: at corpus scale the only
     shuffle left in MinHash candidate mining is the bucket equi-join
-    itself, over narrow (doc_id, band, bkey) rows."""
+    itself, over narrow (doc_id, band, bkey) rows.
 
-    def mh(seed: int):
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda g: _seed_mh_expr(seed, g, hash_fn))
+    Why one fold and not n_hashes × array_min(transform(...)): the
+    per-seed form built the (expensive) gram array once per seed and
+    measured 30% SLOWER than the exploded plan at 160-token docs; the
+    single fold builds it once and flipped that to 27% faster
+    (BENCHNOTES r6 long-doc table; ProjectExec subexpression
+    elimination keeps the fold single-evaluation across the
+    element_at references — A/B'd against an explicit Generate-node
+    barrier, a wash). F.least skips the NULL init values, so the fold
+    needs no sentinel."""
+    sig = F.aggregate(
+        _grams_arr(shingle_n, text_col),
+        F.array_repeat(
+            F.lit(None).cast("string" if hash_fn == "md5" else "bigint"), n_hashes
+        ),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[_seed_mh_expr(s, g, hash_fn) for s in range(n_hashes)]),
+            lambda a, v: F.least(a, v),
+        ),
+    )
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+        # docs with no shingles fold to all-NULL → no buckets,
+        # matching the exploded form
+        .where(F.element_at("__sig", 1).isNotNull())
+        .select(
+            "doc_id",
+            *[F.element_at("__sig", s + 1).alias(f"__mh{s}") for s in range(n_hashes)],
         )
-
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _grams_arr(shingle_n, text_col).alias("__sh")
-    ).where(F.size("__sh") > 0)  # docs with no shingles emit no buckets
-    per_doc = base.select(
-        "doc_id", *[mh(s).alias(f"__mh{s}") for s in range(n_hashes)]
     )
     bands = _band_key_cols(n_hashes, rows_per_band)
     return per_doc.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
@@ -484,6 +504,11 @@ def simhash_fingerprints_rowwise(
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return (
+        # NOTE on plan shape: `fp` references __s 32 times and
+        # CollapseProject inlines the fold — but ProjectExec's
+        # subexpression elimination evaluates it once (measured 1.7s at
+        # 2M docs; a Generate-node barrier variant measured 15.8s —
+        # the barrier knocked the fold out of whole-stage codegen)
         docs.select(F.col(id_col).alias("doc_id"), sums.alias("__s"), F.size(toks).alias("__nt"))
         .where(F.col("__nt") > 0)
         .select("doc_id", fp.alias("simhash"))
