@@ -341,6 +341,28 @@ def multimodal_bmp_200k(spark, sf_dir):
     return run
 
 
+def minhash_longdoc_200k(spark, sf_dir):
+    """MinHash mining at REALISTIC doc lengths (r6): 200k docs × 160
+    tokens (~32M grams) — the tier that exposed the per-seed rowwise
+    form as a regression the 15-token tiers hid (BENCHNOTES r6
+    long-doc table: exploded 31.9s / per-seed 52.6s / shipped single
+    fold 23.3s). Driver-recorded so signature-plan changes are always
+    measured against text volume, not just doc count."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    docs = _synth_docs(spark, n=199_000, n_dups=1000, tokens=160, parts=32).cache()
+    docs.count()
+
+    def run(s, d, _docs=None):
+        return minhash_lsh_pairs_rowwise(
+            _docs if _docs is not None else docs,
+            n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64",
+        )
+
+    run(spark, sf_dir, _docs=docs.limit(4000)).count()  # untimed warm-up
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -475,6 +497,7 @@ BENCH = {
     "lsh_mutate_200k": lsh_mutate_200k,
     "knn_scale_5m": knn_scale_5m,
     "lsh_scale_5m": lsh_scale_5m,
+    "minhash_longdoc_200k": minhash_longdoc_200k,
 }
 
 
