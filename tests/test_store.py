@@ -453,3 +453,32 @@ def test_graph_save_reload_answers_without_rebuild(spark, data, tmp_path, monkey
     assert [float(r["distance"]) for r in got] == pytest.approx(
         [d for _, d in want[0]]
     )
+
+
+def test_threshold_df_filtered(spark):
+    """r6: threshold_df(where=) — filtered radius search, symmetric
+    with query_df's filtered k-NN: the predicate restricts the corpus
+    BEFORE candidate generation, so results equal a brute-force radius
+    over the subset."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.store import VectorStore
+
+    rng = np.random.default_rng(8)
+    X = rng.random((60, 8)).astype(np.float32)
+    store = VectorStore.from_vectors_and_items(
+        spark, X, [{"i": i, "even": i % 2 == 0} for i in range(60)]
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in X[4]])], "query_id long, qvec array<float>"
+    )
+    full = {r["id"] for r in store.threshold_df(q, 0.25).collect()}
+    evens = {
+        r["id"]
+        for r in store.threshold_df(q, 0.25, where="id % 2 = 0").collect()
+    }
+    assert evens == {i for i in full if i % 2 == 0}
+    assert 4 in evens  # the self row survives the filter
+    odd_q = store.threshold_df(q, 0.25, where=F.col("id") % 2 == 1).collect()
+    assert {r["id"] for r in odd_q} == {i for i in full if i % 2 == 1}

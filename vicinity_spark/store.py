@@ -303,9 +303,18 @@ class VectorStore:
             watermark=watermark,
         )
 
-    def threshold_df(self, queries: DataFrame, threshold: float = 0.5) -> DataFrame:
+    def threshold_df(
+        self, queries: DataFrame, threshold: float = 0.5, where=None
+    ) -> DataFrame:
+        """DataFrame-native radius search. `where` restricts the search
+        to matching corpus rows BEFORE candidate generation — the same
+        filtered-search surface as query_df (and the same graph-seed
+        caveat documented there)."""
+        corpus = self.df
+        if where is not None:
+            corpus = corpus.where(F.expr(where) if isinstance(where, str) else where)
         return self.strategy.threshold(
-            self.df,
+            corpus,
             queries,
             threshold=threshold,
             metric=self._metric,
