@@ -572,6 +572,12 @@ _RECALL_IVF_NPROBE = 2
 # space L2 ADC path, which needs no unit-normalization chain in SQL.
 # refine=4 → a 40-candidate ADC pool per query, honestly sub-1 recall.
 _RECALL_PQ_M, _RECALL_PQ_REFINE = 4, 4
+# SQ branch (r6): PRESET quantizer bounds min=0, scale=1/255 — the
+# uniform [0,1] quantizer (the embeddings are uniform draws), so code
+# assignment is round/clamp arithmetic both engines reproduce, no fit.
+# A coarse 4-bit-equivalent scale would be dishonest; 8-bit codes with
+# a small refine keep recall honestly below 1 via quantization error.
+_RECALL_SQ_SCALE, _RECALL_SQ_REFINE = 1.0 / 255.0, 2
 
 
 def _recall_tail(prefix: str, metric: str = "cosine") -> str:
@@ -697,6 +703,32 @@ adc AS (
 cand AS (
   SELECT query_id, id FROM (
     SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY ad, id) AS r FROM adc
+  ) WHERE r <= {kk}
+)"""
+    return _recall_tail(prefix, metric="euclidean")
+
+
+def _recall_sq_sql() -> str:
+    s = repr(_RECALL_SQ_SCALE)
+    kk = _RECALL_K * _RECALL_SQ_REFINE
+
+    def dq(col: str, i: int) -> str:
+        return f"(least(greatest(round({col}[{i}]::DOUBLE / {s}), 0.0), 255.0) * {s})"
+
+    dist = _chain(
+        [
+            f"((q.qv[{i}]::DOUBLE - {dq('e.embedding', i)}) * (q.qv[{i}]::DOUBLE - {dq('e.embedding', i)}))"
+            for i in range(1, DIM + 1)
+        ]
+    )
+    prefix = f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+sqd AS (
+  SELECT q.query_id, e.vec_id AS id, sqrt({dist}) AS qd
+  FROM q CROSS JOIN embeddings e
+),
+cand AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY qd, id) AS r FROM sqd
   ) WHERE r <= {kk}
 )"""
     return _recall_tail(prefix, metric="euclidean")
@@ -853,17 +885,72 @@ def _recall_pq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_sq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vicinity_spark.backends.sq import CODE_COL, SQStrategy
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.operators.knn import score_joined
+
+    corpus = _emb_corpus(spark, sf_dir).select("id", "vector")
+    strat = SQStrategy(
+        refine=_RECALL_SQ_REFINE,
+        mins=[0.0] * DIM,
+        scales=[_RECALL_SQ_SCALE] * DIM,
+    )
+    strat.params["dim"] = DIM
+    # preset bounds → build() would re-fit; encode directly
+    built = corpus.withColumn(CODE_COL, strat._encode_expr())
+    queries = _emb_queries(spark, sf_dir)
+    kk = _RECALL_K * _RECALL_SQ_REFINE
+    # dequantize and score with the chain expression (bit-comparable
+    # to the oracle's chain); the pool cut is the deterministic
+    # (distance, id) window — quantized distances tie EXACTLY whenever
+    # codes coincide, so an argpartition-style cut would not be
+    # oracle-reproducible (same reasoning as the PQ branch)
+    dq = F.transform(
+        F.col(CODE_COL), lambda c: c.cast("double") * F.lit(_RECALL_SQ_SCALE)
+    )
+    scored = (
+        built.withColumn("__dq", dq)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "id",
+            distance_expr("euclidean", "qvec", "__dq", DIM).alias("__qd"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__qd"), F.col("id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= kk)
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)
+    )
+    joined = cand.join(built.select("id", "vector"), "id")
+    wk = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+    ann = (
+        score_joined(joined, queries, Metric.EUCLIDEAN)
+        .withColumn("__rk", F.row_number().over(wk))
+        .where(F.col("__rk") <= _RECALL_K)
+        .select("query_id", "id")
+    )
+    return _recall_summary_of(
+        queries, cand, ann, _recall_exact_topk(built, queries, metric="euclidean")
+    )
+
+
 @register(
     "ann_recall_summary",
     _labeled_sql("family", "lsh", _recall_lsh_sql())
     + "\nUNION ALL\n"
     + _labeled_sql("family", "ivf", _recall_ivf_sql())
     + "\nUNION ALL\n"
-    + _labeled_sql("family", "pq", _recall_pq_sql()),
+    + _labeled_sql("family", "pq", _recall_pq_sql())
+    + "\nUNION ALL\n"
+    + _labeled_sql("family", "sq", _recall_sq_sql()),
 )
 def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k at HONEST sub-1-recall production parameters
-    for THREE backend families as one labeled union (F15 `evaluate`
+    for FOUR backend families as one labeled union (F15 `evaluate`
     methodology, vicinity.py:328-393, as a DataFrame program):
     candidate counts, exact-top-k hits, recall — everything downstream
     a pipeline needs to monitor ANN quality at scale. The `lsh` branch
@@ -873,7 +960,11 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reproduces from the same rows; the `pq` branch (r6)
     slices those same rows into per-subspace codebooks so code
     assignment (arg_min per subspace) and the ADC candidate pool are
-    equally SQL-reproducible. The graph family is deliberately absent:
+    equally SQL-reproducible; the `sq` branch (r6) uses the PRESET
+    uniform [0,1] 8-bit quantizer, so code assignment is round/clamp
+    arithmetic and the candidate pool is a windowed cut over
+    dequantized chain distances. The graph family is deliberately
+    absent:
     NN-descent's randomized build is not oracle-reproducible, so its
     production-params recall is gated by the
     test_evaluate_ann_recall_floor test instead."""
@@ -885,6 +976,9 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _recall_pq_branch(spark, sf_dir).select(F.lit("pq").alias("family"), "*")
+        )
+        .unionByName(
+            _recall_sq_branch(spark, sf_dir).select(F.lit("sq").alias("family"), "*")
         )
     )
 
