@@ -280,7 +280,16 @@ def band_buckets_rowwise(
         ),
     )
     per_doc = (
-        docs.select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+        # explode(array(sig)) puts the fold in a Generate node — the
+        # evaluation barrier that guarantees ONE evaluation regardless
+        # of how many downstream columns reference it. Without it, a
+        # bare count() measures fine (column pruning leaves a single
+        # reference) but MATERIALIZING all n_hashes signature columns
+        # (the miner's checkpoint) re-evaluated the fold per column:
+        # 54-74s vs 23s for the full miner at the 160-token tier.
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array(sig)).alias("__sig")
+        )
         # docs with no shingles fold to all-NULL → no buckets,
         # matching the exploded form
         .where(F.element_at("__sig", 1).isNotNull())
