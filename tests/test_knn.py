@@ -805,3 +805,36 @@ def test_lsh_expr_bucketize_matches_arrow_kernel(spark):
     g = LSHStrategy(n_tables=4, n_bits=6)
     gbuilt = g.build(df, Metric.COSINE, dim)
     assert "Arrow" in explain_str(gbuilt, "simple")
+
+
+def test_lsh_expr_bucketize_nan_and_short_vectors(spark):
+    """r6 review: NaN coordinates must hash identically to the numpy
+    kernel (NaN compares false vs 0 — Spark's bare `NaN > 0` is true),
+    and a vector shorter than dim must raise, not silently zero bits."""
+    import numpy as np
+
+    from vicinity_spark.backends.lsh import BUCKETS_COL, LSHStrategy, _bucket_matrix_np
+    from vicinity_spark.datatypes import Metric
+
+    dim = 8
+    X = np.array(
+        [[0.5, float("nan"), -0.3, 0.9, float("nan"), 0.1, -0.7, 0.2],
+         [0.1] * 8],
+        dtype=np.float64,
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(2)],
+        "id long, vector array<float>",
+    )
+    strat = LSHStrategy(n_tables=3, n_bits=5, plane_family="sparse", means=[0.0] * dim)
+    built = strat.build(df, Metric.COSINE, dim)
+    got = {r["id"]: list(r[BUCKETS_COL]) for r in built.collect()}
+    M = _bucket_matrix_np(dict(strat.params), X, Metric.COSINE)
+    for i in range(2):
+        assert got[i] == [int(x) for x in M[i]], i
+
+    short = spark.createDataFrame([(0, [0.1, 0.2])], "id long, vector array<float>")
+    # ANSI mode (Spark 4 default) raises from element_at itself; the
+    # assert_true guard carries the explicit message when ANSI is off
+    with pytest.raises(Exception, match="shorter than dim|INVALID_ARRAY_INDEX"):
+        strat.build(short, Metric.COSINE, dim).collect()

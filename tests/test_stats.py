@@ -57,9 +57,11 @@ def test_langid_rowwise_matches_exploded(spark):
             (2, ""),
             (3, "the"),
             (4, "  "),
+            (5, None),  # NULL text: both forms must drop the doc
         ],
         "doc_id long, text string",
     )
     a = {tuple(r) for r in langid_scores(docs).collect()}
     b = {tuple(r) for r in langid_scores_rowwise(docs).collect()}
     assert a == b
+    assert not any(r[0] == 5 for r in b)

@@ -154,9 +154,25 @@ def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
     L, B = params["n_tables"], params["n_bits"]
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     family = _expr_bucket_family(params, metric)
+
+    def pos(x):
+        # numpy semantics: NaN compares FALSE against 0 — Spark's
+        # NaN > 0.0 is TRUE (NaN sorts greatest), which would flip
+        # bits for corrupt coordinates vs the Arrow kernel
+        return (x > 0.0) & ~F.isnan(x)
+
+    # the Arrow kernel projects via a dense dot, where 0·NaN = NaN —
+    # ONE NaN coordinate poisons every plane's projection, zeroing the
+    # whole row's sign buckets. Replicate that row-level semantic for
+    # the sparse family (bit-sampling reads raw coordinates, so only
+    # the sampled coordinate matters there — pos() covers it).
+    nan_row = F.exists(
+        F.slice(v, 1, int(dim)), lambda x: F.isnan(x.cast("double"))
+    )
+
     if family == "bit-sample":
         coords = _sampled_coords_np(params, dim)
-        bit = lambda t, j: F.element_at(v, int(coords[t, j]) + 1).cast("double") > 0.0  # noqa: E731
+        bit = lambda t, j: pos(F.element_at(v, int(coords[t, j]) + 1).cast("double"))  # noqa: E731
     elif family == "sign-sparse":
         a, b = _sparse_pairs(L, B, dim, params["seed"])
         means = params.get("means") or [0.0] * dim
@@ -166,7 +182,7 @@ def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
             proj = (
                 F.element_at(v, ai + 1).cast("double") - F.lit(float(means[ai]))
             ) - (F.element_at(v, bi + 1).cast("double") - F.lit(float(means[bi])))
-            return proj > 0.0
+            return pos(proj)
     else:
         raise ValueError("no expression bucketize for this family")
     tables = []
@@ -177,8 +193,17 @@ def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
                 F.lit(0).cast("long")
             )
             acc = term if acc is None else acc + term
+        if family == "sign-sparse":
+            acc = F.when(nan_row, F.lit(0).cast("long")).otherwise(acc)
         tables.append(acc)
-    return F.array(*tables)
+    # fail LOUDLY on short vectors: element_at past the array end is
+    # NULL in non-ANSI mode, which would silently zero the affected
+    # bits — the Arrow kernel raised on ragged input, so must this path
+    guard = F.assert_true(
+        F.size(v) >= F.lit(int(dim)),
+        F.lit(f"LSH expr bucketize: vector shorter than dim={dim}"),
+    )
+    return F.when(guard.isNull(), F.array(*tables)).otherwise(F.array(*tables))
 
 
 class LSHStrategy(IndexStrategy):

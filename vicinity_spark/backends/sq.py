@@ -41,15 +41,22 @@ class SQStrategy(IndexStrategy):
 
     def build(self, df: DataFrame, metric: Metric, dim: int) -> DataFrame:
         self.params["dim"] = int(dim)
-        # one mapInPandas partial-agg pass (functions/stats.py): plan
-        # width independent of dim, unlike 2×dim aggregate expressions
-        from vicinity_spark.functions.stats import vector_stats
+        if self.params.get("mins") is None or self.params.get("scales") is None:
+            # fit once; PRESET bounds are honored (the constructor
+            # accepts mins=/scales= — same contract as LSH's preset
+            # means; the recall-summary branch and reloaded stores
+            # depend on build not clobbering them)
+            # one mapInPandas partial-agg pass (functions/stats.py):
+            # plan width independent of dim, unlike 2×dim aggregates
+            from vicinity_spark.functions.stats import vector_stats
 
-        stats = vector_stats(df, "vector")
-        mins = [float(x) for x in stats.min]
-        maxs = [float(x) for x in stats.max]
-        scales = [(mx - mn) / 255.0 if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
-        self.params["mins"], self.params["scales"] = mins, scales
+            stats = vector_stats(df, "vector")
+            mins = [float(x) for x in stats.min]
+            maxs = [float(x) for x in stats.max]
+            scales = [
+                (mx - mn) / 255.0 if mx > mn else 1.0 for mn, mx in zip(mins, maxs)
+            ]
+            self.params["mins"], self.params["scales"] = mins, scales
         return df.withColumn(CODE_COL, self._encode_expr())
 
     def _encode_expr(self):

@@ -262,12 +262,14 @@ def band_buckets_rowwise(
     Why one fold and not n_hashes × array_min(transform(...)): the
     per-seed form built the (expensive) gram array once per seed and
     measured 30% SLOWER than the exploded plan at 160-token docs; the
-    single fold builds it once and flipped that to 27% faster
-    (BENCHNOTES r6 long-doc table; ProjectExec subexpression
-    elimination keeps the fold single-evaluation across the
-    element_at references — A/B'd against an explicit Generate-node
-    barrier, a wash). F.least skips the NULL init values, so the fold
-    needs no sentinel."""
+    single fold builds it once and flipped that to faster-than-
+    exploded. The fold sits inside a Generate-node barrier
+    (explode(array(sig))) — REQUIRED, not optional: consumers that
+    materialize all n_hashes signature columns re-evaluate the fold
+    per column without it (54-74s vs 34-36s full-miner at 160-token
+    docs; a count()-only A/B hides this via column pruning —
+    BENCHNOTES r6 "measurement trap"). F.least skips the NULL init
+    values, so the fold needs no sentinel."""
     sig = F.aggregate(
         _grams_arr(shingle_n, text_col),
         F.array_repeat(

@@ -8,14 +8,47 @@ scale linearly with the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to")
+# shared filter thresholds (single source: the batch scorers AND the
+# streaming predicate columns below consume these)
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_TTR = 0.3
+LANG_EN_MIN_RATIO = 0.05
 
 
 def _toks(text_col: str):
     return F.split(F.lower(text_col), " ")
+
+
+def _en_hits_expr(text_col: str) -> Column:
+    """Stopword-hit count as ONE fold over the in-row token array."""
+    return F.aggregate(
+        _toks(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(t.isin(*EN_STOPWORDS), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def quality_pass_col(text_col: str = "text") -> Column:
+    """quality_scores' pass predicate as a single Column — the shared
+    building block for batch scoring and streaming filters."""
+    toks = _toks(text_col)
+    nt = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nt.cast("double")
+    return (nt >= QUALITY_MIN_TOKENS) & (ttr >= QUALITY_MIN_TTR)
+
+
+def predicted_lang_col(text_col: str = "text") -> Column:
+    """langid_scores_rowwise's predicted_lang as a single Column."""
+    return F.when(
+        _en_hits_expr(text_col).cast("double") / F.size(_toks(text_col)).cast("double")
+        >= LANG_EN_MIN_RATIO,
+        "en",
+    ).otherwise("unknown")
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,7 +79,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(F.col("nc").cast("double") / F.col("nt").cast("double"), 6).alias(
             "avg_token_span"
         ),
-        F.when((F.col("nt") >= 20) & (ttr >= 0.3), 1)
+        F.when((F.col("nt") >= QUALITY_MIN_TOKENS) & (ttr >= QUALITY_MIN_TTR), 1)
         .otherwise(0)
         .cast("long")
         .alias("quality_pass"),
@@ -68,7 +101,11 @@ def langid_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return scores.select(
         "doc_id",
         "en_hits",
-        F.when(F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en")
+        F.when(
+            F.col("en_hits").cast("double") / F.col("nt").cast("double")
+            >= LANG_EN_MIN_RATIO,
+            "en",
+        )
         .otherwise("unknown")
         .alias("predicted_lang"),
     )
@@ -83,22 +120,21 @@ def langid_scores_rowwise(
     row-identical to langid_scores (test-pinned) — and being a pure
     projection, it composes into streaming pipelines with no
     aggregation state (streaming/clean.py)."""
-    toks = _toks(text_col)
-    hits = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.when(t.isin(*EN_STOPWORDS), F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
-    base = docs.select(
+    # NULL text → no row, matching the exploded form (explode of a
+    # NULL token array emits nothing)
+    base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        hits.alias("en_hits"),
-        F.size(toks).cast("long").alias("nt"),
+        _en_hits_expr(text_col).alias("en_hits"),
+        F.size(_toks(text_col)).cast("long").alias("nt"),
     )
     return base.select(
         "doc_id",
         "en_hits",
-        F.when(F.col("en_hits").cast("double") / F.col("nt").cast("double") >= 0.05, "en")
+        F.when(
+            F.col("en_hits").cast("double") / F.col("nt").cast("double")
+            >= LANG_EN_MIN_RATIO,
+            "en",
+        )
         .otherwise("unknown")
         .alias("predicted_lang"),
     )

@@ -896,9 +896,7 @@ def _recall_sq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         mins=[0.0] * DIM,
         scales=[_RECALL_SQ_SCALE] * DIM,
     )
-    strat.params["dim"] = DIM
-    # preset bounds → build() would re-fit; encode directly
-    built = corpus.withColumn(CODE_COL, strat._encode_expr())
+    built = strat.build(corpus, Metric.EUCLIDEAN, DIM)  # presets honored
     queries = _emb_queries(spark, sf_dir)
     kk = _RECALL_K * _RECALL_SQ_REFINE
     # dequantize and score with the chain expression (bit-comparable

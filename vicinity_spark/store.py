@@ -191,6 +191,14 @@ class VectorStore:
         )
         return qdf, len(V)
 
+    def _filtered_corpus(self, where) -> DataFrame:
+        """Corpus restricted by the filtered-search predicate (string
+        SQL or Column) — shared by query_df and threshold_df so the
+        two filtered surfaces cannot diverge."""
+        if where is None:
+            return self.df
+        return self.df.where(F.expr(where) if isinstance(where, str) else where)
+
     def query_df(self, queries: DataFrame, k: int = 10, where=None) -> DataFrame:
         """DataFrame-native k-NN. `where` (Column or SQL string)
         restricts the search to matching corpus rows BEFORE candidate
@@ -203,9 +211,7 @@ class VectorStore:
         Caveat: the graph strategy seeds its beam from fixed entry
         points — a filter that excludes them empties the search; use
         an exact/IVF/LSH store for heavily filtered workloads."""
-        corpus = self.df
-        if where is not None:
-            corpus = corpus.where(F.expr(where) if isinstance(where, str) else where)
+        corpus = self._filtered_corpus(where)
         return self.strategy.knn(
             corpus, queries, k=k, metric=self._metric, payload_cols=self.payload_cols
         )
@@ -310,9 +316,7 @@ class VectorStore:
         to matching corpus rows BEFORE candidate generation — the same
         filtered-search surface as query_df (and the same graph-seed
         caveat documented there)."""
-        corpus = self.df
-        if where is not None:
-            corpus = corpus.where(F.expr(where) if isinstance(where, str) else where)
+        corpus = self._filtered_corpus(where)
         return self.strategy.threshold(
             corpus,
             queries,

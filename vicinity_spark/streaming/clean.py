@@ -25,33 +25,16 @@ quality_scores / langid_scores_rowwise).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def quality_pass_col(text_col: str = "text") -> Column:
-    """quality_scores' pass predicate as a single Column (same
-    thresholds: ≥20 tokens, type-token ratio ≥ 0.3)."""
-    toks = F.split(F.lower(text_col), " ")
-    nt = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / nt.cast("double")
-    return (nt >= 20) & (ttr >= 0.3)
-
-
-def predicted_lang_col(text_col: str = "text") -> Column:
-    """langid_scores_rowwise's predicted_lang as a single Column."""
-    from vicinity_spark.operators.textops import EN_STOPWORDS
-
-    toks = F.split(F.lower(text_col), " ")
-    hits = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.when(t.isin(*EN_STOPWORDS), F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
-    return F.when(
-        hits.cast("double") / F.size(toks).cast("double") >= 0.05, "en"
-    ).otherwise("unknown")
+# single source of truth for the filter predicates: textops defines
+# them next to the thresholds and tokenizer the batch scorers use, so
+# the streaming-vs-batch row identity cannot silently drift
+from vicinity_spark.operators.textops import (  # noqa: F401 (re-export)
+    predicted_lang_col,
+    quality_pass_col,
+)
 
 
 def stream_clean(
