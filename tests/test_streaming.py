@@ -774,3 +774,61 @@ def test_stream_clean_pipeline(spark, tmp_path):
     for r in via_cols:
         assert int(r.qp) == qs[r.doc_id]
         assert r.pl == ls[r.doc_id]
+
+
+def test_stream_clean_then_neardup_composition(spark, tmp_path):
+    """Capstone composition (r6): stream_clean's output (one
+    dropDuplicatesWithinWatermark) feeds stream_neardup_candidates'
+    keyed bucket state IN THE SAME streaming query — two chained
+    stateful operators in append mode. A planted near-dup pair that
+    both pass cleaning must surface as a candidate; an exact dup must
+    be consumed by the dedup before reaching the miner; a low-quality
+    doc must never enter a bucket."""
+    import datetime as dt
+    import time as _t
+
+    from vicinity_spark.streaming import stream_clean, stream_neardup_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the river "
+        "bank again today with a good friend nearby watching everything happen"
+    )
+    near = base.replace("everything", "something")  # high-Jaccard near-dup
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    schema = "doc_id long, text string, ts timestamp"
+    src = tmp_path / "cc_src"
+    spark.createDataFrame(
+        [(0, base, at(0)), (1, "too short", at(0))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _t.sleep(1.1)
+    spark.createDataFrame(
+        [(2, base, at(2)), (3, near, at(2))], schema  # 2 = exact dup of 0
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    cleaned = stream_clean(stream, watermark="1 minute")
+    cands = stream_neardup_candidates(
+        cleaned, watermark=None, horizon_minutes=30, min_est_jaccard=0.4
+    )  # None: the watermark is already defined by stream_clean
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("clean_mine")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.lastProgress["stateOperators"]) == 2  # dedup + bucket state
+    got = spark.sql("select * from clean_mine").collect()
+    pairs = {(r.doc_id, r.matched_doc_id) for r in got}
+    assert (3, 0) in pairs  # the near-dup found its cleaned predecessor
+    # the exact dup (2) was consumed by the dedup stage: it neither
+    # matched nor was matched
+    assert not any(2 in p for p in pairs)
+    assert not any(1 in p for p in pairs)  # low-quality never bucketed

@@ -74,7 +74,7 @@ def stream_neardup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     ts_col: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: "str | None" = "10 minutes",
     horizon_minutes: int = 10,
     n_hashes: int = 16,
     rows_per_band: int = 2,
@@ -139,9 +139,13 @@ def stream_neardup_candidates(
         if out:
             yield pd.DataFrame(out, columns=cols)
 
+    # watermark=None: the input stream already carries a watermark
+    # (e.g. stream_clean upstream) — Spark disallows redefining it in
+    # a multi-stateful-operator query, so compose with None here
+    if watermark is not None:
+        bands = bands.withWatermark("ts", watermark)
     return (
-        bands.withWatermark("ts", watermark)
-        .groupBy("band", "bkey")
+        bands.groupBy("band", "bkey")
         .applyInPandasWithState(
             fn,
             NEARDUP_SCHEMA,
