@@ -161,13 +161,16 @@ def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
         # bits for corrupt coordinates vs the Arrow kernel
         return (x > 0.0) & ~F.isnan(x)
 
-    # the Arrow kernel projects via a dense dot, where 0·NaN = NaN —
-    # ONE NaN coordinate poisons every plane's projection, zeroing the
-    # whole row's sign buckets. Replicate that row-level semantic for
-    # the sparse family (bit-sampling reads raw coordinates, so only
-    # the sampled coordinate matters there — pos() covers it).
+    # the Arrow kernel projects via a dense dot, where 0·NaN = NaN and
+    # 0·±Inf = NaN — ONE NaN *or Inf* coordinate poisons every plane's
+    # projection, zeroing the whole row's sign buckets. Replicate that
+    # row-level semantic for the sparse family (bit-sampling reads raw
+    # coordinates, so only the sampled coordinate matters there —
+    # pos() covers it).
     nan_row = F.exists(
-        F.slice(v, 1, int(dim)), lambda x: F.isnan(x.cast("double"))
+        F.slice(v, 1, int(dim)),
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
 
     if family == "bit-sample":
@@ -198,12 +201,17 @@ def _bucket_expr(params: dict, dim: int, vec_col, metric: Metric):
         tables.append(acc)
     # fail LOUDLY on short vectors: element_at past the array end is
     # NULL in non-ANSI mode, which would silently zero the affected
-    # bits — the Arrow kernel raised on ragged input, so must this path
+    # bits — the Arrow kernel raised on ragged input, so must this path.
+    # assert_true yields NULL on success; casting to long and folding
+    # it into table 0's accumulator via coalesce (NULL → +0) makes the
+    # check a data dependency of the RESULT, so no optimizer rule can
+    # prune it as an identical-branch conditional.
     guard = F.assert_true(
         F.size(v) >= F.lit(int(dim)),
         F.lit(f"LSH expr bucketize: vector shorter than dim={dim}"),
     )
-    return F.when(guard.isNull(), F.array(*tables)).otherwise(F.array(*tables))
+    tables[0] = tables[0] + F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
+    return F.array(*tables)
 
 
 class LSHStrategy(IndexStrategy):

@@ -606,7 +606,13 @@ def connected_components(
         .unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr")))
         .localCheckpoint(eager=True)
     )
-    universe = ids.select(F.col(id_col).alias("id")).distinct()
+    # materialized like edges: universe is re-read by the final left
+    # join, and without the checkpoint every downstream action on the
+    # RESULT would re-execute the ids input pipeline (costly when ids
+    # is itself a derived frame — r6 ADVICE)
+    universe = (
+        ids.select(F.col(id_col).alias("id")).distinct().localCheckpoint(eager=True)
+    )
     # r6: iterate ONLY over edge-touched vertices — every other id is a
     # singleton (rep = id) by construction and is attached by one left
     # join at the end. In a dedup pipeline |edge vertices| ∝ dup rate,

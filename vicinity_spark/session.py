@@ -21,7 +21,11 @@ def _default_driver_mem() -> str:
     2g, keeps small hosts safe; SPARK_GRAFT_DRIVER_MEM overrides.
     Physical memory via sysconf (Linux AND macOS), /proc/meminfo as
     backup; if neither is readable, fall back to 8g — conservative,
-    never above-physical on any plausible host — not 24g."""
+    never above-physical on any plausible host — not 24g. Inside a
+    memory-capped container the cgroup limit, not host physical
+    memory, is what the kernel enforces — take the min with
+    cgroup v2 memory.max / v1 memory.limit_in_bytes when present
+    (r6 ADVICE)."""
     total_b = None
     try:
         total_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
@@ -34,6 +38,21 @@ def _default_driver_mem() -> str:
                         break
         except OSError:
             pass
+    for cgroup_path in (
+        "/sys/fs/cgroup/memory.max",  # v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+    ):
+        try:
+            with open(cgroup_path) as f:
+                raw = f.read().strip()
+            if raw != "max":
+                limit = int(raw)
+                # v1 reports ~2^63 when unlimited; ignore absurd values
+                if 0 < limit < (1 << 60):
+                    total_b = min(total_b, limit) if total_b else limit
+            break
+        except (OSError, ValueError):
+            continue
     if not total_b:
         return "8g"
     total_gib = total_b / (1024**3)

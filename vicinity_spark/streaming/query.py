@@ -77,7 +77,26 @@ def _cache_static(strategy, corpus: DataFrame, prepared: DataFrame) -> DataFrame
         memo = strategy._serving_cache = {}
     hit = memo.get(key)
     if hit is not None:
-        return hit[1]
+        # semanticHash is 32-bit — confirm plan identity on hit so a
+        # hash collision between two distinct corpus plans can never
+        # serve the wrong cached static side (r6 ADVICE). On any
+        # comparison failure, fall through to a fresh entry keyed by
+        # object identity (never collides with a live corpus).
+        try:
+            same = (
+                hit[0]
+                ._jdf.queryExecution()
+                .analyzed()
+                .sameResult(corpus._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = hit[0] is corpus
+        if same:
+            return hit[1]
+        key = id(corpus)
+        hit = memo.get(key)
+        if hit is not None and hit[0] is corpus:
+            return hit[1]
     cached = prepared.cache()
     memo[key] = (corpus, cached)
     return cached
