@@ -372,3 +372,117 @@ def test_rowwise_forms_match_exploded_property(spark_prop, texts):
     a = {tuple(r) for r in simhash_fingerprints(docs).collect()}
     b = {tuple(r) for r in simhash_fingerprints_rowwise(docs).collect()}
     assert a == b, texts
+
+
+# ---- hot band-bucket cap (r7) --------------------------------------
+
+
+def _cluster_corpus(spark, n_cluster):
+    """n_cluster identical docs (one pathological bucket per band) plus
+    the 6-doc DOCS corpus with its planted near-dup pairs, ids offset
+    to 1000+."""
+    cluster = [(i, "identical boilerplate page repeated across the whole crawl "
+                   "with the same navigation header footer and legal text") for i in range(n_cluster)]
+    normal = [(1000 + i, t) for i, t in DOCS]
+    return spark.createDataFrame(cluster + normal, "doc_id long, text string")
+
+
+def test_minhash_cap_bounds_identical_cluster(spark):
+    """10k identical docs share EVERY band key; uncapped that is
+    ~50M candidate pairs in 4 buckets. With the cap on, the miner
+    completes in bounded time, drops the cluster, and still emits the
+    planted near-dup pairs of the normal docs."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    docs = _cluster_corpus(spark, 10_000)
+    res = minhash_lsh_pairs_rowwise(
+        docs, n_hashes=16, rows_per_band=2, min_jaccard=0.3, max_bucket=100
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in res}
+    assert (1000, 1001) in found  # normal planted pair survives the cap
+    assert all(a >= 1000 and b >= 1000 for a, b in found)  # cluster dropped
+
+
+def test_minhash_cap_is_noop_below_threshold(docs_df):
+    """On a corpus where no bucket exceeds the cap, the capped miner is
+    pair-set identical to the uncapped one (both plans)."""
+    from vicinity_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_rowwise,
+    )
+
+    base = {
+        tuple(r)
+        for r in minhash_lsh_pairs_rowwise(docs_df, min_jaccard=0.3).collect()
+    }
+    capped_row = {
+        tuple(r)
+        for r in minhash_lsh_pairs_rowwise(
+            docs_df, min_jaccard=0.3, max_bucket=100
+        ).collect()
+    }
+    capped_one = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs_df, min_jaccard=0.3, max_bucket=100).collect()
+    }
+    assert capped_row == base
+    assert capped_one == base
+
+
+def test_simhash_cap_bounds_identical_cluster(spark):
+    """Identical docs have identical fingerprints → every (chunk, cval)
+    block explodes; the cap drops those blocks and keeps the rest."""
+    from vicinity_spark.operators.dedup import (
+        simhash_fingerprints_rowwise,
+        simhash_pairs,
+    )
+
+    fp = simhash_fingerprints_rowwise(_cluster_corpus(spark, 5_000))
+    res = simhash_pairs(fp, max_hamming=3, max_bucket=100).collect()
+    assert all(r.id_a >= 1000 and r.id_b >= 1000 for r in res)
+    # and the small-corpus output is unchanged by a non-binding cap
+    small = simhash_fingerprints_rowwise(
+        spark.createDataFrame(DOCS, "doc_id long, text string")
+    )
+    uncapped = {tuple(r) for r in simhash_pairs(small, max_hamming=3).collect()}
+    capped = {
+        tuple(r) for r in simhash_pairs(small, max_hamming=3, max_bucket=100).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_neardup_cap_bounds_identical_vectors(spark):
+    """5k copies of one vector collide in every table's bucket; the cap
+    drops those cells, keeps planted near-dup pairs elsewhere, and a
+    non-binding cap changes nothing."""
+    import numpy as np
+
+    from vicinity_spark.backends.lsh import LSHStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    near = base[:5] + 0.001  # planted near dups of ids 0..4 → 1000..1004
+    hot = np.tile(rng.standard_normal(16), (5_000, 1))  # ids 2000+
+    rows = (
+        [(i, [float(x) for x in base[i]]) for i in range(40)]
+        + [(1000 + i, [float(x) for x in near[i]]) for i in range(5)]
+        + [(2000 + i, [float(x) for x in hot[i]]) for i in range(5_000)]
+    )
+    corpus = spark.createDataFrame(rows, "id long, vector array<float>")
+    strat = LSHStrategy(n_tables=8, n_bits=8)
+    built = strat.build(corpus, Metric.COSINE, 16).localCheckpoint(eager=True)
+    res = strat.neardup_pairs(built, 0.01, Metric.COSINE, max_bucket=100).collect()
+    found = {(r.id_a, r.id_b) for r in res}
+    assert all(not (2000 <= a < 7000 or 2000 <= b < 7000) for a, b in found)
+    assert any(b == a + 1000 for a, b in found)  # planted pairs survive
+    # non-binding cap ≡ uncapped on the small part
+    small = strat.build(
+        corpus.where(F.col("id") < 2000), Metric.COSINE, 16
+    ).localCheckpoint(eager=True)
+    uncapped = {tuple(r) for r in strat.neardup_pairs(small, 0.01, Metric.COSINE).collect()}
+    capped = {
+        tuple(r)
+        for r in strat.neardup_pairs(small, 0.01, Metric.COSINE, max_bucket=100).collect()
+    }
+    assert capped == uncapped

@@ -404,7 +404,11 @@ class LSHStrategy(IndexStrategy):
         return out.select("query_id", "id", "distance", "rank", *(payload_cols or []))
 
     def neardup_pairs(
-        self, corpus: DataFrame, threshold: float, metric: Metric
+        self,
+        corpus: DataFrame,
+        threshold: float,
+        metric: Metric,
+        max_bucket: "int | None" = None,
     ) -> DataFrame:
         """(id_a, id_b, distance) — near-duplicate pairs of a *built*
         corpus with distance <= threshold, as a bucket self-join.
@@ -429,10 +433,22 @@ class LSHStrategy(IndexStrategy):
         buckets in t tables is now scored t times instead of once —
         map-side arithmetic, strictly cheaper than shuffling the
         un-deduped volume through two joins.
+
+        max_bucket (hot-BUCKET guard, r7): drop (table, bucket) cells
+        with more than max_bucket member vectors before the self-join —
+        a cluster of d identical vectors shares every table's bucket
+        and yields ~d²/2 candidates without the cap (the count pass
+        reads only the narrow key columns; see
+        operators.dedup.cap_hot_buckets for semantics and logging).
         """
+        from vicinity_spark.operators.dedup import cap_hot_buckets
         from vicinity_spark.operators.knn import score_pairs
 
         exploded = corpus.select("id", "vector", F.posexplode(BUCKETS_COL).alias("table", "bucket"))
+        if max_bucket is not None:
+            exploded = cap_hot_buckets(
+                exploded, ("table", "bucket"), max_bucket, "lsh.neardup_pairs"
+            )
         a = exploded.select(
             F.col("id").alias("id_a"), F.col("vector").alias("va"), "table", "bucket"
         )

@@ -23,12 +23,64 @@ Operators:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
+
+_log = logging.getLogger("vicinity_spark.dedup")
+
+
+def cap_hot_buckets(
+    buckets: DataFrame, keys, max_bucket: int, what: str
+) -> DataFrame:
+    """Hot-BUCKET skew guard for the pair miners (r7): drop every
+    blocking bucket whose row count exceeds ``max_bucket`` BEFORE the
+    candidate self-join.
+
+    Why this exists on top of ``max_df``: max_df caps hot *features*
+    (stop-shingles), but a cluster of d exact/near-identical docs
+    shares every BAND key and yields ~d²/2 candidate pairs inside one
+    bucket — the classic web-corpus skew case that no feature-level cap
+    touches. A capped bucket contributes ZERO candidates; pairs whose
+    docs co-bucket ONLY in capped buckets are lost (near-identical
+    clusters larger than the cap — exactly the rows an exact-dedup
+    pre-pass collapses, which is why composed pipelines run
+    ``exact_dedup`` first). Pairs that also share any sub-cap bucket
+    are still found, and every surviving candidate is exact-verified,
+    so the cap trades bounded recall for a bounded join — never
+    correctness of emitted pairs.
+
+    The hot-bucket list is tiny by construction (cap ≫ typical bucket
+    size), so the filter is a broadcast anti-join; the count pass is
+    one map-side-combined aggregation over the narrow key columns.
+    What was dropped is logged (bucket count + max size) so the recall
+    trade is observable, not silent.
+    """
+    keys = list(keys)
+    counts = buckets.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    hot = counts.where(F.col("__bsz") > int(max_bucket))
+    # bounded action: aggregate of the (few) over-cap buckets only —
+    # this is the one eager job the logging contract costs
+    stats = hot.agg(
+        F.count("*").alias("n"), F.max("__bsz").alias("mx")
+    ).first()
+    if stats["n"]:
+        _log.warning(
+            "%s: dropping %d hot bucket(s) (largest %d rows > max_bucket=%d) "
+            "from candidate generation — pairs co-bucketed ONLY there are "
+            "lost; run exact_dedup first so identical-doc clusters collapse "
+            "upstream of the miner",
+            what,
+            stats["n"],
+            stats["mx"],
+            int(max_bucket),
+        )
+        return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    return buckets
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -315,6 +367,7 @@ def minhash_lsh_pairs_rowwise(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with CANDIDATE-BOUNDED verification
     (r6) — same output as minhash_lsh_pairs (row-identical by test),
@@ -335,6 +388,12 @@ def minhash_lsh_pairs_rowwise(
     frequencies, which is exactly the full-stream aggregation this
     plan exists to avoid — capped flows keep minhash_lsh_pairs.
 
+    max_bucket (hot-BUCKET guard, r7): drop (band, bkey) buckets with
+    more than max_bucket member docs before the self-join — a cluster
+    of d identical docs shares every band key, so without the cap one
+    bucket yields ~d²/2 candidates (see cap_hot_buckets; run
+    exact_dedup first so such clusters collapse upstream).
+
     Precondition: doc_id unique per row (the universal dedup-input
     contract). Duplicate doc_id rows would bucket per-row here where
     minhash_lsh_pairs merges them into one shingle set first."""
@@ -348,6 +407,10 @@ def minhash_lsh_pairs_rowwise(
     # onepass groupBy plan) — without this the whole signature chain
     # runs twice (measured: the win below disappears at 2M)
     buckets = buckets.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        buckets = cap_hot_buckets(
+            buckets, ("band", "bkey"), max_bucket, "minhash_lsh_pairs_rowwise"
+        )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
     cands = (
@@ -401,6 +464,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_df: Optional[int] = None,
     hash_fn: str = "md5",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection, verified by exact Jaccard.
 
@@ -409,6 +473,10 @@ def minhash_lsh_pairs(
     max_df (hot-key guard) drops stop-shingles from the feature universe
     BEFORE signatures, so both the MinHash buckets and the verification
     see the same capped feature space (see jaccard_pairs).
+    max_bucket (hot-BUCKET guard, r7) additionally drops (band, bkey)
+    buckets with more than max_bucket docs before the candidate
+    self-join — identical-doc clusters share every band key, which
+    max_df cannot cap (see cap_hot_buckets).
 
     The shingle table is localCheckpoint'ed: it feeds FOUR consumers
     (signatures, both sides of the verification join, set sizes), and
@@ -429,6 +497,10 @@ def minhash_lsh_pairs(
     buckets = band_buckets_onepass(
         sh, "shingle", n_hashes=n_hashes, rows_per_band=rows_per_band, hash_fn=hash_fn
     )
+    if max_bucket is not None:
+        buckets = cap_hot_buckets(
+            buckets, ("band", "bkey"), max_bucket, "minhash_lsh_pairs"
+        )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
     cands = (
@@ -541,7 +613,11 @@ def _simhash_chunks(fingerprints: DataFrame, n_chunks: int, width: int) -> DataF
     )
 
 
-def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
     """(id_a, id_b, hamming) — fingerprint pairs within a Hamming ball.
 
     Blocking equi-join (the plan that survives 100 TB): split the 32
@@ -551,13 +627,21 @@ def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     equi-join on (chunk_idx, chunk_value) — no cross product — followed
     by the exact Hamming filter. Output is identical to the all-pairs
     form; only the physical plan changes.
+
+    max_bucket (hot-BUCKET guard, r7): drop (chunk, cval) blocks with
+    more than max_bucket members before the self-join — identical docs
+    share every chunk value, so a cluster of d yields ~d²/2 candidates
+    per chunk without the cap (see cap_hot_buckets).
     """
     n_chunks = max_hamming + 1
     width = -(-N_SIMHASH_BITS // n_chunks)  # ceil
-    a = _simhash_chunks(fingerprints, n_chunks, width).select(
+    ch = _simhash_chunks(fingerprints, n_chunks, width)
+    if max_bucket is not None:
+        ch = cap_hot_buckets(ch, ("chunk", "cval"), max_bucket, "simhash_pairs")
+    a = ch.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "chunk", "cval"
     )
-    b = _simhash_chunks(fingerprints, n_chunks, width).select(
+    b = ch.select(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "chunk", "cval"
     )
     cands = (
