@@ -838,3 +838,56 @@ def test_lsh_expr_bucketize_nan_and_short_vectors(spark):
     # assert_true guard carries the explicit message when ANSI is off
     with pytest.raises(Exception, match="shorter than dim|INVALID_ARRAY_INDEX"):
         strat.build(short, Metric.COSINE, dim).collect()
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF01_DIR), reason="driver testdata not present"
+)
+def test_graph_bench_operating_point_recall_floor(spark):
+    """r6 VERDICT item 5: the bench's graph operating point (beam=64,
+    probe=8, members=16, 1 expansion — BENCHNOTES "graph
+    recall-per-cost frontier") measured recall@10 0.769 on the sf0.1
+    embeddings corpus, up from r5's 0.459. This floor pins that point:
+    if a future change drags the SAME config back toward the old
+    operating point, this trips. 0.70 leaves headroom for NN-descent
+    build nondeterminism across partition layouts while sitting far
+    above the regression it guards against."""
+    from vicinity_spark.backends.graph import GraphStrategy
+    from vicinity_spark.datatypes import Metric
+
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    dim = 64
+    strat = GraphStrategy(
+        k_build=16, iters=2, beam=64, expansions=1,
+        seed_mode="ivf", seed_probe=8, seed_members=16,
+    )
+    built = strat.build(corpus, Metric.COSINE, dim).cache()
+    try:
+        nq, k = 200, 10
+        queries = emb.where(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        got = strat.knn(built, queries, k=k, metric=Metric.COSINE).collect()
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        X = np.array([r.embedding for r in rows], dtype=np.float32).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        qmask = ids < nq
+        hits, total = 0, 0
+        for qid, qv in zip(ids[qmask], Xn[qmask]):
+            d = 1.0 - Xn @ qv
+            exact = set(ids[np.lexsort((ids, d))[:k]].tolist())
+            mine = {r.id for r in got if r.query_id == qid}
+            hits += len(exact & mine)
+            total += k
+        recall = hits / total
+        assert recall >= 0.70, f"bench-config graph recall {recall:.3f} < 0.70 floor"
+    finally:
+        built.unpersist()
