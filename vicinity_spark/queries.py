@@ -323,6 +323,53 @@ def threshold_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+_TG_REPS, _TG_T = 20, 0.65
+
+
+@register(
+    "threshold_grid_routing",
+    f"""
+WITH q AS (
+  SELECT vec_id * {_TG_REPS} + r.r AS query_id, embedding AS qv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_TG_REPS})) AS r) r
+)
+SELECT q.query_id, e.vec_id AS id,
+       round({sql_distance('cosine', 'q.qv', 'e.embedding')}, 6) AS distance
+FROM q CROSS JOIN embeddings e
+WHERE {sql_distance('cosine', 'q.qv', 'e.embedding')} <= {_TG_T}
+""",
+)
+def threshold_grid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT r6 item 7): radius search through the UNBOUNDED
+    auto-routing path. The query side is a parquet-derived explode
+    (every embedding × {_TG_REPS} replica ids — cosine is
+    scale-invariant so replicas share the vector) whose optimizer
+    maxRows is undefined and whose bounded count probe exceeds
+    AUTO_GRID_QUERY_ROWS=8192, so `algorithm="auto"` must route to
+    the GRID plan (block-matrix kernel, no query-side broadcast) —
+    the 100 TB shape. The oracle hash certifies the grid threshold
+    kernel's output bit-equals the expression plan the bounded
+    entries take; tests/test_knn.py pins the routing decision
+    itself."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = (
+        e.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_TG_REPS - 1))))
+        .select(
+            (F.col("vec_id") * _TG_REPS + F.col("r")).alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    res = threshold_join(
+        _emb_corpus(spark, sf_dir),
+        q,
+        threshold=_TG_T,
+        metric="cosine",
+        dim=DIM,
+        algorithm="auto",
+    )
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
 # ---- similarity self-join / embedding near-dup (★) ------------------
 
 _NEARDUP_T = 0.67
@@ -2222,6 +2269,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_minhash_onepass", _MINHASH_SQL)
+def dedup_minhash_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT r6 item 7): the ONE-PASS exploded miner
+    (operators/dedup.py minhash_lsh_pairs — shingle explode →
+    per-seed min aggregate → band keys) certified against the SAME
+    oracle SQL as `dedup_minhash_lsh`. A shared green hash on both
+    rows IS the rowwise↔onepass equality proof, driver-checked rather
+    than only pytest-pinned (tests/test_dedup.py property test)."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs
+
+    j = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=16, rows_per_band=4, min_jaccard=0.5
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_capped", _MINHASH_SQL)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the rowwise miner with the hot-BUCKET guard ENGAGED
+    (max_bucket=64 — the production sizing rule from BENCHNOTES
+    "hot-bucket skew guard": ~100× expected (band,bkey) occupancy,
+    which is ≤3 docs at the gate corpora). Same oracle SQL as
+    `dedup_minhash_lsh`: a green hash certifies the guard is
+    non-binding on non-adversarial data — the cap drops NOTHING here,
+    pair-for-pair — while the 10k-identical-doc test
+    (tests/test_dedup.py) pins the bounded-time behavior when it does
+    bind."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    j = minhash_lsh_pairs_rowwise(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        rows_per_band=4,
+        min_jaccard=0.5,
+        max_bucket=64,
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---- SimHash (★) ----------------------------------------------------
 
 def _simhash_sql() -> str:
@@ -2658,6 +2744,10 @@ _merge_entries(
 # the 50-entry window.
 
 _CHECK_FIRST = [
+    # new in r7 — need their first green row (VERDICT r6 item 7):
+    "threshold_grid_routing",
+    "dedup_minhash_onepass",
+    "dedup_minhash_capped",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -2683,11 +2773,16 @@ _CHECK_FIRST = [
     "neardup_pairs",
 ]
 
-# r4 consolidation (see _merge_entries above) brought the registry to
-# exactly 50 entries, so nothing rotates out and every entry is inside
-# the gate window every round. Keep this list empty unless the registry
-# grows past 50 again — prefer merging same-schema entries first.
-_ROTATE_OUT: "list[str]" = []
+# r7: the registry grew to 53 (three new certifiable surfaces above),
+# so three long-stable rows take the unchecked tail for one round.
+# Chosen: green every round since r1 (6 consecutive driver-green rows,
+# code untouched this round) — the lowest-information checks to skip,
+# and VERIFIED.md records the skip honestly so rotation is auditable.
+_ROTATE_OUT: "list[str]" = [
+    "vector_norms",
+    "text_token_stats",
+    "text_quality",
+]
 
 
 def _reorder_registry() -> None:
