@@ -832,3 +832,63 @@ def test_stream_clean_then_neardup_composition(spark, tmp_path):
     # matched nor was matched
     assert not any(2 in p for p in pairs)
     assert not any(1 in p for p in pairs)  # low-quality never bucketed
+
+
+def test_stream_neardup_rocksdb_state_store(spark, tmp_path):
+    """r6 VERDICT item 6: the 100 TB streaming claim leans on state
+    eviction — run the near-dup stateful operator once on the
+    PRODUCTION state backend (RocksDBStateStoreProvider, bundled with
+    Spark 4). A cloned session scopes the provider conf so the shared
+    fixture keeps the default HDFS-backed provider. Asserts (a) the
+    candidate pairs are identical to the default-provider run above,
+    and (b) the progress actually reports RocksDB custom metrics —
+    i.e. the provider engaged, the conf didn't silently no-op.
+    BENCHNOTES.md "RocksDB state store" has the measured 100k-doc
+    comparison against the in-memory provider."""
+    import datetime as dt
+
+    from vicinity_spark.streaming import stream_neardup_candidates
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    src = tmp_path / "docs_src_rocks"
+    schema = "doc_id long, ts timestamp, text string"
+    s2.createDataFrame(
+        [(1, t0, base), (2, t0 + dt.timedelta(seconds=30), other)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    s2.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=1), near)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    cand = stream_neardup_candidates(stream, min_est_jaccard=0.3)
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("neardup_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = s2.sql("select * from neardup_rocks").collect()
+    assert {(r.doc_id, r.matched_doc_id) for r in rows} == {(3, 1)}
+    assert max(r.est_jaccard for r in rows) >= 0.5
+
+    saw_rocksdb = False
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            if any("rocksdb" in k.lower() for k in so.get("customMetrics", {})):
+                saw_rocksdb = True
+    assert saw_rocksdb, "RocksDB provider conf did not engage (no rocksdb metrics)"
