@@ -661,3 +661,135 @@ def test_png_decompression_bomb_rejected():
         + _png_chunk(b"IEND", b"")
     )
     assert (_png_decode(padded) == img).all()
+
+
+# ---- JPEG (r7, fifth real codec) ------------------------------------
+
+
+def test_jpeg_exact_roundtrip_on_block_constant_images():
+    """quality=100 (all-ones quantization tables) round-trips
+    blockwise-constant images EXACTLY: each solid 8×8 block has an
+    integral DC (8·(v−128)) and zero AC — the property the
+    multimodal_knn image_jpeg oracle branch leans on."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode,
+        _pattern_img,
+    )
+
+    for p in [1, 0x5A5A, 65535, 0xBEEF % 65535 + 1]:
+        img = _pattern_img(p, 4, 8)  # 32x32, solid 8px cells
+        assert np.array_equal(_jpeg_decode(_jpeg_encode(img, quality=100)), img), p
+
+
+def test_jpeg_near_lossless_roundtrip_arbitrary_images():
+    """quality=100 on arbitrary (worst-case noise) images: error is
+    bounded by DCT-coefficient rounding only (±a few intensity levels),
+    across non-multiple-of-8 shapes."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import _jpeg_decode, _jpeg_encode
+
+    rng = np.random.default_rng(19)
+    for h, w in [(8, 8), (23, 37), (16, 41), (9, 8)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        out = _jpeg_decode(_jpeg_encode(img, quality=100))
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 4, (h, w, err)
+
+
+def test_jpeg_subsampled_and_restart_variants_decode():
+    """4:2:0 subsampling and restart-interval streams decode; 4:2:0 is
+    exact on grayscale block-constant images (chroma is neutral), and a
+    restarted stream decodes identically to the unrestarted one."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode,
+        _pattern_img,
+    )
+
+    img = _pattern_img(4321, 4, 8)
+    sub = _jpeg_decode(_jpeg_encode(img, quality=100, subsample=True))
+    assert np.array_equal(sub, img)
+    rng = np.random.default_rng(23)
+    noisy = rng.integers(0, 256, (24, 16, 3), np.uint8)
+    with_rst = _jpeg_decode(_jpeg_encode(noisy, quality=85, restart_interval=2))
+    without = _jpeg_decode(_jpeg_encode(noisy, quality=85))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from vicinity_spark.operators.multimodal import _jpeg_decode, _jpeg_encode
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    good = bytearray(_jpeg_encode(img, quality=90))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        _jpeg_decode(b"nope")
+    # flip SOF0 marker to SOF2 (progressive) — must raise honestly
+    sof = good.find(b"\xff\xc0")
+    prog = good.copy()
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        _jpeg_decode(bytes(prog))
+    # truncate mid-scan
+    with _pytest.raises(ValueError):
+        _jpeg_decode(bytes(good[:40]))
+    # dimension bomb: patch SOF dims to 40000x40000
+    bomb = good.copy()
+    bomb[sof + 5 : sof + 7] = (40000).to_bytes(2, "big")
+    bomb[sof + 7 : sof + 9] = (40000).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="cap"):
+        _jpeg_decode(bytes(bomb))
+
+
+def test_jpeg_media_pipeline_matches_bmp(spark):
+    """synthetic_jpeg_media → extract_features/decode_meta/resize runs
+    the REAL JPEG path (fake=False); at cell_px=8 / quality=100 the
+    features are byte-for-byte those of the BMP encoding of the same
+    patterns (scaled 2× — feature pooling is resolution-invariant on
+    solid cells)."""
+    from vicinity_spark.operators.multimodal import (
+        decode_meta,
+        extract_features,
+        resize_images,
+        synthetic_bmp_media,
+        synthetic_jpeg_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    jpg = synthetic_jpeg_media(ids)  # 32x32, 8px cells
+    bmp = synthetic_bmp_media(ids, cell_px=8)  # same resolution
+    fj = {r.media_id: r.feature for r in extract_features(jpg, fake=False).collect()}
+    fb = {r.media_id: r.feature for r in extract_features(bmp, fake=False).collect()}
+    assert fj == fb and len(fj) == 40
+    meta = decode_meta(jpg, fake=False).collect()
+    assert all(r.width == 32 and r.height == 32 for r in meta)
+    small = resize_images(jpg, 16, 16, fake=False)
+    m2 = decode_meta(small, fake=False).collect()
+    assert all(r.width == 16 and r.height == 16 for r in m2)
+
+
+def test_fake_mode_total_on_corrupt_jpeg_sniff(spark):
+    """Bytes that merely sniff as JPEG fall back to the stand-in under
+    fake=True and raise under fake=False — the same totality rule as
+    every other codec."""
+    import pytest as _pytest
+
+    from vicinity_spark.operators.multimodal import extract_features
+
+    rows = [(0, "image", bytearray(b"\xff\xd8\xff\xe0garbagegarbage"), None, None, None)]
+    from vicinity_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(df, fake=True).collect()
+    assert len(got) == 1 and len(got[0].feature) == 16
+    with _pytest.raises(Exception):
+        extract_features(df, fake=False).collect()

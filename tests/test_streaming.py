@@ -520,12 +520,13 @@ def test_stream_threshold_matches_batch(spark, tmp_path):
 def test_streaming_media_feature_extraction(spark, tmp_path):
     """The multimodal feature kernel is stateless mapInPandas, so it
     runs unchanged inside a streaming query: media parquet stream →
-    REAL-codec decode+features (all four codecs in one mixed
+    REAL-codec decode+features (all five codecs in one mixed
     stream) → append sink, row-identical to the batch pass."""
     from vicinity_spark.operators.multimodal import (
         extract_features,
         synthetic_avi_media,
         synthetic_bmp_media,
+        synthetic_jpeg_media,
         synthetic_png_media,
         synthetic_wav_media,
     )
@@ -536,6 +537,7 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
         .unionByName(synthetic_wav_media(ids(6, 12)))
         .unionByName(synthetic_avi_media(ids(12, 18), n_frames=3))
         .unionByName(synthetic_png_media(ids(18, 24)))
+        .unionByName(synthetic_jpeg_media(ids(24, 30)))
     )
     src = tmp_path / "media_src"
     media.coalesce(2).write.parquet(str(src))

@@ -3,10 +3,12 @@ opaque `binary` columns with typed metadata, processed by Arrow-batched
 `mapInPandas` kernels.
 
 The Spark-side plumbing — schemas, batch iteration, partition-sized
-work units, output contracts — is real and tested. FOUR codecs are
+work units, output contracts — is real and tested. FIVE codecs are
 real: uncompressed 24-bit BMP (`_bmp_decode`/`_bmp_encode`, r4), PNG
 via stdlib zlib + numpy unfiltering (`_png_decode`/`_png_encode`,
-r6), RIFF/WAVE PCM audio (`_wav_decode`/`_wav_encode`, r5 — 8/16/32-
+r6), baseline JPEG via numpy Huffman/DCT (`_jpeg_decode`/
+`_jpeg_encode`, r7 — SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart markers),
+RIFF/WAVE PCM audio (`_wav_decode`/`_wav_encode`, r5 — 8/16/32-
 bit integer + float32 samples), and RIFF/AVI uncompressed-DIB video
 (`_avi_decode_frames`/`_avi_encode`, r5) — so
 `extract_features(fake=False)`, `resize_images(fake=False)`,
@@ -302,6 +304,514 @@ def _png_encode(img: np.ndarray) -> bytes:
     )
 
 
+# ---- real codec: baseline JPEG (pure numpy + stdlib) ----------------
+# JPEG is the fifth real codec (r7, VERDICT r6 item 8): baseline
+# sequential DCT (SOF0/SOF1), 8-bit, grayscale or YCbCr with 4:4:4 /
+# 4:2:2 / 4:2:0 sampling, restart markers — the overwhelmingly common
+# camera/web profile. Everything is stdlib + numpy: segment parsing,
+# canonical Huffman decode, zigzag dequantize, and a vectorized
+# orthonormal IDCT (one einsum per component, not per block).
+# Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+# files raise honestly. The encoder exists to make the fake=False
+# path generatively testable in this container: quality-scaled
+# Annex-K quantization tables (quality=100 → all-ones tables, which
+# round-trips blockwise-constant images EXACTLY — the property the
+# multimodal_knn oracle branch leans on) and per-image canonical
+# Huffman tables.
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    np.int64,
+)
+
+# ITU-T T.81 Annex K.1/K.2 example quantization tables (natural order)
+_JPEG_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int64,
+)
+_JPEG_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99]
+    + [24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    np.int64,
+)
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: FDCT = M s Mᵀ, IDCT = Mᵀ S M."""
+    import math
+
+    M = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return M
+
+
+_JPEG_M = _jpeg_dct_mat()
+
+
+def _is_jpeg(payload: bytes) -> bool:
+    return len(payload) >= 3 and payload[:2] == b"\xff\xd8" and payload[2] == 0xFF
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude → signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_table(bits: "list[int]", vals: bytes) -> dict:
+    """(length, code) → symbol map from a DHT (counts-per-length, values)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_parse_segments(payload: bytes):
+    """→ (qt{id: zigzag int64[64]}, huff{(class,id): table}, frame dict,
+    scan dict, restart_interval, entropy segments split on RST markers)."""
+    n = len(payload)
+    pos = 2
+    qt, huff = {}, {}
+    frame = None
+    restart = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if len(data) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quantization tables unsupported")
+                qt[tq] = np.frombuffer(data, np.uint8, 64, i).astype(np.int64)
+                i += 64
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline+extended sequential
+            if data[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended-sequential Huffman JPEG supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = data[i + 17 : i + 17 + cnt]
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                scan.append({"id": data[1 + 2 * c], "td": data[2 + 2 * c] >> 4,
+                             "ta": data[2 + 2 * c] & 15})
+            # split entropy bytes on RST markers, unstuffing FF00
+            segs, cur = [], bytearray()
+            i = pos
+            while i < n:
+                b = payload[i]
+                if b != 0xFF:
+                    cur.append(b)
+                    i += 1
+                    continue
+                nxt = payload[i + 1] if i + 1 < n else None
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                else:
+                    break  # EOI or next marker ends the scan
+            segs.append(bytes(cur))
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            return qt, huff, frame, scan, restart, segs
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated)."""
+    if not _is_jpeg(payload):
+        raise ValueError("not a JPEG payload")
+    qt, huff, frame, scan, restart, segs = _jpeg_parse_segments(payload)
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    if 3 * w * h > _PNG_MAX_PIXEL_BYTES:  # same bomb guard as PNG
+        raise ValueError(f"JPEG declares {3 * w * h} pixel bytes (> cap)")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    if len(scan) != len(comps):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("only 1x1/2x1/1x2/2x2 JPEG sampling factors supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {s["id"]: s for s in scan}
+    for c in comps:
+        if c["id"] not in by_id:
+            raise ValueError("JPEG scan/frame component mismatch")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quantization table")
+        c["zz"] = np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+
+    nmcu = mcux * mcuy
+    seg_idx = 0
+    rd = _JpegBitReader(segs[0])
+    dc_pred = {c["id"]: 0 for c in comps}
+    for m in range(nmcu):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            rd = _JpegBitReader(segs[seg_idx])
+            dc_pred = {c["id"]: 0 for c in comps}
+        mx, my = m % mcux, m // mcux
+        for c in comps:
+            s = by_id[c["id"]]
+            dct = huff.get((0, s["td"]))
+            act = huff.get((1, s["ta"]))
+            if dct is None or act is None:
+                raise ValueError("JPEG missing Huffman table")
+            for bv in range(c["v"]):
+                for bh in range(c["h"]):
+                    t = _jpeg_huff_decode(rd, dct)
+                    if t > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    dc_pred[c["id"]] += _jpeg_extend(rd.receive(t), t)
+                    row = (my * c["v"] + bv) * (mcux * c["h"]) + (mx * c["h"] + bh)
+                    blk = c["zz"][row]
+                    blk[0] = dc_pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(rd, act)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overrun")
+                        blk[k] = _jpeg_extend(rd.receive(sz), sz)
+                        k += 1
+
+    planes = []
+    for c in comps:
+        dq = c["zz"] * qt[c["tq"]][np.newaxis, :]
+        nat = np.zeros_like(dq)
+        nat[:, _JPEG_ZIGZAG] = dq
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ab,nbc,cd->nad", _JPEG_M.T, blocks, _JPEG_M)
+        bw = mcux * c["h"]
+        bh_ = mcuy * c["v"]
+        plane = (
+            pix.reshape(bh_, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw * 8)
+        )
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if (ch, cw) != (h, w):  # nearest upsample to full resolution
+            yi = (np.arange(h) * ch // h).clip(0, ch - 1)
+            xi = (np.arange(w) * cw // w).clip(0, cw - 1)
+            plane = plane[yi][:, xi]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        return np.repeat(planes[0].astype(np.uint8)[:, :, None], 3, axis=2)
+    Y, Cb, Cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [Y + 1.402 * Cr, Y - 0.344136 * Cb - 0.714136 * Cr, Y + 1.772 * Cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def _jpeg_quality_tables(quality: int) -> "tuple[np.ndarray, np.ndarray]":
+    """libjpeg quality scaling of the Annex-K tables (natural order).
+    quality=100 → all-ones tables (the exact-roundtrip mode)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((_JPEG_QT_LUMA * scale + 50) // 100, 1, 255)
+    chrom = np.clip((_JPEG_QT_CHROMA * scale + 50) // 100, 1, 255)
+    return lum, chrom
+
+
+def _jpeg_block_tokens(zz: np.ndarray, dc_pred: int, tokens: list) -> int:
+    """Append (is_dc, symbol, nbits, rawbits) tokens for one zigzag
+    block; returns the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    s = abs(diff).bit_length()
+    raw = diff if diff >= 0 else diff + (1 << s) - 1
+    tokens.append((True, s, s, raw))
+    nz = np.nonzero(zz[1:])[0]
+    k = 1
+    for idx in nz:
+        pos = int(idx) + 1
+        run = pos - k
+        while run > 15:
+            tokens.append((False, 0xF0, 0, 0))  # ZRL
+            run -= 16
+        v = int(zz[pos])
+        sz = abs(v).bit_length()
+        raw = v if v >= 0 else v + (1 << sz) - 1
+        tokens.append((False, (run << 4) | sz, sz, raw))
+        k = pos + 1
+    if k < 64:
+        tokens.append((False, 0x00, 0, 0))  # EOB
+    return dc
+
+
+def _jpeg_canonical_dht(symbols: "set[int]") -> "tuple[bytes, dict]":
+    """All-length-8 canonical Huffman table over the used symbols
+    (≤255 of them, so the all-ones code stays unused as T.81 requires).
+    → (DHT payload after the Tc/Th byte, symbol → (code, 8) map)."""
+    vals = sorted(symbols)
+    if len(vals) > 255:
+        raise ValueError("too many JPEG Huffman symbols")
+    bits = bytes([0] * 7 + [len(vals)] + [0] * 8)
+    codes = {sym: (i, 8) for i, sym in enumerate(vals)}
+    return bits + bytes(vals), codes
+
+
+def _jpeg_encode(
+    img: np.ndarray, quality: int = 92, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF JPEG. 4:4:4 by default,
+    4:2:0 with subsample=True (2×2 box-averaged chroma); optional
+    restart markers every `restart_interval` MCUs."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    R, G, B = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+    qlum, qchrom = _jpeg_quality_tables(quality)
+
+    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = -(-plane.shape[0] // mult) * mult
+        pw = -(-plane.shape[1] // mult) * mult
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                      mode="edge")
+
+    # zigzag reorder: zz[i] = nat[_JPEG_ZIGZAG[i]]
+    def to_zz(qnat: np.ndarray) -> np.ndarray:
+        return qnat[:, _JPEG_ZIGZAG]
+
+    def fdct_q(plane: np.ndarray, qtab: np.ndarray) -> "tuple[np.ndarray, int, int]":
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        )
+        S = np.einsum("ab,nbc,cd->nad", _JPEG_M, blocks, _JPEG_M.T)
+        qz = np.round(S.reshape(-1, 64) / qtab[np.newaxis, :]).astype(np.int64)
+        return to_zz(qz), bh, bw
+
+    if subsample:
+        yh, yv, mult = 2, 2, 16
+        Yp = pad_to(Y, 16)
+        # 2×2 box average then pad to 8 — the standard 4:2:0 downsample
+        Cbs = pad_to(Cb, 2)
+        Crs = pad_to(Cr, 2)
+        Cbp = pad_to((Cbs[0::2, 0::2] + Cbs[1::2, 0::2] + Cbs[0::2, 1::2] + Cbs[1::2, 1::2]) / 4.0, 8)
+        Crp = pad_to((Crs[0::2, 0::2] + Crs[1::2, 0::2] + Crs[0::2, 1::2] + Crs[1::2, 1::2]) / 4.0, 8)
+    else:
+        yh, yv, mult = 1, 1, 8
+        Yp, Cbp, Crp = pad_to(Y, 8), pad_to(Cb, 8), pad_to(Cr, 8)
+    yzz, ybh, ybw = fdct_q(Yp, qlum)
+    cbzz, cbh, cbw = fdct_q(Cbp, qchrom)
+    crzz, _, _ = fdct_q(Crp, qchrom)
+
+    mcux, mcuy = Yp.shape[1] // (8 * yh), Yp.shape[0] // (8 * yv)
+    # token pass: interleaved MCU order, restart-aware DC prediction
+    all_tokens: "list[list]" = []
+    tokens: list = []
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            all_tokens.append(tokens)
+            tokens = []
+            preds = [0, 0, 0]
+        mx, my = m % mcux, m // mcux
+        for bv in range(yv):
+            for bh2 in range(yh):
+                row = (my * yv + bv) * ybw + (mx * yh + bh2)
+                preds[0] = _jpeg_block_tokens(yzz[row], preds[0], tokens)
+        crow = my * cbw + mx
+        preds[1] = _jpeg_block_tokens(cbzz[crow], preds[1], tokens)
+        preds[2] = _jpeg_block_tokens(crzz[crow], preds[2], tokens)
+    all_tokens.append(tokens)
+
+    dc_syms = {t[1] for seg in all_tokens for t in seg if t[0]}
+    ac_syms = {t[1] for seg in all_tokens for t in seg if not t[0]}
+    dc_dht, dc_codes = _jpeg_canonical_dht(dc_syms)
+    ac_dht, ac_codes = _jpeg_canonical_dht(ac_syms)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(to_zz(qlum[np.newaxis, :])[0].astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(to_zz(qchrom[np.newaxis, :])[0].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, (yh << 4) | yv, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_dht)  # DC table 0 (shared)
+    out += seg(0xC4, bytes([0x10]) + ac_dht)  # AC table 0 (shared)
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    for i, tok_seg in enumerate(all_tokens):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        bw_ = _JpegBitWriter()
+        for is_dc, sym, nbits, raw in tok_seg:
+            code, clen = (dc_codes if is_dc else ac_codes)[sym]
+            bw_.write(code, clen)
+            if nbits:
+                bw_.write(raw, nbits)
+        bw_.flush()
+        out += bw_.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_meta(payload: bytes) -> "tuple[int, int]":
+    """(width, height) from the SOF header — the header-parse slice
+    used by decode_meta (no entropy decode)."""
+    n = len(payload)
+    pos = 2
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1):
+            data = payload[pos + 4 : pos + 2 + seglen]
+            return int.from_bytes(data[3:5], "big"), int.from_bytes(data[1:3], "big")
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
 # ---- real codec: RIFF/WAVE PCM (pure numpy) -------------------------
 # WAV is the audio analog of BMP: a chunked container whose standard
 # payloads (PCM integer / IEEE-float samples) need no codec library.
@@ -567,6 +1077,13 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_jpeg(b):
+                    try:
+                        feats.append(_bmp_features(_jpeg_decode(b)))
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 elif _is_wav(b):
                     try:
                         feats.append(_wav_features(*_wav_decode(b)))
@@ -601,7 +1118,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_decode(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG/WAV/AVI media decode requires a codec library; "
+                        "non-BMP/PNG/JPEG/WAV/AVI media decode requires a codec library; "
                         "run with fake=True for the deterministic stand-in"
                     )
             yield pd.DataFrame(
@@ -650,11 +1167,23 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_jpeg(b):
+                    # decode → shared resample → re-encode at the
+                    # near-lossless quality tier (a JPEG re-encode is
+                    # inherently lossy; q=95 keeps it visually exact)
+                    try:
+                        payloads.append(
+                            _jpeg_encode(_bmp_resize(_jpeg_decode(b), width, height), quality=95)
+                        )
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 if fake:
                     payloads.append(b)
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG image resize requires PIL; use fake=True"
+                        "non-BMP/PNG/JPEG image resize requires PIL; use fake=True"
                     )
             out["payload"] = payloads
             out["meta_width"] = width
@@ -804,6 +1333,21 @@ def synthetic_png_media(
     return _synthetic_image_media(ids, _png_encode, id_col, grid, cell_px)
 
 
+def synthetic_jpeg_media(
+    ids: DataFrame, id_col: str = "media_id", grid: int = 4, cell_px: int = 8
+) -> DataFrame:
+    """The JPEG twin (r7): the same closed-form grid-pattern images
+    through the REAL baseline-JPEG encoder at quality=100. cell_px
+    defaults to 8 so every pooled cell IS one solid 8×8 DCT block:
+    with all-ones quantization tables a blockwise-constant image
+    round-trips EXACTLY (DC = 8·(v−128) is integral, every AC
+    coefficient is 0), keeping the pooled features oracle-checkable
+    closed-form despite the lossy codec family."""
+    return _synthetic_image_media(
+        ids, lambda img: _jpeg_encode(img, quality=100), id_col, grid, cell_px
+    )
+
+
 def _synthetic_image_media(
     ids: DataFrame, encode, id_col: str, grid: int, cell_px: int
 ) -> DataFrame:
@@ -947,12 +1491,22 @@ def decode_meta(media: DataFrame, fake: bool = False) -> DataFrame:
                     except ValueError:
                         if not fake:
                             raise
+                elif _is_jpeg(b):
+                    # header-parse only (SOF dims) — no entropy decode
+                    try:
+                        jw, jh = _jpeg_meta(b)
+                        widths.append(jw)
+                        heights.append(jh)
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise
                 if fake:
                     widths.append(None if pd.isna(mw) else int(mw))
                     heights.append(None if pd.isna(mh) else int(mh))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG media decode requires an image/audio codec; "
+                        "non-BMP/PNG/JPEG media decode requires an image/audio codec; "
                         "run with fake=True to fall back to declared metadata"
                     )
             yield pd.DataFrame(

@@ -1678,6 +1678,28 @@ def _bmp_on_value() -> float:
     return float(vals[0])
 
 
+_MJ_CELL = 8  # JPEG cells are solid 8×8 DCT blocks → exact roundtrip
+_MJ_SIDE = _MM_GRID * _MJ_CELL
+
+
+def _jpeg_on_value() -> float:
+    """The float32 feature value of an all-white pooled cell through
+    the REAL quality-100 JPEG encode→decode→feature pipeline (r7) —
+    computed, not assumed, exactly like `_bmp_on_value`."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _bmp_features,
+        _jpeg_decode,
+        _jpeg_encode,
+    )
+
+    img = np.full((_MJ_SIDE, _MJ_SIDE, 3), 255, np.uint8)
+    vals = _bmp_features(_jpeg_decode(_jpeg_encode(img, quality=100)))
+    assert len(set(map(float, vals))) == 1, "all-white JPEG must pool uniformly"
+    return float(vals[0])
+
+
 _MA_NC, _MA_NQ = 256, 8
 _MV_NC, _MV_NQ, _MV_FRAMES = 128, 8, 4
 
@@ -1724,6 +1746,14 @@ def _multimodal_knn_sql() -> str:
         f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {on} ELSE 0.0 END)" for k in range(nbits)
     ) + "]"
     dist = sql_distance("cosine", "q.qv", "f.feature", dim=nbits, clip=False)
+    # jpeg branch (r7): same grid patterns at 8px cells through the
+    # REAL quality-100 JPEG pipeline — its own on-value, computed by
+    # that pipeline (exact roundtrip on solid 8×8 blocks)
+    jon = repr(_jpeg_on_value())
+    jfeat = "[" + ", ".join(
+        f"(CASE WHEN ((p >> {k}) & 1) = 1 THEN {jon} ELSE 0.0 END)" for k in range(nbits)
+    ) + "]"
+    jdist = sql_distance("cosine", "q.qv", "f.feature", dim=nbits, clip=False)
     # audio branch: 8 windowed RMS + 8 zero-crossing rates, rms_on·bit /
     # zcr_on·bit over the 8 bits of (id % 255) + 1
     rms_on, zcr_on, wav_bytes = _wav_on_values()
@@ -1792,6 +1822,17 @@ vranked AS (
   SELECT query_id, id, d,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
   FROM vpairs
+),
+jf AS (SELECT media_id, {jfeat} AS feature FROM ids),
+jq AS (SELECT media_id AS query_id, feature AS qv FROM jf WHERE media_id < {_MM_NQ}),
+jpairs AS (
+  SELECT q.query_id, f.media_id AS id, {jdist} AS d
+  FROM jq AS q CROSS JOIN jf AS f
+),
+jranked AS (
+  SELECT query_id, id, d,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS BIGINT) AS rank
+  FROM jpairs
 )
 SELECT 'image_bmp' AS branch, query_id, id,
        CAST({_MM_SIDE} AS INTEGER) AS width,
@@ -1820,14 +1861,21 @@ SELECT 'image_png' AS branch, query_id, id,
        CAST(NULL AS BIGINT) AS n_bytes,
        round(greatest(d, 0.0), 6) AS distance, rank
 FROM ranked WHERE rank <= {_MM_K}
+UNION ALL
+SELECT 'image_jpeg' AS branch, query_id, id,
+       CAST({_MJ_SIDE} AS INTEGER) AS width,
+       CAST({_MJ_SIDE} AS INTEGER) AS height,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       round(greatest(d, 0.0), 6) AS distance, rank
+FROM jranked WHERE rank <= {_MM_K}
 """
 
 
 @register("multimodal_knn", _multimodal_knn_sql())
 def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on FOUR REAL codecs — BMP, WAV,
-    AVI, and (r6) PNG — (operators/multimodal.py, fake=False at every
-    step), as one labeled union:
+    """End-to-end multimodal pipeline on FIVE REAL codecs — BMP, WAV,
+    AVI, (r6) PNG, and (r7) baseline JPEG — (operators/multimodal.py,
+    fake=False at every step), as one labeled union:
 
     - `image_bmp`: documents ids → deterministic BMP corpus (real
       encoder) → decode + 4×4 pooled grayscale features (real decoder)
@@ -1847,6 +1895,7 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         synthetic_avi_media,
         synthetic_bmp_media,
+        synthetic_jpeg_media,
         synthetic_png_media,
         synthetic_wav_media,
     )
@@ -1962,7 +2011,37 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("distance", 6).alias("distance"),
         F.col("rank").cast("long").alias("rank"),
     )
-    return image.unionByName(audio).unionByName(video).unionByName(png)
+
+    # image_jpeg (r7, fifth real codec): the same patterns at 8px
+    # cells (solid DCT blocks) through the REAL quality-100 JPEG
+    # encoder → Huffman/DCT decode → features → k-NN; width/height
+    # are the DECODED dimensions; n_bytes is NULL on both sides (a
+    # JPEG payload's size depends on the entropy coding, which no
+    # SQL oracle reproduces closed-form).
+    jmedia = synthetic_jpeg_media(ids, grid=_MM_GRID, cell_px=_MJ_CELL)
+    jfeats = extract_features(jmedia, fake=False)
+    jcorpus = jfeats.select(F.col("media_id").alias("id"), F.col("feature").alias("vector"))
+    jqueries = jfeats.where(F.col("media_id") < _MM_NQ).select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    jres = knn_join(
+        jcorpus, jqueries, k=_MM_K, metric="cosine", algorithm="window",
+        dim=_MM_GRID * _MM_GRID,
+    )
+    jmeta = decode_meta(jmedia).select(F.col("media_id").alias("id"), "width", "height")
+    jpeg = jres.join(jmeta, "id").select(
+        F.lit("image_jpeg").alias("branch"),
+        "query_id",
+        "id",
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return (
+        image.unionByName(audio).unionByName(video).unionByName(png).unionByName(jpeg)
+    )
 
 
 @register(
