@@ -363,6 +363,32 @@ def minhash_longdoc_200k(spark, sf_dir):
     return run
 
 
+def minhash_longdoc_2m(spark, sf_dir):
+    """The 2M-row long-doc tier (r7, VERDICT r6 item 4): 2M docs × 160
+    tokens (~320M grams) through the same rowwise miner as
+    minhash_longdoc_200k. Pins the headline asymptote where it
+    matters: shuffle ∝ candidates, not text. Measured 272.7s (min of
+    2) vs 23.3s at 200k — 11.7× for 10× the grams (BENCHNOTES
+    "long-doc tier at 2M" has the factor table). Included in the suite
+    only under SPARK_GRAFT_BENCH_EXTENDED=1: a single ~270s entry
+    would triple the per-round driver suite, so the default suite
+    keeps the 200k point and the 2M point is recorded here + in
+    BENCHNOTES with the measurement scripted for re-runs."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    docs = _synth_docs(spark, n=1_990_000, n_dups=10_000, tokens=160, parts=64).cache()
+    docs.count()
+
+    def run(s, d, _docs=None):
+        return minhash_lsh_pairs_rowwise(
+            _docs if _docs is not None else docs,
+            n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64",
+        )
+
+    run(spark, sf_dir, _docs=docs.limit(4000)).count()  # untimed warm-up
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -499,6 +525,12 @@ BENCH = {
     "lsh_scale_5m": lsh_scale_5m,
     "minhash_longdoc_200k": minhash_longdoc_200k,
 }
+
+# r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
+# default per-round suite stays comparable across rounds (BENCHNOTES
+# "long-doc tier at 2M" records the measured point)
+if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
+    BENCH["minhash_longdoc_2m"] = minhash_longdoc_2m
 
 
 def main():
