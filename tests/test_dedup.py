@@ -193,7 +193,7 @@ def test_band_buckets_onepass_equals_row_form(spark):
         "doc_id long, text string",
     )
     sh = shingles(docs, n=3)
-    for fam in ["md5", "xxhash64"]:
+    for fam in ["md5", "xxhash64", "affine", "md5_affine"]:
         for n_hashes, rpb in [(16, 2), (12, 5)]:  # incl. a partial last band
             row = minhash_band_buckets(
                 minhash_signatures(sh, "shingle", n_hashes=n_hashes, hash_fn=fam),
@@ -274,7 +274,7 @@ def test_band_buckets_rowwise_matches_onepass(spark):
         "doc_id long, text string",
     )
     sh = shingles(docs, n=3)
-    for fam in ["md5", "xxhash64"]:
+    for fam in ["md5", "xxhash64", "affine", "md5_affine"]:
         for n_hashes, rpb in [(16, 2), (12, 5)]:
             one = band_buckets_onepass(sh, "shingle", n_hashes, rpb, fam)
             row = band_buckets_rowwise(
@@ -294,7 +294,7 @@ def test_minhash_lsh_pairs_rowwise_matches(docs_df):
     families."""
     from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
 
-    for fam in ["md5", "xxhash64"]:
+    for fam in ["md5", "xxhash64", "affine", "md5_affine"]:
         ref = {
             (r.id_a, r.id_b): round(r.jaccard, 9)
             for r in minhash_lsh_pairs(
@@ -372,6 +372,53 @@ def test_rowwise_forms_match_exploded_property(spark_prop, texts):
     a = {tuple(r) for r in simhash_fingerprints(docs).collect()}
     b = {tuple(r) for r in simhash_fingerprints_rowwise(docs).collect()}
     assert a == b, texts
+
+
+def test_affine_minhash_matches_python_reference(spark):
+    """r7: the md5_affine family's signature values must equal an
+    independent pure-Python computation (hashlib md5 hex prefix →
+    int32 base, (a*h + b) mod P mins) — this is the exact construction
+    the dedup_minhash_affine DuckDB oracle inlines, so a drift here is
+    an oracle-family break even if the Spark forms agree with each
+    other."""
+    import hashlib
+
+    from vicinity_spark.operators.dedup import (
+        _AFFINE_P,
+        affine_consts,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "totally different words here now ok fine yes"),
+        (3, "a b c a b c a b c"),  # repeated grams → distinct set
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_sig(text, n_hashes=8, n=3):
+        toks = text.lower().split(" ")
+        grams = (
+            list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+            if len(toks) >= n
+            else []
+        )
+        out = []
+        for a, b in affine_consts(n_hashes):
+            vals = [
+                (a * int(hashlib.md5(g.encode()).hexdigest()[:8], 16) + b) % _AFFINE_P
+                for g in grams
+            ]
+            out.append(min(vals))
+        return out
+
+    got = minhash_signatures(shingles(docs, n=3), "shingle", n_hashes=8, hash_fn="md5_affine")
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.mh
+    for doc_id, text in rows:
+        assert [by_doc[doc_id][s] for s in range(8)] == py_sig(text), doc_id
 
 
 # ---- hot band-bucket cap (r7) --------------------------------------

@@ -219,6 +219,11 @@ def minhash_signatures(
       family for production-scale mining (long arithmetic instead of
       32-char string allocation + comparison per feature×seed; same
       uniformity argument, not portable to engines without xxhash64).
+    - ``affine`` / ``md5_affine`` (r7): Carter–Wegman universal
+      hashing — ONE 32-bit base hash per feature (xxhash64-derived /
+      md5-derived) + n_hashes affine transforms mod a prime. ~n_hashes×
+      fewer hash evaluations than the families above; ``md5_affine``
+      is cross-engine portable (the affine oracle family).
     """
     spark = features.sparkSession
     seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
@@ -228,6 +233,16 @@ def minhash_signatures(
         mh = F.md5(
             F.concat(F.col("seed").cast("string"), F.lit(":"), F.col(feature_col)).cast("binary")
         )
+    elif _is_affine(hash_fn):
+        # coefficient lookup by the seed column (literal arrays) — this
+        # reference form recomputes the base hash per (seed, feature)
+        # row; the onepass/rowwise forms hash each feature once
+        consts = affine_consts(n_hashes)
+        a_arr = F.array(*[F.lit(a) for a, _ in consts])
+        b_arr = F.array(*[F.lit(b) for _, b in consts])
+        idx = (F.col("seed") + 1).cast("int")
+        h = _affine_base_expr(feature_col, hash_fn)
+        mh = (F.element_at(a_arr, idx) * h + F.element_at(b_arr, idx)) % F.lit(_AFFINE_P)
     else:
         raise ValueError(f"unknown minhash family {hash_fn!r}")
     return (
@@ -251,6 +266,65 @@ def _seed_mh_expr(seed: int, feature, hash_fn: str):
     raise ValueError(f"unknown minhash family {hash_fn!r}")
 
 
+# ---- universal-hashing (affine) MinHash family (r7) ------------------
+#
+# The md5/xxhash64 families evaluate a FULL hash per (seed, feature):
+# n_hashes hash calls per shingle — 512M xxhash64 evaluations at the
+# 200k×160-token bench tier.  The textbook alternative (Broder 1997;
+# Carter–Wegman universal hashing) needs ONE base hash per feature and
+# derives every minhash as an affine transform over a prime field:
+#
+#     mh_s(g) = (a_s * h(g) + b_s) mod P,   P prime > 2^32
+#
+# with h(g) a 32-bit base hash, a_s odd in [1, 2^30), b_s in [0, P).
+# Per feature that is 1 hash + n_hashes multiply-adds (whole-stage-
+# codegen'd long arithmetic) instead of n_hashes hash evaluations.
+# Two base families:
+# - ``affine``:     h = xxhash64(g) & 0xFFFFFFFF — the JVM-fast form.
+# - ``md5_affine``: h = int(md5(g)[:8 hex], 16) — bit-for-bit
+#   reproducible in any engine with md5() (the oracle family; DuckDB:
+#   ('0x' || substring(md5(g),1,8))::BIGINT).
+# The (a_s, b_s) tables are fixed module constants (seeded PRNG) so
+# Spark and the SQL oracles share them as literals.
+
+_AFFINE_P = 4294967311  # smallest prime > 2^32
+_AFFINE_MASK = 4294967295  # 2^32 - 1
+
+
+def affine_consts(n_hashes: int) -> "list[tuple[int, int]]":
+    """Deterministic (a_s, b_s) coefficient table, shared verbatim with
+    the DuckDB oracle SQL (queries._affine_minhash_sql)."""
+    import random
+
+    rng = random.Random(0xA0FF1E)
+    return [
+        (rng.randrange(1, 1 << 30) | 1, rng.randrange(0, _AFFINE_P))
+        for _ in range(n_hashes)
+    ]
+
+
+def _affine_base_expr(feature, hash_fn: str):
+    """32-bit base hash h(g) as a bigint column in [0, 2^32)."""
+    feature = F.col(feature) if isinstance(feature, str) else feature
+    if hash_fn == "affine":
+        return F.xxhash64(feature).bitwiseAND(F.lit(_AFFINE_MASK))
+    if hash_fn == "md5_affine":
+        return F.conv(F.substring(F.md5(feature.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+    raise ValueError(f"not an affine minhash family: {hash_fn!r}")
+
+
+def _affine_mh_expr(a: int, b: int, h):
+    """(a*h + b) mod P. Bounded arithmetic: a < 2^30, h < 2^32 →
+    a*h < 2^62, + b < 2^62 + 2^32 — no bigint overflow (ANSI-safe)."""
+    return (F.lit(a) * h + F.lit(b)) % F.lit(_AFFINE_P)
+
+
+def _is_affine(hash_fn: str) -> bool:
+    return hash_fn in ("affine", "md5_affine")
+
+
 def band_buckets_onepass(
     sh: DataFrame, feature_col: str, n_hashes: int, rows_per_band: int, hash_fn: str
 ) -> DataFrame:
@@ -262,10 +336,21 @@ def band_buckets_onepass(
     band key layout), but the row form crossJoins the seed table first
     — shuffling n_hashes× the shingle rows into a two-key aggregation —
     where this shuffles exactly one combined row per doc."""
-    aggs = [
-        F.min(_seed_mh_expr(s, feature_col, hash_fn)).alias(f"__mh{s}")
-        for s in range(n_hashes)
-    ]
+    if _is_affine(hash_fn):
+        # project the base hash ONCE per shingle row (a projection
+        # below the aggregate — guaranteed single evaluation, where 16
+        # independent agg expressions would re-hash per seed), then
+        # the n_hashes aggregates are codegen'd long multiply-adds
+        sh = sh.withColumn("__h", _affine_base_expr(feature_col, hash_fn))
+        aggs = [
+            F.min(_affine_mh_expr(a, b, F.col("__h"))).alias(f"__mh{s}")
+            for s, (a, b) in enumerate(affine_consts(n_hashes))
+        ]
+    else:
+        aggs = [
+            F.min(_seed_mh_expr(s, feature_col, hash_fn)).alias(f"__mh{s}")
+            for s in range(n_hashes)
+        ]
     per_doc = sh.groupBy("doc_id").agg(*aggs)
     bands = _band_key_cols(n_hashes, rows_per_band)
     return per_doc.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
@@ -322,6 +407,41 @@ def band_buckets_rowwise(
     docs; a count()-only A/B hides this via column pruning —
     BENCHNOTES r6 "measurement trap"). F.least skips the NULL init
     values, so the fold needs no sentinel."""
+    if _is_affine(hash_fn):
+        # affine families (r7): hash every gram ONCE into an int array
+        # (transform pass) and materialize THAT behind the Generate
+        # barrier; the n_hashes signature values are then independent
+        # array_min(transform(...)) passes of pure long arithmetic
+        # over the materialized ints. Measured FASTER than folding
+        # (22.1s vs 24.0s signature+banding at 200k×160 tokens): the
+        # zip_with fold allocates two 16-element arrays per gram,
+        # which costs more than 16 re-walks of a 160-int array. The
+        # r6 per-seed trap does not apply — that form rebuilt the
+        # STRING gram array per seed; here the barrier guarantees the
+        # gram construction and hashing run exactly once per row.
+        consts = affine_consts(n_hashes)
+        hashes = F.transform(
+            _grams_arr(shingle_n, text_col), lambda g: _affine_base_expr(g, hash_fn)
+        )
+        per_doc = (
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.explode(F.array(hashes)).alias("__h")
+            )
+            .where(F.size("__h") > 0)  # no shingles → no buckets
+            .select(
+                "doc_id",
+                *[
+                    F.array_min(
+                        F.transform("__h", lambda h: _affine_mh_expr(a, b, h))
+                    ).alias(f"__mh{s}")
+                    for s, (a, b) in enumerate(consts)
+                ],
+            )
+        )
+        bands = _band_key_cols(n_hashes, rows_per_band)
+        return per_doc.select(
+            "doc_id", F.explode(F.array(*bands)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bkey")
     sig = F.aggregate(
         _grams_arr(shingle_n, text_col),
         F.array_repeat(

@@ -2300,19 +2300,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash-LSH near-dup (★ dedup flagship) ------------------------
 
-_MINHASH_SQL = f"""
-WITH sh0 AS ({_SHINGLE_SQL}),
-dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
-hashes AS (
-  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
-  FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
-  GROUP BY doc_id, s.seed
-),
-buckets AS (
-  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
-  FROM hashes GROUP BY doc_id, seed // 4
-),
-cands AS (
+# candidate verification tail shared by every MinHash oracle: bucket
+# self-join candidates → exact-Jaccard ≥ 0.5 over the distinct shingle
+# sets (identical across hash families — only `buckets` differs)
+_MINHASH_TAIL = """cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
@@ -2326,7 +2317,50 @@ inter AS (
 )
 SELECT i.id_a, i.id_b, round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5"""
+
+_MINHASH_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashes AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+  FROM hashes GROUP BY doc_id, seed // 4
+),
+{_MINHASH_TAIL}
+"""
+
+
+def _affine_minhash_sql() -> str:
+    """The r7 universal-hashing (``md5_affine``) family's oracle: ONE
+    md5-derived 32-bit base hash per distinct shingle, 16 affine
+    minhashes (a_s*h + b_s) mod P with the coefficient table inlined
+    verbatim from operators.dedup.affine_consts — then the shared
+    band/verify tail. Bit-for-bit the construction band_buckets_rowwise
+    runs under hash_fn='md5_affine'."""
+    from vicinity_spark.operators.dedup import _AFFINE_P, affine_consts
+
+    vals = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(affine_consts(16)))
+    return f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+bases AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM dsh
+),
+hashes AS (
+  SELECT doc_id, s.seed, min((s.a * bases.h + s.b) % {_AFFINE_P}) AS mh
+  FROM bases CROSS JOIN (VALUES {vals}) s(seed, a, b)
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bkey
+  FROM hashes GROUP BY doc_id, seed // 4
+),
+{_MINHASH_TAIL}
 """
 
 
@@ -2383,6 +2417,30 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=4,
         min_jaccard=0.5,
         max_bucket=64,
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_affine", _affine_minhash_sql())
+def dedup_minhash_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the universal-hashing (Carter–Wegman affine) MinHash family
+    — ONE base hash per gram + 16 affine transforms mod a prime,
+    vs 16 full hash evaluations per gram in the md5/xxhash64 families
+    (operators/dedup.py `affine_consts`; BENCHNOTES "affine family"
+    has the 200k long-doc A/B). Runs the rowwise miner under
+    hash_fn='md5_affine' so the portable base (md5-hex-prefix → int32)
+    is hash-checked against a DuckDB oracle that inlines the same
+    coefficient table. Candidate sets differ from the md5-family rows
+    (different hash family → different false-positive buckets) but the
+    verified output is the same exact-Jaccard ≥ 0.5 pair set contract."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    j = minhash_lsh_pairs_rowwise(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        rows_per_band=4,
+        min_jaccard=0.5,
+        hash_fn="md5_affine",
     )
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2841,6 +2899,7 @@ _CHECK_FIRST = [
     "dedup_minhash_onepass",
     "dedup_minhash_capped",
     "dedup_simhash_exploded",
+    "dedup_minhash_affine",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -2876,6 +2935,9 @@ _ROTATE_OUT: "list[str]" = [
     "text_token_stats",
     "text_quality",
     "text_fingerprint",
+    # r7 late addition (dedup_minhash_affine, registry 55): one more
+    # 6-consecutive-green row takes the tail to keep the window at 50
+    "vector_stats_by_label",
 ]
 
 
