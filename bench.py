@@ -389,6 +389,31 @@ def minhash_longdoc_2m(spark, sf_dir):
     return run
 
 
+def minhash_tokenroll_200k(spark, sf_dir):
+    """The r7 token-rolling family on the SAME corpus as
+    minhash_longdoc_200k: gram base hashes are arithmetic combinations
+    of per-token hashes behind a double Generate barrier, so the
+    signature phase never allocates a gram string — the measured
+    dominant cost of every string-gram family at this tier (phase
+    1.45s vs 23.2s; full miner 8.2s vs 30.9s same-session, identical
+    1000 planted pairs — BENCHNOTES "tokenroll"). Recorded as its own
+    suite entry (minhash_longdoc_200k keeps the r6 xxhash64 fold
+    untouched) so the family gap is driver-measured every round."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    docs = _synth_docs(spark, n=199_000, n_dups=1000, tokens=160, parts=32).cache()
+    docs.count()
+
+    def run(s, d, _docs=None):
+        return minhash_lsh_pairs_rowwise(
+            _docs if _docs is not None else docs,
+            n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="tokenroll",
+        )
+
+    run(spark, sf_dir, _docs=docs.limit(4000)).count()  # untimed warm-up
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -524,6 +549,8 @@ BENCH = {
     "knn_scale_5m": knn_scale_5m,
     "lsh_scale_5m": lsh_scale_5m,
     "minhash_longdoc_200k": minhash_longdoc_200k,
+    # r7 addition, appended (same rule as above)
+    "minhash_tokenroll_200k": minhash_tokenroll_200k,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

@@ -421,6 +421,125 @@ def test_affine_minhash_matches_python_reference(spark):
         assert [by_doc[doc_id][s] for s in range(8)] == py_sig(text), doc_id
 
 
+def test_tokenroll_matches_window_reference_and_python(spark):
+    """r7: the token-rolling gram-hash family (no gram strings — token
+    hashes combined by index arithmetic behind a double Generate
+    barrier) must equal (a) an independent exploded lead-window
+    construction of the same math, and (b) a pure-Python hashlib
+    reference for the portable md5_tokenroll base — the exact
+    construction the dedup_minhash_tokenroll DuckDB oracle inlines."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from vicinity_spark.operators.dedup import (
+        _AFFINE_MASK,
+        _AFFINE_P,
+        _ROLL_P,
+        _affine_base_expr,
+        _band_key_cols,
+        affine_consts,
+        band_buckets_rowwise,
+        roll_consts,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "totally different words here now ok fine yes"),
+        (4, "too short"),
+        (5, "a b c a b c a b c"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def reference_buckets(n_hashes, rpb, hash_fn, shingle_n=3):
+        base_fam = "affine" if hash_fn == "tokenroll" else "md5_affine"
+        t = docs.select(
+            "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+        ).withColumn("h", _affine_base_expr(F.col("tok"), base_fam))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        hs = [F.col("h")] + [F.lead("h", j).over(w) for j in range(1, shingle_n)]
+        acc = hs[-1]
+        for r, h in zip(roll_consts(shingle_n), hs[:-1]):
+            acc = acc + F.lit(r) * h
+        g = (acc % F.lit(_ROLL_P)).bitwiseAND(F.lit(_AFFINE_MASK))
+        t = t.select("doc_id", g.alias("gh")).where(F.col("gh").isNotNull())
+        aggs = [
+            F.min((F.lit(a) * F.col("gh") + F.lit(b)) % F.lit(_AFFINE_P)).alias(f"__mh{s}")
+            for s, (a, b) in enumerate(affine_consts(n_hashes))
+        ]
+        per_doc = t.groupBy("doc_id").agg(*aggs)
+        bands = _band_key_cols(n_hashes, rpb)
+        return per_doc.select(
+            "doc_id", F.explode(F.array(*bands)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bkey")
+
+    for fam in ["tokenroll", "md5_tokenroll"]:
+        for n_hashes, rpb in [(16, 2), (12, 5)]:
+            got = {
+                tuple(r)
+                for r in band_buckets_rowwise(
+                    docs, n_hashes, rpb, shingle_n=3, hash_fn=fam
+                ).collect()
+            }
+            want = {tuple(r) for r in reference_buckets(n_hashes, rpb, fam).collect()}
+            assert got == want, (fam, n_hashes, rpb)
+
+    # pure-Python reference for the portable base (gram hashes only,
+    # via the rowwise plan's intermediate — checked through signatures)
+    r1, r2 = roll_consts(3)
+
+    def py_gram_hashes(text, n=3):
+        toks = text.lower().split(" ")
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        return [
+            ((r1 * th[i] + r2 * th[i + 1] + th[i + 2]) % _ROLL_P) & _AFFINE_MASK
+            for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+
+    def py_buckets(doc_id, text, n_hashes=16, rpb=2):
+        ghs = py_gram_hashes(text)
+        if not ghs:
+            return set()
+        sig = [
+            min((a * h + b) % _AFFINE_P for h in ghs)
+            for a, b in affine_consts(n_hashes)
+        ]
+        out = set()
+        for band in range((n_hashes + rpb - 1) // rpb):
+            vals = sig[band * rpb : (band + 1) * rpb]
+            key = hashlib.md5("|".join(str(v) for v in vals).encode()).hexdigest()
+            out.add((doc_id, band, key))
+        return out
+
+    got = {
+        tuple(r)
+        for r in band_buckets_rowwise(
+            docs, 16, 2, shingle_n=3, hash_fn="md5_tokenroll"
+        ).collect()
+    }
+    want = set().union(*(py_buckets(d, t) for d, t in rows))
+    assert got == want
+
+
+def test_tokenroll_miner_finds_planted_pairs(docs_df):
+    """r7: end-to-end rowwise miner under both tokenroll bases finds
+    the planted near-dup pair, and every returned jaccard is the exact
+    string-shingle value (verification is family-independent)."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    for fam in ["tokenroll", "md5_tokenroll"]:
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in minhash_lsh_pairs_rowwise(
+                docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3, hash_fn=fam
+            ).collect()
+        }
+        assert (0, 1) in got, fam
+        assert all(0.3 <= j <= 1.0 for j in got.values()), fam
+
+
 # ---- hot band-bucket cap (r7) --------------------------------------
 
 

@@ -325,6 +325,89 @@ def _is_affine(hash_fn: str) -> bool:
     return hash_fn in ("affine", "md5_affine")
 
 
+# ---- token-rolling gram hash families (r7) ---------------------------
+#
+# Measurement (BENCHNOTES "affine family" + "tokenroll"): at 160-token
+# docs the ENTIRE signature-phase cost is building the gram STRING
+# array — 32M concat_ws(slice(toks)) allocations at the 200k tier —
+# while hashing is nearly free (512M extra xxhash64 calls cost ~0.6s).
+# The tokenroll families therefore never materialize gram strings:
+# each TOKEN is hashed once to 32 bits, and a gram's base hash is an
+# arithmetic combination of its n consecutive token hashes
+# (Rabin–Karp-style):
+#
+#     h_gram = ((h1*R1 + h2*R2 + h3) mod (2^61-1)) & 0xFFFFFFFF
+#
+# feeding the same affine minhash transforms as the affine families.
+# Gram identity is by hash value (a ~0.4%-of-grams birthday-collision
+# rate at 32M grams) — harmless for CANDIDATE generation because the
+# verification stage computes exact Jaccard over true shingle strings;
+# candidate sets may differ marginally from string-gram families, the
+# verified pair contract does not change.
+# ``tokenroll`` uses xxhash64 token bases (JVM-fast);
+# ``md5_tokenroll`` uses md5-hex-prefix bases (cross-engine portable —
+# the oracle family).
+
+_ROLL_P = (1 << 61) - 1  # Mersenne prime field for the combine
+
+
+def roll_consts(n: int) -> "list[int]":
+    """n-1 odd position constants < 2^28 (deterministic, shared with
+    the oracle SQL). Products bound: h < 2^32, R < 2^28 → h*R < 2^60,
+    the n-term sum < 2^62 — no bigint overflow (ANSI-safe)."""
+    import random
+
+    rng = random.Random(0x1207711)
+    return [rng.randrange(1, 1 << 28) | 1 for _ in range(n - 1)]
+
+
+def _is_tokenroll(hash_fn: str) -> bool:
+    return hash_fn in ("tokenroll", "md5_tokenroll")
+
+
+def _tokenroll_base(hash_fn: str) -> str:
+    return "affine" if hash_fn == "tokenroll" else "md5_affine"
+
+
+def _roll_combine(hs: "list"):
+    """((h1*R1 + ... + h_{n-1}*R_{n-1} + h_n) mod P61) & 0xFFFFFFFF."""
+    consts = roll_consts(len(hs))
+    acc = hs[-1]
+    for r, h in zip(consts, hs[:-1]):
+        acc = acc + F.lit(r) * h
+    return (acc % F.lit(_ROLL_P)).bitwiseAND(F.lit(_AFFINE_MASK))
+
+
+def _tokenroll_token_hashes(text_col: str, hash_fn: str):
+    """array<bigint> of 32-bit per-token hashes for one row.
+
+    MUST be materialized behind a Generate barrier before
+    _tokenroll_gram_hashes indexes into it: referencing this transform
+    directly inside the gram lambda re-evaluates the WHOLE token-hash
+    array per gram element (O(tokens²) per row — measured 73.7s vs
+    6-7s signature phase at 200k×160 tokens; the same re-evaluation
+    class as the r6 fold-barrier bug)."""
+    toks = F.split(F.lower(text_col), " ")
+    return F.transform(toks, lambda t: _affine_base_expr(t, _tokenroll_base(hash_fn)))
+
+
+def _tokenroll_gram_hashes(shingle_n: int, tok_hash_col: str):
+    """array<bigint> of 32-bit gram base hashes from a MATERIALIZED
+    token-hash array column — grams combined by O(1) index arithmetic;
+    no gram strings anywhere."""
+    th = F.col(tok_hash_col)
+    n_toks = F.size(th)
+    return F.when(
+        n_toks >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - (shingle_n - 1)),
+            lambda i: _roll_combine(
+                [F.element_at(th, i + j) for j in range(shingle_n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def band_buckets_onepass(
     sh: DataFrame, feature_col: str, n_hashes: int, rows_per_band: int, hash_fn: str
 ) -> DataFrame:
@@ -407,25 +490,42 @@ def band_buckets_rowwise(
     docs; a count()-only A/B hides this via column pruning —
     BENCHNOTES r6 "measurement trap"). F.least skips the NULL init
     values, so the fold needs no sentinel."""
-    if _is_affine(hash_fn):
-        # affine families (r7): hash every gram ONCE into an int array
-        # (transform pass) and materialize THAT behind the Generate
-        # barrier; the n_hashes signature values are then independent
-        # array_min(transform(...)) passes of pure long arithmetic
-        # over the materialized ints. Measured FASTER than folding
-        # (22.1s vs 24.0s signature+banding at 200k×160 tokens): the
-        # zip_with fold allocates two 16-element arrays per gram,
-        # which costs more than 16 re-walks of a 160-int array. The
-        # r6 per-seed trap does not apply — that form rebuilt the
-        # STRING gram array per seed; here the barrier guarantees the
-        # gram construction and hashing run exactly once per row.
+    if _is_affine(hash_fn) or _is_tokenroll(hash_fn):
+        # affine/tokenroll families (r7): hash every gram ONCE into an
+        # int array (transform pass) and materialize THAT behind the
+        # Generate barrier; the n_hashes signature values are then
+        # independent array_min(transform(...)) passes of pure long
+        # arithmetic over the materialized ints. Measured FASTER than
+        # folding (22.1s vs 24.0s signature+banding at 200k×160
+        # tokens): the zip_with fold allocates two 16-element arrays
+        # per gram, which costs more than 16 re-walks of a 160-int
+        # array. The r6 per-seed trap does not apply — that form
+        # rebuilt the STRING gram array per seed; here the barrier
+        # guarantees gram construction and hashing run once per row.
+        # tokenroll additionally skips gram strings entirely (token
+        # hashes combined arithmetically — the dominant phase cost).
         consts = affine_consts(n_hashes)
-        hashes = F.transform(
-            _grams_arr(shingle_n, text_col), lambda g: _affine_base_expr(g, hash_fn)
-        )
+        if _is_tokenroll(hash_fn):
+            # barrier 1: token hashes materialized once per row;
+            # barrier 2 (below) then materializes the gram hashes —
+            # without barrier 1 the gram lambda re-evaluates the whole
+            # token-hash transform per gram (O(tokens²):
+            # _tokenroll_token_hashes docstring has the measurement)
+            staged = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.array(_tokenroll_token_hashes(text_col, hash_fn))
+                ).alias("__th"),
+            )
+            hashes = _tokenroll_gram_hashes(shingle_n, "__th")
+        else:
+            staged = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            hashes = F.transform(
+                _grams_arr(shingle_n, text_col), lambda g: _affine_base_expr(g, hash_fn)
+            )
         per_doc = (
-            docs.select(
-                F.col(id_col).alias("doc_id"), F.explode(F.array(hashes)).alias("__h")
+            staged.select(
+                F.col("doc_id"), F.explode(F.array(hashes)).alias("__h")
             )
             .where(F.size("__h") > 0)  # no shingles → no buckets
             .select(

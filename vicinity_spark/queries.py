@@ -2421,6 +2421,76 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _tokenroll_minhash_sql() -> str:
+    """The r7 ``md5_tokenroll`` family's oracle: md5-prefix 32-bit hash
+    per TOKEN, gram base = (R1*h1 + R2*h2 + h3) mod (2^61-1) masked to
+    32 bits (lead-window combine — no gram strings), then the same
+    affine minhash transforms and band/verify tail as the affine
+    oracle. Constants inlined verbatim from operators.dedup
+    roll_consts/affine_consts."""
+    from vicinity_spark.operators.dedup import (
+        _AFFINE_MASK,
+        _AFFINE_P,
+        _ROLL_P,
+        affine_consts,
+        roll_consts,
+    )
+
+    r1, r2 = roll_consts(3)
+    vals = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(affine_consts(16)))
+    return f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+toks AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h, pos
+  FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS tok,
+           generate_subscripts({_TOK_SQL}, 1) AS pos
+    FROM documents
+  )
+),
+grams AS (
+  SELECT doc_id,
+         (({r1} * h + {r2} * lead(h,1) OVER w + lead(h,2) OVER w) % {_ROLL_P}) & {_AFFINE_MASK} AS gh
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(h,2) OVER w IS NOT NULL
+),
+hashes AS (
+  SELECT doc_id, s.seed, min((s.a * grams.gh + s.b) % {_AFFINE_P}) AS mh
+  FROM grams CROSS JOIN (VALUES {vals}) s(seed, a, b)
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bkey
+  FROM hashes GROUP BY doc_id, seed // 4
+),
+{_MINHASH_TAIL}
+"""
+
+
+@register("dedup_minhash_tokenroll", _tokenroll_minhash_sql())
+def dedup_minhash_tokenroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the token-rolling gram-hash family — gram base hashes are
+    arithmetic combinations of per-token hashes, so the signature
+    phase never allocates a gram string (the measured dominant cost
+    at realistic doc lengths; BENCHNOTES "tokenroll"). Runs the
+    rowwise miner under hash_fn='md5_tokenroll' so the portable
+    construction is hash-checked against a DuckDB oracle carrying the
+    same rolling + affine coefficient tables. Candidate generation is
+    by 32-bit gram-hash identity (birthday collisions verified away by
+    the exact-Jaccard stage); the verified-pair contract is unchanged."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_rowwise
+
+    j = minhash_lsh_pairs_rowwise(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        rows_per_band=4,
+        min_jaccard=0.5,
+        hash_fn="md5_tokenroll",
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @register("dedup_minhash_affine", _affine_minhash_sql())
 def dedup_minhash_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: the universal-hashing (Carter–Wegman affine) MinHash family
@@ -2900,6 +2970,7 @@ _CHECK_FIRST = [
     "dedup_minhash_capped",
     "dedup_simhash_exploded",
     "dedup_minhash_affine",
+    "dedup_minhash_tokenroll",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -2935,9 +3006,11 @@ _ROTATE_OUT: "list[str]" = [
     "text_token_stats",
     "text_quality",
     "text_fingerprint",
-    # r7 late addition (dedup_minhash_affine, registry 55): one more
-    # 6-consecutive-green row takes the tail to keep the window at 50
+    # r7 late additions (dedup_minhash_affine 55, dedup_minhash_tokenroll
+    # 56): two more 6-consecutive-green rows take the tail to keep the
+    # window at 50
     "vector_stats_by_label",
+    "q1_pricing_summary",
 ]
 
 
