@@ -264,9 +264,13 @@ def _dedup_e2e(n, n_dups, parts=32):
             # candidate-bounded verification) — pair-identical to the
             # onepass miner, measured 24.9 vs 28.5s min-of-3
             # interleaved at 2M for the mining phase and markedly more
-            # stable (BENCHNOTES r6 rowwise section)
+            # stable (BENCHNOTES r6 rowwise section).
+            # r7: tokenroll family (no gram strings) — same verified
+            # survivor count, e2e 24.5s → 17.4s min-of-2 same-session
+            # at 2M (BENCHNOTES "tokenroll"; the isolated family twin
+            # is the minhash_tokenroll_200k suite entry)
             pairs = minhash_lsh_pairs_rowwise(
-                base, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="xxhash64"
+                base, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="tokenroll"
             )
             comps = connected_components(base.select("doc_id"), pairs, id_col="doc_id")
             return comps.where(F.col("rep") == F.col("id"))

@@ -8,7 +8,7 @@ scale linearly with the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to")
@@ -170,4 +170,91 @@ def subword_token_stats(
         F.round(
             F.when(n > 0, F.length(text_col).cast("double") / n.cast("double")).otherwise(0.0), 6
         ).alias("chars_per_token"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """Padding-free sequence packing for LLM training pipelines (r7):
+    conceptually concatenate every document's tokens in id order and
+    chunk the stream into fixed ``seq_len`` sequences — the standard
+    "concat then chunk" packing. Returns the per-doc packing
+    coordinates (everything a writer needs to place the doc):
+
+      (doc_id, n_tokens, start, first_seq, last_seq, seq_offset)
+
+    with `start` the doc's position in the global token stream,
+    `first_seq`/`last_seq` the sequence ids it lands in (a doc may
+    straddle sequences — that IS padding-free packing), and
+    `seq_offset` its offset inside first_seq. Token counting matches
+    token_stats (whitespace tokens, lower()).
+
+    Scale plan — the global ordered prefix sum WITHOUT a
+    single-partition window: range-repartition by doc_id, windowed
+    cumsum WITHIN each range partition, then the per-partition totals
+    (one row per partition — collected to the driver, never data
+    rows) are prefix-summed and added back as broadcast offsets. The
+    only data shuffle is the range partitioning itself, which any
+    global ordering requires; the result is partitioning-invariant
+    (same coordinates for any num_ranges — pinned by test)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    spark = docs.sparkSession
+    if num_ranges <= 0:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
+    )
+    d = d.repartitionByRange(num_ranges, "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    # one row per RANGE PARTITION (≤ num_ranges) — a metadata-sized
+    # driver collect, not a data collect; range ids are ordered by key
+    totals = {r["__pid"]: r["tot"] for r in
+              d.groupBy("__pid").agg(F.sum("n_tokens").alias("tot")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    return d.withColumn("start", F.col("__cum") - F.col("n_tokens") + off).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.expr(f"start div {seq_len}").alias("first_seq"),
+        F.expr(f"(start + n_tokens - 1) div {seq_len}").alias("last_seq"),
+        F.expr(f"start % {seq_len}").alias("seq_offset"),
+    )
+
+
+def pack_summary(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One-row packing audit over pack_sequences output: total tokens,
+    number of full sequences produced, tokens lost in the final
+    partial sequence (the ONLY padding in concat-then-chunk packing),
+    and the straddling-doc count."""
+    return packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.ceil(F.sum("n_tokens") / F.lit(seq_len)).cast("long").alias("n_sequences"),
+        (
+            (F.ceil(F.sum("n_tokens") / F.lit(seq_len)) * F.lit(seq_len))
+            - F.sum("n_tokens")
+        ).cast("long").alias("tail_padding"),
+        F.sum(
+            F.when(F.col("last_seq") > F.col("first_seq"), 1).otherwise(0)
+        ).cast("long").alias("n_straddling"),
     )

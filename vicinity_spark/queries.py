@@ -1627,6 +1627,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_sequences",
+    f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+      FROM t)
+SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+       CAST(start // 512 AS BIGINT) AS first_seq,
+       CAST((start + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+       CAST(start % 512 AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: padding-free sequence packing ("concat then chunk", the
+    standard LLM training-data layout) — per-doc packing coordinates
+    under a global token-stream order (operators/textops.py
+    pack_sequences). The Spark plan is the SCALABLE prefix sum (range
+    partition → windowed cumsum per range → driver-cumulated
+    per-partition offsets broadcast back — never a single-partition
+    global window); the oracle is the single-window SQL form, so a
+    green hash certifies the two-phase plan computes exactly the
+    global ordered cumsum, at every partition count."""
+    from vicinity_spark.operators.textops import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
     "docs_stats_by_lang",
     """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2971,6 +3000,7 @@ _CHECK_FIRST = [
     "dedup_simhash_exploded",
     "dedup_minhash_affine",
     "dedup_minhash_tokenroll",
+    "docs_pack_sequences",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3011,6 +3041,7 @@ _ROTATE_OUT: "list[str]" = [
     # window at 50
     "vector_stats_by_label",
     "q1_pricing_summary",
+    "q3_top_revenue_orders",
 ]
 
 
