@@ -56,3 +56,50 @@ def test_stratified_hash_split_per_stratum_fractions(spark):
         plain.select("doc_id", F.col("split").alias("p")), "doc_id"
     )
     assert joined.where(F.col("split") != F.col("p")).count() == 0
+
+
+def test_mix_sources_integer_weights_exact(spark):
+    """r7: integer weights produce exactly w copies per doc; sources
+    absent from the weight table are dropped; repeat_idx is dense
+    0..w-1; order_key is unique across (doc, repeat)."""
+    from vicinity_spark.operators.sampling import mix_sources
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = mix_sources(df, {"s0": 2.0, "s1": 1.0}).cache()
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 200, "s1": 100}  # 100 docs/source
+    reps = [r["r"] for r in out.where(F.col("source") == "s0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("repeat_idx")).alias("r")).collect()]
+    assert all(r == [0, 1] for r in reps) and len(reps) == 100
+    assert out.select("order_key").distinct().count() == 300
+
+
+def test_mix_sources_fractional_weight_rate(spark):
+    """Fractional part honored at the md5-threshold rate, and the
+    fractional pick is per-doc deterministic (two runs identical)."""
+    from vicinity_spark.operators.sampling import mix_sources
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("w").alias("source")
+    )
+    out = mix_sources(df, {"w": 1.25})
+    n = out.count()
+    assert 20_000 * 1.22 < n < 20_000 * 1.28
+    assert n == mix_sources(df, {"w": 1.25}).count()
+
+
+def test_mix_sources_zero_shuffle_plan_and_errors(spark):
+    from vicinity_spark.operators.sampling import mix_sources
+    from vicinity_spark.plans.checks import plan_summary
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("a").alias("source"))
+    assert "Exchange" not in plan_summary(mix_sources(df, {"a": 2.0}))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mix_sources(df, {})
+    with _pt.raises(ValueError):
+        mix_sources(df, {"a": -1.0})

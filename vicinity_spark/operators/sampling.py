@@ -81,3 +81,68 @@ def stratified_hash_split(
     return df.withColumn(
         split_col, F.when(key < expr, F.lit("train")).otherwise(F.lit("holdout"))
     )
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing for training pipelines (r7): each
+    source's documents appear ``weights[source]`` times in the output
+    stream — the "N epochs of source A + M of source B" recipe of
+    large-scale LLM data mixes. Non-integer weights are honored
+    deterministically: a doc gets floor(w) full repeats plus one more
+    iff its salted split key falls below the fractional part (the
+    same md5-hex construction as hash_split — no RNG, stable under
+    retries, reproducible across engines). Sources absent from
+    `weights` are dropped (weight 0).
+
+    Output: (doc_id, source, repeat_idx, order_key) — one row per
+    (doc, repeat), with `order_key` an md5 over (salt, doc_id,
+    repeat_idx) giving every copy a deterministic pseudo-random
+    position in the global training order. Feed `order_key` to
+    pack_sequences(id_col="order_key") (after joining text back on
+    doc_id) to produce a shuffled, mixed, packed token stream.
+
+    Plan: pure narrow projection + one Generate (posexplode of a
+    per-row repeat sequence) — ZERO shuffles at any corpus size; the
+    repeat fan-out is bounded by max(weights)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {s!r}: {w}")
+    whole = F.lit(None).cast("int")
+    thr = F.lit(None).cast("string")
+    for s, w in sorted(weights.items()):
+        whole = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(whole)
+        thr = F.when(
+            F.col(source_col) == s, F.lit(hex_threshold(w - int(w)))
+        ).otherwise(thr)
+    key = split_key(id_col, salt)
+    n_rep = whole + F.when(key < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            n_rep.alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("repeat_idx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("repeat_idx").cast("long").alias("repeat_idx"),
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"),
+                            F.col("repeat_idx").cast("string")).cast("binary")
+            ).alias("order_key"),
+        )
+    )

@@ -1655,6 +1655,51 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
 
 
+def _mix_sources_sql() -> str:
+    """docs_mix_sources' oracle: the same whole-repeat + fractional
+    md5-threshold construction with the weight table inlined (whole
+    parts and hex thresholds computed by the SAME hex_threshold code
+    the Spark operator uses)."""
+    from vicinity_spark.operators.sampling import hex_threshold
+
+    rows = ", ".join(
+        f"('{s}', {int(w)}, '{hex_threshold(w - int(w))}')"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, whole, thr) AS (VALUES {rows}),
+n AS (
+  SELECT doc_id, d.source,
+         whole + CASE WHEN md5('mix:' || doc_id::VARCHAR) < thr THEN 1 ELSE 0 END AS n_rep
+  FROM documents d JOIN w ON d.source = w.source
+),
+reps AS (
+  SELECT doc_id, source, unnest(range(0, n_rep)) AS repeat_idx FROM n WHERE n_rep > 0
+)
+SELECT doc_id, source, CAST(repeat_idx AS BIGINT) AS repeat_idx,
+       md5('mix:' || doc_id::VARCHAR || ':' || repeat_idx::VARCHAR) AS order_key
+FROM reps
+"""
+
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 3.0}
+
+
+@register("docs_mix_sources", _mix_sources_sql())
+def docs_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: weighted dataset mixing (operators/sampling.mix_sources) —
+    the "N epochs of source A + M of source B" recipe of LLM data
+    mixes, with non-integer weights honored by the deterministic
+    md5-threshold construction shared with hash_split, and a
+    deterministic pseudo-random order_key per copy for training-order
+    shuffling. Pure projection + one Generate — zero shuffles at any
+    corpus size. Unlisted sources (src4..src19 here) are dropped —
+    the oracle's inner join replicates that."""
+    from vicinity_spark.operators.sampling import mix_sources
+
+    return mix_sources(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
+
+
 @register(
     "docs_stats_by_lang",
     """
@@ -3001,6 +3046,7 @@ _CHECK_FIRST = [
     "dedup_minhash_affine",
     "dedup_minhash_tokenroll",
     "docs_pack_sequences",
+    "docs_mix_sources",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3042,6 +3088,7 @@ _ROTATE_OUT: "list[str]" = [
     "vector_stats_by_label",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "regional_revenue",
 ]
 
 
