@@ -1700,6 +1700,75 @@ def docs_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sources(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
 
 
+def _training_stream_sql() -> str:
+    """docs_training_stream's oracle: the mix CTE (shared construction
+    with _mix_sources_sql), text joined back per copy, then the
+    single-window packing cumsum ORDERED BY order_key — the shuffled
+    training order."""
+    from vicinity_spark.operators.sampling import hex_threshold
+
+    rows = ", ".join(
+        f"('{s}', {int(w)}, '{hex_threshold(w - int(w))}')"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, whole, thr) AS (VALUES {rows}),
+n AS (
+  SELECT doc_id, d.source, text,
+         whole + CASE WHEN md5('mix:' || doc_id::VARCHAR) < thr THEN 1 ELSE 0 END AS n_rep
+  FROM documents d JOIN w ON d.source = w.source
+),
+reps AS (
+  SELECT doc_id, source, text, unnest(range(0, n_rep)) AS repeat_idx FROM n WHERE n_rep > 0
+),
+mixed AS (
+  SELECT doc_id, source, CAST(repeat_idx AS BIGINT) AS repeat_idx,
+         md5('mix:' || doc_id::VARCHAR || ':' || repeat_idx::VARCHAR) AS order_key,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+  FROM reps
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY order_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM mixed
+)
+SELECT doc_id, source, repeat_idx, order_key, n_tokens, CAST(start AS BIGINT) AS start,
+       CAST(start // 512 AS BIGINT) AS first_seq,
+       CAST((start + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+       CAST(start % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register("docs_training_stream", _training_stream_sql())
+def docs_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 flagship composition — the COMPLETE training-data layout
+    pipeline in one certified query: weighted source mixing with
+    deterministic fractional epochs (mix_sources) → per-copy
+    pseudo-random order_key (the training-order shuffle) → padding-
+    free concat-then-chunk packing over that order (pack_sequences,
+    two-phase prefix sum). Every doc copy gets its global token-stream
+    coordinates in the shuffled mixed order — exactly the layout a
+    100 TB pretraining run materializes. The oracle replays the whole
+    composition as single-window SQL, so one green hash certifies
+    mix + shuffle + scalable pack agree end-to-end."""
+    from vicinity_spark.operators.sampling import mix_sources
+    from vicinity_spark.operators.textops import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mix_sources(docs, _MIX_WEIGHTS)
+    withtext = mixed.join(docs.select("doc_id", "text"), "doc_id")
+    packed = pack_sequences(withtext, seq_len=512, id_col="order_key").withColumnRenamed(
+        "doc_id", "order_key"
+    )
+    return (
+        mixed.join(packed, "order_key")
+        .select(
+            "doc_id", "source", "repeat_idx", "order_key",
+            "n_tokens", "start", "first_seq", "last_seq", "seq_offset",
+        )
+    )
+
+
 @register(
     "docs_stats_by_lang",
     """
@@ -3047,6 +3116,7 @@ _CHECK_FIRST = [
     "dedup_minhash_tokenroll",
     "docs_pack_sequences",
     "docs_mix_sources",
+    "docs_training_stream",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3089,6 +3159,7 @@ _ROTATE_OUT: "list[str]" = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "regional_revenue",
+    "events_hourly",
 ]
 
 
