@@ -69,6 +69,64 @@ def stateless_minhash(
     )
 
 
+def stateless_minhash_tokenroll(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle: int = 3,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Append an array<bigint>[n_hashes] MinHash signature column
+    computed with the r7 batch ``tokenroll`` family (operators/dedup:
+    per-token 32-bit hashes, Rabin–Karp gram combine, affine minhash
+    transforms) — the fast streaming signature (measured 8.0s → 0.9s
+    per 100k-doc materialization vs stateless_minhash; BENCHNOTES
+    "tokenroll"). Unlike `stateless_minhash` this is a DataFrame→
+    DataFrame stage, not a single Column: the token-hash and gram-hash
+    arrays each sit behind a Generate barrier (explode(array(..)))
+    so they evaluate ONCE per row — a lone Column expression would
+    re-evaluate the gram construction per seed (the O(tokens²)-class
+    trap measured in batch). Both Generates are stateless projections,
+    so the streaming query still has only its keyed-bucket stateful
+    operator. Docs shorter than `shingle` tokens hash their full
+    token-hash prefix as one gram (the short-doc analog of
+    stateless_minhash's whole-text gram). Signature values equal the
+    batch tokenroll family component-for-component on single-space
+    text (the streaming tokenizer trims and splits on runs of
+    whitespace; the batch one splits on single spaces)."""
+    from vicinity_spark.operators.dedup import (
+        _affine_base_expr,
+        _roll_combine,
+        _tokenroll_gram_hashes,
+        affine_consts,
+        _affine_mh_expr,
+    )
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok_h = F.transform(toks, lambda t: _affine_base_expr(t, "affine"))
+    staged = docs.select("*", F.explode(F.array(tok_h)).alias("__th"))
+    n = F.size("__th")
+    gram_h = _tokenroll_gram_hashes(shingle, "__th")
+    # short docs: one gram over however many tokens exist
+    short = None
+    for k in range(1, shingle):
+        combined = _roll_combine([F.element_at("__th", i + 1) for i in range(k)])
+        short = (
+            F.when(n == k, F.array(combined))
+            if short is None
+            else short.when(n == k, F.array(combined))
+        )
+    gram_h = short.otherwise(gram_h)
+    staged = staged.select("*", F.explode(F.array(gram_h)).alias("__gh")).drop("__th")
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__gh", lambda h: _affine_mh_expr(a, b, h)))
+            for a, b in affine_consts(n_hashes)
+        ]
+    )
+    return staged.select("*", sig.alias(sig_col)).drop("__gh")
+
+
 def stream_neardup_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -80,6 +138,7 @@ def stream_neardup_candidates(
     rows_per_band: int = 2,
     shingle: int = 3,
     min_est_jaccard: float = 0.5,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, matched_doc_id, band, est_jaccard) — one candidate row
     per signature-band collision between an arriving doc and the most
@@ -92,11 +151,22 @@ def stream_neardup_candidates(
     whose est_jaccard sits far below any sane threshold; the
     min_est_jaccard gate drops it in-operator."""
     nbands = n_hashes // rows_per_band
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(ts_col).alias("ts"),
-        stateless_minhash(text_col, n_hashes=n_hashes, shingle=shingle).alias("sig"),
-    )
+    if family == "tokenroll":
+        # r7 fast family: staged stateless projections (two Generate
+        # barriers), signature values = the batch tokenroll family
+        keyed = stateless_minhash_tokenroll(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"),
+                        F.col(text_col).alias("__text")),
+            "__text", n_hashes=n_hashes, shingle=shingle,
+        ).select("doc_id", "ts", "sig")
+    elif family == "xxhash64":
+        keyed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ts"),
+            stateless_minhash(text_col, n_hashes=n_hashes, shingle=shingle).alias("sig"),
+        )
+    else:
+        raise ValueError(f"unknown streaming minhash family {family!r}")
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
