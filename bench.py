@@ -87,19 +87,17 @@ def _ann_batch(strategy_name):
         elif strategy_name == "graph":
             from vicinity_spark.backends.graph import GraphStrategy
 
-            # k_build=16/iters=2 buys graph quality in the UNTIMED
-            # build; seed_mode="ivf" (r5) seeds each query from its
-            # nearest centroids' member sets instead of the fixed
-            # entry ring. r6 recall-per-cost sweep (BENCHNOTES "graph
-            # recall-per-cost frontier", 31 points at the ~4s budget):
-            # time is dominated by per-round fixed cost, recall by the
-            # seed pool (seed_probe×seed_members) and beam — so spend
-            # the budget on seeds/beam, not rounds. The knee
-            # (beam=64, probe=8, members=16, 1 expansion) measures
-            # recall@10 0.769 at 3.97s vs r5's 0.459 at 4.65s —
-            # better on both axes.
+            # seed_mode="ivf" (r5) seeds each query from its nearest
+            # centroids' member sets. r6 swept the QUERY-side knobs
+            # (seeds/beam/rounds) to recall 0.769 at the ~4s budget;
+            # r7 swept the BUILD side the r6 sweep held fixed — graph
+            # degree k_build is paid in the UNTIMED build, and a
+            # denser graph lifts recall far more per query-second
+            # than any query knob (BENCHNOTES "build-side frontier"):
+            # kb16 0.769@4.65s → kb32/beam96 0.956@5.68s (build 8.8
+            # → 9.0s). kb48 reaches 0.977 at 7.8s — past the knee.
             strat = GraphStrategy(
-                k_build=16, iters=2, beam=64, expansions=1,
+                k_build=32, iters=2, beam=96, expansions=1,
                 seed_mode="ivf", seed_probe=8, seed_members=16,
             )
         elif strategy_name == "ivf":

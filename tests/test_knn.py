@@ -847,14 +847,14 @@ SF01_DIR = "/root/testdata/sf0.1"
     not __import__("os").path.isdir(SF01_DIR), reason="driver testdata not present"
 )
 def test_graph_bench_operating_point_recall_floor(spark):
-    """r6 VERDICT item 5: the bench's graph operating point (beam=64,
-    probe=8, members=16, 1 expansion — BENCHNOTES "graph
-    recall-per-cost frontier") measured recall@10 0.769 on the sf0.1
-    embeddings corpus, up from r5's 0.459. This floor pins that point:
-    if a future change drags the SAME config back toward the old
-    operating point, this trips. 0.70 leaves headroom for NN-descent
-    build nondeterminism across partition layouts while sitting far
-    above the regression it guards against."""
+    """r6 VERDICT item 5, retuned in r7: the bench's graph operating
+    point moved to k_build=32 / beam=96 (BENCHNOTES "build-side
+    frontier") — recall@10 0.956 on the sf0.1 embeddings corpus, up
+    from r6's 0.769 (which was up from r5's 0.459). This floor pins
+    the NEW point: if a future change drags the SAME config back
+    toward the old operating points, this trips. 0.90 leaves headroom
+    for NN-descent build nondeterminism across partition layouts while
+    sitting far above both regressions it guards against."""
     from vicinity_spark.backends.graph import GraphStrategy
     from vicinity_spark.datatypes import Metric
 
@@ -864,7 +864,7 @@ def test_graph_bench_operating_point_recall_floor(spark):
     )
     dim = 64
     strat = GraphStrategy(
-        k_build=16, iters=2, beam=64, expansions=1,
+        k_build=32, iters=2, beam=96, expansions=1,
         seed_mode="ivf", seed_probe=8, seed_members=16,
     )
     built = strat.build(corpus, Metric.COSINE, dim).cache()
@@ -888,6 +888,6 @@ def test_graph_bench_operating_point_recall_floor(spark):
             hits += len(exact & mine)
             total += k
         recall = hits / total
-        assert recall >= 0.70, f"bench-config graph recall {recall:.3f} < 0.70 floor"
+        assert recall >= 0.90, f"bench-config graph recall {recall:.3f} < 0.90 floor"
     finally:
         built.unpersist()
