@@ -652,3 +652,34 @@ def test_lsh_neardup_cap_bounds_identical_vectors(spark):
         for r in strat.neardup_pairs(small, 0.01, Metric.COSINE, max_bucket=100).collect()
     }
     assert capped == uncapped
+
+
+def test_contamination_and_decontaminate(spark):
+    """r7: n-gram benchmark-overlap detection — planted contamination
+    is found with exact distinct-gram counts, clean docs survive
+    decontaminate untouched, and the benchmark side is broadcast."""
+    from vicinity_spark.operators.dedup import contamination, decontaminate
+    from vicinity_spark.plans.checks import plan_summary
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),      # contains bench gram
+            (2, "completely clean text with no overlap at all"),
+            (3, "quick brown fox quick brown fox quick brown fox"),  # repeated gram -> 1 distinct + rolled grams
+            (4, "ab"),                                               # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears"), (101, "benchmark only phrase here")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_contaminated_grams for r in contamination(train, bench, n=3).collect()}
+    # bench 3-grams: {a quick brown, quick brown fox, brown fox appears, ...}
+    assert hits == {1: 1, 3: 1}  # both share exactly 'quick brown fox'
+    kept = sorted(r.doc_id for r in decontaminate(train, bench, n=3).collect())
+    assert kept == [2, 4]
+    # schema preserved
+    assert decontaminate(train, bench, n=3).columns == train.columns
+    plan = plan_summary(contamination(train, bench, n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

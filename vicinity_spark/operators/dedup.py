@@ -961,3 +961,45 @@ def connected_components(
     return universe.join(labels, "id", "left").select(
         "id", F.coalesce("rep", F.col("id")).alias("rep")
     )
+
+
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_contaminated_grams) — training docs sharing at least
+    one distinct word n-gram with ANY benchmark doc (r7): the standard
+    LLM benchmark-decontamination test (n-gram overlap against held-out
+    eval sets). The benchmark gram set is BROADCAST — by contract the
+    benchmark side is small (eval suites are MBs against a 100 TB
+    corpus), so the corpus-side scan never shuffles: contaminated ids
+    fall out of a map-side broadcast-hash semi-join over the exploded
+    train grams. Counts are per-doc DISTINCT contaminated grams
+    (shingles() dedups in-row)."""
+    tg = shingles(train, n=n, text_col=text_col, id_col=id_col)
+    bg = shingles(benchmark, n=n, text_col=text_col, id_col=id_col).select(
+        "shingle"
+    ).distinct()
+    return (
+        tg.join(F.broadcast(bg), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """train minus every contaminated doc (anti-join on the
+    contamination hit set) — rows and schema of `train` preserved."""
+    hits = contamination(train, benchmark, n=n, text_col=text_col, id_col=id_col)
+    return train.join(
+        hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1242,6 +1242,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_decontaminate",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, text, md5('split:' || doc_id::VARCHAR) AS k FROM documents
+),
+train AS (SELECT doc_id, text FROM keyed WHERE k < 'e6666666'),
+bench AS (SELECT doc_id, text FROM keyed WHERE k >= 'e6666666'),
+tg AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL.replace("FROM documents", "FROM train")})
+  WHERE shingle IS NOT NULL
+),
+bg AS (
+  SELECT DISTINCT shingle FROM ({_SHINGLE_SQL.replace("FROM documents", "FROM bench")})
+  WHERE shingle IS NOT NULL
+)
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM tg JOIN bg ON tg.shingle = bg.shingle
+GROUP BY tg.doc_id
+""",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: benchmark decontamination — the n-gram-overlap test every
+    serious pretraining pipeline runs against its eval suites
+    (operators/dedup.py contamination/decontaminate). The corpus is
+    split by the deterministic hash_split key into a 90% train / 10%
+    pseudo-benchmark pair; the benchmark's distinct 3-gram set is
+    BROADCAST (the benchmark side is small by contract — eval suites
+    are MBs against a 100 TB corpus) and contaminated train docs fall
+    out of a map-side broadcast join over the exploded train grams —
+    the corpus side never shuffles for the check. Output: per
+    contaminated train doc, its distinct overlapping-gram count."""
+    from vicinity_spark.operators.dedup import contamination
+    from vicinity_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    train = d.where(F.col("split") == "train").select("doc_id", "text")
+    bench = d.where(F.col("split") == "holdout").select("doc_id", "text")
+    return contamination(train, bench, n=3)
+
+
+@register(
     "docs_train_split",
     """
 WITH keyed AS (
@@ -3117,6 +3158,7 @@ _CHECK_FIRST = [
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",
+    "docs_decontaminate",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3160,6 +3202,7 @@ _ROTATE_OUT: "list[str]" = [
     "q3_top_revenue_orders",
     "regional_revenue",
     "events_hourly",
+    "events_sessionize",
 ]
 
 
