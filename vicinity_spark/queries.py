@@ -382,6 +382,54 @@ WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
 """
 
 
+@register(
+    "semantic_dedup",
+    f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
+),
+edges AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+)
+SELECT id AS vec_id,
+       CAST(min(rep) AS BIGINT) AS rep_id,
+       (min(rep) = id) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: SEMANTIC dedup end-to-end — the embedding-side twin of
+    dedup_connected_components: exact cosine near-dup pairs (block-grid
+    sweep, the neardup_embeddings plan) → connected components → one
+    representative per semantic cluster. This is the "embedding-cosine
+    near-dup" dedup mode of large-scale pipelines (dedup by meaning,
+    not text overlap) as ONE certified composition; a pipeline keeps
+    `is_canonical` rows. Oracle: all-pairs + recursive-CTE closure."""
+    from vicinity_spark.operators.dedup import connected_components
+    from vicinity_spark.operators.knn import neardup_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    pairs = neardup_join(e, _NEARDUP_T, "cosine")
+    comp = connected_components(e.select("id"), pairs)
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("rep").cast("long").alias("rep_id"),
+        (F.col("id") == F.col("rep")).alias("is_canonical"),
+    )
+
+
 @register("neardup_embeddings", _NEARDUP_SQL)
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine similarity self-join, EXACT, as the block-grid
@@ -3159,6 +3207,7 @@ _CHECK_FIRST = [
     "docs_mix_sources",
     "docs_training_stream",
     "docs_decontaminate",
+    "semantic_dedup",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3203,6 +3252,7 @@ _ROTATE_OUT: "list[str]" = [
     "regional_revenue",
     "events_hourly",
     "events_sessionize",
+    "top_parts_per_brand",
 ]
 
 
