@@ -683,3 +683,32 @@ def test_contamination_and_decontaminate(spark):
     assert decontaminate(train, bench, n=3).columns == train.columns
     plan = plan_summary(contamination(train, bench, n=3))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_scores_closed_form(spark):
+    """r7: Gopher-style repetition signals against hand-computed
+    values, including empty docs and the all-identical pathological
+    case, and the plan is a pure projection (no Exchange)."""
+    from vicinity_spark.operators.textops import repetition_scores
+    from vicinity_spark.plans.checks import plan_summary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),    # 5 toks, 3 distinct; g2: 4 with 2 distinct; g3: 3 with 2 distinct
+            (2, "x y z"),
+            (3, ""),
+            (4, "q q q q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert got[1].n_tokens == 5
+    assert got[1].dup_token_frac == pytest.approx(1 - 2 / 5)
+    assert got[1].dup_2gram_frac == pytest.approx(1 - 2 / 4)
+    assert got[1].dup_3gram_frac == pytest.approx(round(1 - 2 / 3, 6))
+    assert got[1].top_token_frac == pytest.approx(3 / 5)
+    assert got[2].dup_token_frac == 0.0 and got[2].top_token_frac == pytest.approx(1 / 3)
+    assert got[3].n_tokens == 0 and got[3].top_token_frac == 0.0
+    assert got[4].dup_token_frac == pytest.approx(0.75)
+    assert got[4].top_token_frac == pytest.approx(1.0)
+    assert "Exchange" not in plan_summary(repetition_scores(docs))

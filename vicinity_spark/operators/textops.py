@@ -258,3 +258,68 @@ def pack_summary(packed: DataFrame, seq_len: int) -> DataFrame:
             F.when(F.col("last_seq") > F.col("first_seq"), 1).otherwise(0)
         ).cast("long").alias("n_straddling"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (r7), per doc:
+
+      - dup_token_frac: 1 − distinct/total tokens — the fraction of
+        token mass that is repetition.
+      - dup_2gram_frac / dup_3gram_frac: same over word 2-/3-grams
+        (the 'duplicate n-gram fraction' family of the Gopher rules).
+      - top_token_frac: frequency of the single most frequent token
+        over total tokens (boilerplate/keyword-stuffing detector).
+
+    All four are pure per-row fold/array expressions — a projection,
+    no shuffle at any corpus size. Empty docs (no non-empty tokens)
+    score 0.0 everywhere. A pretraining filter drops docs above
+    thresholds (Gopher: dup-line/2-gram/3-gram fractions; the exact
+    cutoffs are a policy knob, not part of this operator)."""
+    toks = F.filter(_toks(text_col), lambda t: t != F.lit(""))
+    nt = F.size(toks)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    def grams(k):
+        return F.when(
+            nt >= k,
+            F.transform(
+                F.sequence(F.lit(1), nt - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # top-token frequency via one fold over the distinct tokens:
+    # count occurrences of each distinct token with another fold —
+    # O(distinct × total) per row, bounded by doc length; stays JVM
+    top_cnt = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0).cast("long"),
+        lambda best, t: F.greatest(
+            best,
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, u: acc + F.when(u == t, 1).otherwise(0).cast("long"),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        nt.cast("long").alias("n_tokens"),
+        dup_frac(toks).alias("dup_token_frac"),
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+        F.when(nt > 0, F.round(top_cnt.cast("double") / nt.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+    )

@@ -1716,6 +1716,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS g3
+  FROM t
+),
+tc AS (
+  SELECT doc_id AS tdoc, CAST(max(c) AS BIGINT) AS top_cnt FROM (
+    SELECT doc_id, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CASE WHEN nt > 0 THEN round(1.0 - len(list_distinct(toks))::DOUBLE / nt, 6) ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac,
+  CASE WHEN nt > 0 THEN round(COALESCE(top_cnt, 0)::DOUBLE / nt, 6) ELSE 0.0 END AS top_token_frac
+FROM g LEFT JOIN tc ON g.doc_id = tc.tdoc
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: Gopher-style repetition quality signals — duplicate
+    token/2-gram/3-gram fractions and the top-token frequency ratio
+    (operators/textops.repetition_scores), each a pure per-row
+    fold/array projection: zero shuffles at any corpus size. The
+    filter family these feed (drop docs above repetition thresholds)
+    is the standard boilerplate/keyword-stuffing gate of pretraining
+    pipelines."""
+    from vicinity_spark.operators.textops import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "docs_pack_sequences",
     f"""
 WITH t AS (SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents),
@@ -3208,6 +3251,7 @@ _CHECK_FIRST = [
     "docs_training_stream",
     "docs_decontaminate",
     "semantic_dedup",
+    "text_repetition",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3253,6 +3297,7 @@ _ROTATE_OUT: "list[str]" = [
     "events_hourly",
     "events_sessionize",
     "top_parts_per_brand",
+    "docs_stats_by_lang",
 ]
 
 
