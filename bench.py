@@ -416,6 +416,35 @@ def minhash_tokenroll_200k(spark, sf_dir):
     return run
 
 
+def pack_mix_2m(spark, sf_dir):
+    """The r7 training-data layout ops at the 2M tier: weighted mixing
+    (2 sources, one fractional weight) → per-copy order_key → sequence
+    packing over the shuffled order (the docs_training_stream
+    composition at 1000× the gate corpus). Exercises the two-phase
+    prefix sum where it matters — the global ordered cumsum over ~2.6M
+    mixed copies — plus the mix Generate and the text join. The
+    returned frame aggregates to one audit row (driver-friendly) but
+    the timed work is the full per-copy coordinate computation."""
+    from vicinity_spark.operators.sampling import mix_sources
+    from vicinity_spark.operators.textops import pack_sequences, pack_summary
+
+    docs = (
+        _synth_docs(spark, n=1_999_000, n_dups=1000, parts=64)
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string")))
+        .cache()
+    )
+    docs.count()
+
+    def run(s, d):
+        mixed = mix_sources(docs, {"s0": 2.0, "s1": 0.6})
+        withtext = mixed.join(docs.select("doc_id", "text"), "doc_id")
+        packed = pack_sequences(withtext, seq_len=512, id_col="order_key", num_ranges=64)
+        return pack_summary(packed, 512)
+
+    run(spark, sf_dir).collect()  # untimed warm-up (plan + codegen)
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -551,8 +580,9 @@ BENCH = {
     "knn_scale_5m": knn_scale_5m,
     "lsh_scale_5m": lsh_scale_5m,
     "minhash_longdoc_200k": minhash_longdoc_200k,
-    # r7 addition, appended (same rule as above)
+    # r7 additions, appended (same rule as above)
     "minhash_tokenroll_200k": minhash_tokenroll_200k,
+    "pack_mix_2m": pack_mix_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

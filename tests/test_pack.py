@@ -97,3 +97,28 @@ def test_pack_sequences_rejects_bad_seq_len(docs):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_len=0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=2)
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_doc, min_size=1, max_size=8), seq_len=st.integers(1, 7))
+def test_pack_sequences_property(spark, texts, seq_len):
+    """For ARBITRARY corpora and seq_len, the two-phase plan equals the
+    naive single-stream reference at two different range counts."""
+    from vicinity_spark.operators.textops import pack_sequences
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _py_reference(rows, seq_len)
+    for nr in (1, 3):
+        got = sorted(
+            tuple(r)
+            for r in pack_sequences(docs, seq_len=seq_len, num_ranges=nr).collect()
+        )
+        assert got == want, (texts, seq_len, nr)
