@@ -712,3 +712,113 @@ def test_repetition_scores_closed_form(spark):
     assert got[4].dup_token_frac == pytest.approx(0.75)
     assert got[4].top_token_frac == pytest.approx(1.0)
     assert "Exchange" not in plan_summary(repetition_scores(docs))
+
+
+# ---- incremental dedup against a corpus snapshot (r7) ---------------
+
+
+def test_minhash_incremental_matches_full_miner_cross_pairs(spark, docs_df):
+    """The incremental miner over a (corpus, new) split must emit
+    exactly the cross-split subset of the full rowwise miner's pairs
+    on the union — same pairs, same jaccards."""
+    from vicinity_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_rowwise,
+    )
+
+    corpus = docs_df.where(F.col("doc_id") < 3)
+    new = docs_df.where(F.col("doc_id") >= 3)
+    inc = {
+        (r.id_new, r.id_corpus): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            corpus, new, n_hashes=16, rows_per_band=2, min_jaccard=0.3
+        ).collect()
+    }
+    full = minhash_lsh_pairs_rowwise(
+        docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3
+    ).collect()
+    cross = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in full
+        if (r.id_a < 3) != (r.id_b < 3)
+    }
+    assert inc.keys() == cross.keys()
+    for k, j in cross.items():
+        assert inc[k] == pytest.approx(j)
+    # sanity: the split actually crosses (doc 5 near-dups docs 0-2)
+    assert any(k[0] == 5 for k in inc)
+
+
+def test_minhash_incremental_overlapping_id_spaces(spark, docs_df):
+    """ids need only be unique WITHIN each frame: probing the corpus
+    with itself (same ids both sides) finds every doc as its own
+    jaccard-1.0 duplicate, keyed by role."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    res = minhash_lsh_pairs_incremental(
+        docs_df, docs_df, n_hashes=16, rows_per_band=2, min_jaccard=0.3
+    )
+    self_hits = {
+        (r.id_new, r.id_corpus): r.jaccard
+        for r in res.collect()
+        if r.id_new == r.id_corpus
+    }
+    for did in range(6):
+        assert self_hits[(did, did)] == pytest.approx(1.0)
+
+
+def test_minhash_incremental_reuses_corpus_buckets(spark, docs_df):
+    """Passing a precomputed corpus bucket table (the saved-snapshot
+    reuse path) is row-identical to recomputing it from the corpus
+    text."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_rowwise,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = docs_df.where(F.col("doc_id") < 3)
+    new = docs_df.where(F.col("doc_id") >= 3)
+    pre = band_buckets_rowwise(corpus, 16, 2).localCheckpoint(eager=True)
+    a = sorted(
+        (r.id_new, r.id_corpus, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_incremental(
+            corpus, new, n_hashes=16, rows_per_band=2, min_jaccard=0.3
+        ).collect()
+    )
+    b = sorted(
+        (r.id_new, r.id_corpus, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_incremental(
+            corpus, new, n_hashes=16, rows_per_band=2, min_jaccard=0.3,
+            corpus_buckets=pre,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_minhash_incremental_cap_bounds_cross_cluster(spark):
+    """A d-doc identical cluster in the corpus × an m-doc identical
+    cluster in the batch is d·m candidates in one bucket; with
+    max_bucket engaged on both sides the cluster contributes nothing
+    while planted normal pairs survive."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    boiler = (
+        "identical boilerplate page repeated across the whole crawl "
+        "with the same navigation header footer and legal text"
+    )
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(2000)] + [(10_000 + i, t) for i, t in DOCS],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(50_000 + i, boiler) for i in range(2000)]
+        + [(60_000, DOCS[0][1])],  # exact text of corpus doc 10_000
+        "doc_id long, text string",
+    )
+    res = minhash_lsh_pairs_incremental(
+        corpus, new, n_hashes=16, rows_per_band=2, min_jaccard=0.3,
+        max_bucket=100,
+    ).collect()
+    found = {(r.id_new, r.id_corpus) for r in res}
+    assert (60_000, 10_000) in found  # planted cross pair survives
+    assert all(n >= 50_000 and c >= 10_000 for n, c in found)  # clusters dropped

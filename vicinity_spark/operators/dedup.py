@@ -1003,3 +1003,110 @@ def decontaminate(
     return train.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket: Optional[int] = None,
+    corpus_buckets: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id_new, id_corpus, jaccard) — near-dup pairs between a NEW
+    ingest batch and an EXISTING corpus (r7, incremental-ingestion
+    mode). The realistic 100 TB operating mode is not "re-mine the
+    whole corpus every day": it is "does today's crawl duplicate
+    anything we already hold". This miner prices exactly that:
+
+    - corpus side: the (doc_id, band, bkey) bucket table is a pure
+      per-row projection (band_buckets_rowwise) computed ONCE per
+      corpus snapshot — pass ``corpus_buckets`` to reuse a saved/
+      persisted table and the standing corpus text is never re-hashed
+      per ingest (only candidate corpus docs are re-read, via the
+      verification semi-join).
+    - new side: buckets for the (small) batch, again a projection.
+    - candidate mining: new-side ⋈ corpus-side equi-join on
+      (band, bkey) — NO corpus self-join (intra-corpus dups are the
+      standing miners' job) and no a<b filter (the sides are distinct
+      by role), so join output is ∝ cross-duplication rate.
+    - verification: shingles exploded ONLY for docs appearing in some
+      candidate pair, per side; exact Jaccard ≥ min_jaccard.
+
+    ``max_bucket`` caps hot (band, bkey) buckets on EACH side before
+    the join (a d-doc identical cluster in the corpus × an m-doc
+    cluster in the batch is d·m candidates in one bucket). Pairs are
+    emitted keyed by role — (id_new, id_corpus) — so overlapping id
+    spaces between the two frames are safe; ids need only be unique
+    per row WITHIN each frame (the standard dedup-input contract).
+
+    Both sides must use the same hash family and banding parameters —
+    bucket keys from different families never collide, so a mismatch
+    silently finds nothing (the same contract as loading a saved LSH
+    store with its persisted params)."""
+    if corpus_buckets is None:
+        corpus_buckets = band_buckets_rowwise(
+            corpus, n_hashes, rows_per_band, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        )
+    new_buckets = band_buckets_rowwise(
+        new_docs, n_hashes, rows_per_band, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+    )
+    if max_bucket is not None:
+        corpus_buckets = cap_hot_buckets(
+            corpus_buckets, ("band", "bkey"), max_bucket,
+            "minhash_lsh_pairs_incremental(corpus)",
+        )
+        new_buckets = cap_hot_buckets(
+            new_buckets, ("band", "bkey"), max_bucket,
+            "minhash_lsh_pairs_incremental(new)",
+        )
+    n_side = new_buckets.select(F.col("doc_id").alias("id_new"), "band", "bkey")
+    c_side = corpus_buckets.select(
+        F.col("doc_id").alias("id_corpus"), "band", "bkey"
+    )
+    cands = (
+        n_side.join(c_side, ["band", "bkey"])
+        .select("id_new", "id_corpus")
+        .distinct()
+        # feeds two id semi-joins + the verification join — one
+        # materialization instead of three bucket-join re-runs
+        .localCheckpoint(eager=True)
+    )
+    sh_new = (
+        new_docs.select(F.col(id_col).alias("id_new"), F.col(text_col).alias("__text"))
+        .join(cands.select("id_new").distinct(), "id_new", "left_semi")
+        .select("id_new", F.explode(_grams_arr(shingle_n, "__text")).alias("shingle"))
+        .distinct()
+    )
+    sh_cor = (
+        corpus.select(F.col(id_col).alias("id_corpus"), F.col(text_col).alias("__text"))
+        .join(cands.select("id_corpus").distinct(), "id_corpus", "left_semi")
+        .select("id_corpus", F.explode(_grams_arr(shingle_n, "__text")).alias("shingle"))
+        .distinct()
+    )
+    sz_new = sh_new.groupBy("id_new").agg(F.count("*").alias("__sz_n"))
+    sz_cor = sh_cor.groupBy("id_corpus").agg(F.count("*").alias("__sz_c"))
+    inter = (
+        cands.join(sh_new, "id_new")
+        .join(sh_cor, ["id_corpus", "shingle"])
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count("*").alias("__both"))
+    )
+    uni = F.col("__sz_n") + F.col("__sz_c") - F.col("__both")
+    return (
+        inter.join(sz_new, "id_new")
+        .join(sz_cor, "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            (F.col("__both").cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= float(min_jaccard))
+    )

@@ -3215,6 +3215,135 @@ _merge_entries(
 )
 
 
+# ---- PII scrubbing (r7 ★ pipeline op) --------------------------------
+
+
+def _pii_sql() -> str:
+    """Oracle for `docs_pii_redact`: the SAME pattern table
+    (operators/pii.py PII_PATTERNS — dialect restricted to the
+    Java∩RE2 regex intersection precisely so this oracle can exist),
+    counts over the planted text, then the fixed-order redaction
+    chain replayed as nested regexp_replace(…, 'g')."""
+    from vicinity_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{cat}"
+        for cat, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, (pat, _) in PII_PATTERNS.items()
+    )
+    chain = "text"
+    for _cat, (pat, repl) in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+      THEN text || ' contact user' || doc_id::VARCHAR
+           || '@example.com or 555-867-5309 at 10.0.'
+           || (doc_id % 200)::VARCHAR || '.17 ssn 123-45-6789'
+      ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  {counts},
+  CAST({total} AS BIGINT) AS n_pii,
+  {chain} AS redacted
+FROM planted
+"""
+
+
+@register("docs_pii_redact", _pii_sql())
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction (operators/pii.py pii_scan) — per-doc
+    match counts for all four categories plus the scrubbed text, one
+    pure projection (regexp_count / chained regexp_replace in
+    whole-stage codegen; zero shuffles, zero Python). The synthetic
+    corpus carries no natural PII, so the entry PLANTS deterministic
+    doc_id-derived PII on every 7th doc identically on both sides —
+    the green hash certifies actual match/redact behavior on matching
+    text, not just "no matches anywhere", while the untouched 6/7 of
+    docs certify the no-false-positive side on real text."""
+    from vicinity_spark.operators.pii import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 at 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".17 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scan(planted)
+
+
+# ---- incremental dedup against a corpus snapshot (r7 ★) --------------
+
+_MINHASH_INCR_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashes AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+  FROM hashes GROUP BY doc_id, seed // 4
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
+  FROM buckets n JOIN buckets c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_corpus, CAST(count(*) AS BIGINT) AS both
+  FROM cands c
+  JOIN dsh a ON a.doc_id = c.id_new
+  JOIN dsh b ON b.doc_id = c.id_corpus AND b.shingle = a.shingle
+  GROUP BY c.id_new, c.id_corpus
+)
+SELECT i.id_new, i.id_corpus,
+       round(i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_new JOIN sizes sb ON sb.doc_id = i.id_corpus
+WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+"""
+
+
+@register("dedup_minhash_incremental", _MINHASH_INCR_SQL)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup of a NEW batch against an EXISTING
+    corpus (operators/dedup.py minhash_lsh_pairs_incremental) — the
+    realistic 100 TB ingest mode: new-side buckets probe the corpus
+    bucket table (reusable across ingests via `corpus_buckets`), NO
+    corpus self-join, verification explodes shingles for candidate
+    docs only. The gate corpus splits on doc_id % 5 (corpus=4/5,
+    new=1/5); the oracle computes buckets over ALL docs and applies
+    the role split at join time — equal by construction because the
+    rowwise bucket builder is a per-row projection (filter commutes)."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    j = minhash_lsh_pairs_incremental(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        n_hashes=16,
+        rows_per_band=4,
+        min_jaccard=0.5,
+    )
+    return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -3252,6 +3381,8 @@ _CHECK_FIRST = [
     "docs_decontaminate",
     "semantic_dedup",
     "text_repetition",
+    "docs_pii_redact",
+    "dedup_minhash_incremental",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3298,6 +3429,11 @@ _ROTATE_OUT: "list[str]" = [
     "events_sessionize",
     "top_parts_per_brand",
     "docs_stats_by_lang",
+    # r7 latest additions (docs_pii_redact 63, dedup_minhash_incremental
+    # 64): two more long-green rows take the tail — dedup_exact (green
+    # r1-r6, 6 consecutive) and text_subword_tokens (green r2-r6)
+    "dedup_exact",
+    "text_subword_tokens",
 ]
 
 
