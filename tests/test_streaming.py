@@ -939,3 +939,45 @@ def test_stream_neardup_rocksdb_state_store(spark, tmp_path):
             if any("rocksdb" in k.lower() for k in so.get("customMetrics", {})):
                 saw_rocksdb = True
     assert saw_rocksdb, "RocksDB provider conf did not engage (no rocksdb metrics)"
+
+
+def test_stream_clean_redacts_pii(spark, tmp_path):
+    """stream_clean(redact=True): PII is scrubbed from emitted
+    survivors by a stateless projection — the query still has exactly
+    one stateful operator, and dedup keys on the PRE-redaction text
+    (docs differing only inside a redacted span stay distinct)."""
+    import datetime as dt
+
+    from vicinity_spark.streaming import stream_clean
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river bank again today with a friend"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base + " mail alice@example.com now", t0),
+        # same text modulo a different email: distinct pre-redaction →
+        # BOTH emitted (then identical post-redaction, by design)
+        (1, base + " mail bob@example.org now", t0),
+        (2, base, t0),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    src = tmp_path / "clean_pii_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream_clean(stream, watermark="1 minute", redact=True)
+        .writeStream.format("memory")
+        .queryName("stream_clean_pii_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.lastProgress["stateOperators"]) == 1
+    got = {r.doc_id: r.text for r in spark.sql("select * from stream_clean_pii_out").collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == base + " mail <EMAIL> now"
+    assert got[1] == base + " mail <EMAIL> now"
+    assert got[2] == base

@@ -45,14 +45,22 @@ def stream_clean(
     id_col: str = "doc_id",
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    redact: bool = False,
 ) -> DataFrame:
     """Cleaned docs frame: quality_pass == 1, predicted language ==
     `lang`, first-arrived copy per exact content hash. The projection
     filters add no latency or state; rows emit in append mode in the
     arrival micro-batch (dedup is emit-first-seen). Works on a batch
     frame too (the dedup then keeps an arbitrary copy — use the batch
-    pipeline when min-id determinism matters)."""
-    return (
+    pipeline when min-id determinism matters).
+
+    ``redact=True`` scrubs PII (operators/pii.py redact_col) as a
+    final projection — stateless, so the query still has exactly ONE
+    stateful operator. Redaction runs AFTER the dedup hash is taken:
+    quality/language/dedup see the text as crawled (two docs differing
+    only inside a redacted span stay distinct), and only emitted
+    survivors pay the regexp chain."""
+    cleaned = (
         docs_stream.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), F.col(ts_col)
         )
@@ -63,3 +71,8 @@ def stream_clean(
         .dropDuplicatesWithinWatermark(["__ch"])
         .drop("__ch")
     )
+    if redact:
+        from vicinity_spark.operators.pii import redact_col
+
+        cleaned = cleaned.withColumn("text", redact_col("text"))
+    return cleaned
