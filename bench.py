@@ -445,6 +445,72 @@ def pack_mix_2m(spark, sf_dir):
     return run
 
 
+def minhash_incremental_2m(spark, sf_dir):
+    """Incremental dedup at the realistic operating point: a 20k-doc
+    ingest batch (10k near-copies of corpus docs + 10k novel) probed
+    against a 2M-doc corpus whose bucket table is PRECOMPUTED (the
+    saved-snapshot reuse path — building it is untimed, exactly like
+    an ANN index build). Timed work = batch-side signatures (20k rows,
+    a projection), a broadcast probe of the 16M-row corpus bucket
+    table (no corpus-side shuffle — the claim that a daily ingest
+    never re-shuffles the standing corpus), and candidate-bounded
+    verification (~10k pairs). Contrast with dedup_e2e_2m, which pays
+    the full-corpus mining cost every run."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_rowwise,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = _synth_docs(spark, n=2_000_000, n_dups=0, parts=64).cache()
+    corpus.count()
+    pre = band_buckets_rowwise(
+        corpus, 16, 2, hash_fn="tokenroll"
+    ).localCheckpoint(eager=True)
+
+    # batch: 10k near-dups of corpus docs 0..9999 (last token mutated —
+    # same 15/16-shared-token recipe as _synth_docs dups, Jaccard ≈
+    # 0.65) + 10k novel docs from a disjoint __src range
+    def _batch():
+        dup_src = spark.range(0, 10_000, 1, 8).select(
+            (F.col("id") + 3_000_000).alias("doc_id"), F.col("id").alias("__src")
+        )
+        new_src = spark.range(0, 10_000, 1, 8).select(
+            (F.col("id") + 3_100_000).alias("doc_id"),
+            (F.col("id") + 5_000_000).alias("__src"),
+        )
+        toks = [
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("__src").cast("string"), F.lit(str(j)))), 1, 8
+            )
+            for j in range(16)
+        ]
+        last = F.when(
+            F.col("doc_id") < 3_100_000,
+            F.concat(F.lit("qq"), F.col("doc_id").cast("string")),
+        ).otherwise(toks[-1])
+        return dup_src.unionByName(new_src).select(
+            "doc_id", F.concat_ws(" ", *toks[:-1], last).alias("text")
+        )
+
+    batch = _batch().cache()
+    batch.count()
+
+    def run(s, d):
+        return minhash_lsh_pairs_incremental(
+            corpus,
+            batch,
+            n_hashes=16,
+            rows_per_band=2,
+            min_jaccard=0.5,
+            hash_fn="tokenroll",
+            corpus_buckets=pre,
+            broadcast_new=True,
+        )
+
+    run(spark, sf_dir).count()  # untimed warm-up (plan + codegen)
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -583,6 +649,7 @@ BENCH = {
     # r7 additions, appended (same rule as above)
     "minhash_tokenroll_200k": minhash_tokenroll_200k,
     "pack_mix_2m": pack_mix_2m,
+    "minhash_incremental_2m": minhash_incremental_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

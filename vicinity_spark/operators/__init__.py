@@ -3,6 +3,7 @@ from vicinity_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     minhash_lsh_pairs_rowwise,
     shingles,
     simhash_fingerprints,
@@ -11,6 +12,7 @@ from vicinity_spark.operators.dedup import (
     token_set,
 )
 from vicinity_spark.operators.knn import knn_join, neardup_join, threshold_join
+from vicinity_spark.operators.pii import pii_scan, redact_pii
 from vicinity_spark.operators.sampling import hash_split, stratified_hash_split
 from vicinity_spark.operators.skew import salted_aggregate, salted_join
 
@@ -21,8 +23,11 @@ __all__ = [
     "jaccard_pairs",
     "knn_join",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "minhash_lsh_pairs_rowwise",
     "neardup_join",
+    "pii_scan",
+    "redact_pii",
     "salted_aggregate",
     "salted_join",
     "shingles",

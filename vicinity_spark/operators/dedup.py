@@ -1017,12 +1017,21 @@ def minhash_lsh_pairs_incremental(
     hash_fn: str = "md5",
     max_bucket: Optional[int] = None,
     corpus_buckets: Optional[DataFrame] = None,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """(id_new, id_corpus, jaccard) — near-dup pairs between a NEW
     ingest batch and an EXISTING corpus (r7, incremental-ingestion
     mode). The realistic 100 TB operating mode is not "re-mine the
     whole corpus every day": it is "does today's crawl duplicate
     anything we already hold". This miner prices exactly that:
+
+    ``broadcast_new=True`` hints the batch side of the candidate join
+    for broadcast — in ingest mode the batch is small by definition,
+    and the hint turns the join into a map-side probe over the corpus
+    bucket table with NO corpus-side shuffle (the structural
+    requirement: a daily ingest must not re-shuffle the standing
+    corpus). Left off by default because batch-vs-batch callers (the
+    oracle entry splits one table into roles) should let AQE choose.
 
     - corpus side: the (doc_id, band, bkey) bucket table is a pure
       per-row projection (band_buckets_rowwise) computed ONCE per
@@ -1068,6 +1077,8 @@ def minhash_lsh_pairs_incremental(
             "minhash_lsh_pairs_incremental(new)",
         )
     n_side = new_buckets.select(F.col("doc_id").alias("id_new"), "band", "bkey")
+    if broadcast_new:
+        n_side = F.broadcast(n_side)
     c_side = corpus_buckets.select(
         F.col("doc_id").alias("id_corpus"), "band", "bkey"
     )
