@@ -660,6 +660,16 @@ if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
 
 
 def main():
+    # stdout purity: the driver parses fd 1 as ONE JSON line, but the
+    # Spark JVM inherits fd 1 and can write to it directly (observed: a
+    # `[warning][gc,alloc] ... GCLocker` line from -Xlog's default
+    # warning-level stdout sink landed BEFORE the JSON in a 2M-tier
+    # run, corrupting the capture). Dup the real stdout away, point
+    # fd 1 at stderr BEFORE the JVM launches, and write the final JSON
+    # to the saved fd — nothing the JVM prints can interleave.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("vicinity-spark-bench")
@@ -730,7 +740,8 @@ def main():
     }
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    os.write(real_stdout_fd, (json.dumps(out) + "\n").encode())
+    os.close(real_stdout_fd)
 
 
 if __name__ == "__main__":

@@ -93,3 +93,18 @@ def test_patterns_match_duckdb_re2(pii_df):
             chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
         red = con.execute(f"select {chain}", args).fetchone()[0]
         assert red == spark_rows[did].redacted, did
+
+
+def test_pii_scan_null_and_unicode_text(spark):
+    """Totality: NULL text propagates as NULL counts/redaction (same
+    as the SQL oracle's semantics); unicode text passes through the
+    ASCII-shaped patterns untouched."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "héllo wörld — ünïcode 123-45-6789 ok")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert rows[0].n_email is None and rows[0].n_pii is None
+    assert rows[0].redacted is None
+    assert rows[1].n_ssn == 1 and rows[1].n_pii == 1
+    assert rows[1].redacted == "héllo wörld — ünïcode <SSN> ok"
