@@ -103,3 +103,118 @@ def test_mix_sources_zero_shuffle_plan_and_errors(spark):
         mix_sources(df, {})
     with _pt.raises(ValueError):
         mix_sources(df, {"a": -1.0})
+
+
+# ---- r7 curation ops: cap_per_group / select_token_budget / weighted_sample
+
+
+def _docs_df(spark, n=400, n_groups=5):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % n_groups).cast("string")).alias("source"),
+        # non-monotone value so ordering is not the id order
+        ((F.col("id") * 37) % 101).cast("long").alias("n_chars"),
+    )
+
+
+def test_cap_per_group_bucket_invariance_and_semantics(spark):
+    """Survivor set == naive single-window top-N, for every bucket
+    count (the two-phase plan is an optimization, not a semantics
+    change)."""
+    from pyspark.sql import Window
+
+    from vicinity_spark.operators.sampling import cap_per_group
+
+    df = _docs_df(spark)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
+        .drop("rn")
+    )
+    expected = sorted(tuple(r) for r in naive.collect())
+    for b in (1, 4, 32):
+        got = cap_per_group(df, "source", 7, [F.col("n_chars").desc()], n_buckets=b)
+        assert sorted(tuple(r) for r in got.collect()) == expected, b
+    # groups smaller than n pass through whole
+    tiny = cap_per_group(df.limit(3), "source", 7, [F.col("n_chars").desc()])
+    assert tiny.count() == 3
+
+
+def test_cap_per_group_errors(spark):
+    import pytest as _pt
+
+    from vicinity_spark.operators.sampling import cap_per_group
+
+    df = _docs_df(spark, n=10)
+    with _pt.raises(ValueError):
+        cap_per_group(df, "source", 0, [F.col("n_chars").desc()])
+    with _pt.raises(ValueError):
+        cap_per_group(df, "source", 5, [F.col("n_chars").desc()], n_buckets=0)
+
+
+def test_select_token_budget_matches_single_window_and_is_range_invariant(spark):
+    from vicinity_spark.operators.sampling import select_token_budget
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # duplicate scores force the doc_id tiebreak through the cut
+        ((F.col("id") % 13).cast("double") / 13.0).alias("score"),
+        ((F.col("id") * 7) % 29 + 1).cast("long").alias("n_tokens"),
+    )
+    rows = df.orderBy(F.col("score").desc(), F.col("doc_id")).collect()
+    cum, expected = 0, {}
+    budget = 1500
+    for r in rows:
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        expected[r.doc_id] = cum
+    for nr in (1, 4, 16):
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in select_token_budget(df, budget, num_ranges=nr).collect()
+        }
+        assert got == expected, nr
+
+
+def test_select_token_budget_edges(spark):
+    import pytest as _pt
+
+    from vicinity_spark.operators.sampling import select_token_budget
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1.0).alias("score"),
+        F.lit(10).cast("long").alias("n_tokens"),
+    )
+    # budget 0 and an empty input both select nothing (and keep schema)
+    assert select_token_budget(df, 0).count() == 0
+    empty = select_token_budget(df.where(F.lit(False)), 100)
+    assert empty.count() == 0 and "cum_tokens" in empty.columns
+    with _pt.raises(ValueError):
+        select_token_budget(df, -1)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from vicinity_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    a = {r.doc_id for r in weighted_sample(df, 100, "w").collect()}
+    b = {r.doc_id for r in weighted_sample(df.repartition(13), 100, "w").collect()}
+    assert a == b and len(a) == 100
+    # 200 heavy rows (weight 50) vs 1800 light: the heavy minority must
+    # dominate the sample (E[heavy] ≈ 85 of 100; deterministic given md5)
+    heavy = sum(1 for d in a if d < 200)
+    assert heavy > 60, heavy
+    # k >= n returns everything
+    assert weighted_sample(df, 5_000, "w").count() == 2_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample(df, 0, "w")

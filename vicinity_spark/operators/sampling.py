@@ -18,7 +18,7 @@ training-data pipeline needs one.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,6 +80,156 @@ def stratified_hash_split(
         ).otherwise(expr)
     return df.withColumn(
         split_col, F.when(key < expr, F.lit("train")).otherwise(F.lit("holdout"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: "list[Column]",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Keep at most `n` rows per group, preferring by `order_by` (ties
+    broken by `id_col` — a total order, so the survivor set is unique
+    and engine-portable). The per-domain/per-source document cap of
+    C4/RefinedWeb-style corpus builds.
+
+    Scale plan — the naive single window over `group_col` sorts every
+    row of a group in ONE task, so a hot domain (the exact case the
+    cap exists for) becomes a straggler. Two-phase top-N instead:
+    phase 1 ranks within (group, bucket) — bucket a deterministic hash
+    of the id into `n_buckets` — and keeps ≤ n per bucket, so the hot
+    group's sort runs as `n_buckets` parallel tasks; phase 2 ranks the
+    ≤ n·n_buckets survivors per group. Output is bucket-count
+    invariant (pinned by test): phase 1 can only drop rows that rank
+    > n within a SUBSET of their group, which rank > n in the full
+    group a fortiori."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    order = list(order_by) + [F.col(id_col).asc()]
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    w1 = Window.partitionBy(F.col(group_col), bucket).orderBy(*order)
+    pruned = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def select_token_budget(
+    scored: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a global token budget:
+    order all docs by (`score_col` DESC, `id_col` ASC) and keep the
+    prefix whose cumulative token count stays ≤ `budget_tokens` — the
+    greedy "best docs until the budget is spent" curation step of a
+    training-data build. A doc whose tokens would push the running
+    total past the budget is excluded (as is everything ranked below
+    it); the kept set is unique given the total order.
+
+    Adds `cum_tokens` (running total INCLUDING the row) to the kept
+    rows. Scale plan: the same two-phase global prefix sum as
+    pack_sequences (textops.py:176) — range-repartition on the
+    ordering key, windowed cumsum within each range, per-partition
+    totals (≤ num_ranges rows) cumulated on the driver and added back
+    as broadcast offsets. No single-partition window; the only data
+    shuffle is the range partitioning any global order requires."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    spark = scored.sparkSession
+    if num_ranges <= 0:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = scored.repartitionByRange(
+        num_ranges, F.col(score_col).desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    d = d.withColumn("__cum", F.sum(tokens_col).over(w))
+    totals = {
+        r["__pid"]: r["tot"]
+        for r in d.groupBy("__pid").agg(F.sum(tokens_col).alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if not offsets:
+        return scored.withColumn("cum_tokens", F.lit(None).cast("long")).where(F.lit(False))
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    return (
+        d.withColumn("cum_tokens", (F.col("__cum") + off).cast("long"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .drop("__pid", "__cum")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via
+    PRIORITY SAMPLING (Duffield–Lund–Thorup): each row gets
+    priority = w / u with u a per-row uniform, and the sample is the
+    top-k by priority. Inclusion probability is ∝ weight (exactly
+    min(1, w/τ) for the k-th priority threshold τ), and the scheme
+    supports unbiased subset-sum estimation — the standard pick for
+    "sample 1M docs, weighted by length/quality, reproducibly".
+
+    Determinism + engine portability: u is built from md5 bits, NOT
+    rand() — u = (h + 1) / 2^52 with h the first 13 hex digits of
+    md5(salt:id). h < 2^52 is exactly representable in a double and
+    the divisor is a power of two, so u is EXACT in IEEE arithmetic;
+    w / u is then a single correctly-rounded division — bit-identical
+    in any IEEE-compliant engine (no transcendentals, unlike the
+    exponential-race formulation -ln(u)/w whose log can differ by an
+    ulp across libms and flip a boundary row).
+
+    Plan: priority is a narrow projection; the global top-k runs as
+    Spark's TakeOrdered (per-partition top-k, driver merge of k·P
+    rows) — no global sort shuffle at any corpus size."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

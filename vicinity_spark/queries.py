@@ -1538,6 +1538,118 @@ def docs_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_source_cap",
+    """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: per-source document cap (★ curation) — keep at most 20 docs
+    per source, preferring the longest (the C4/RefinedWeb per-domain
+    cap). The Spark plan is the SKEW-SAFE two-phase top-N
+    (operators/sampling.py cap_per_group: rank within (source, hash
+    bucket) first, so a hot source sorts as 32 parallel tasks, then a
+    bounded final rank); the oracle is the naive single-window SQL, so
+    a green hash certifies the two-phase plan selects exactly the
+    single-window survivor set."""
+    from vicinity_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(d, "source", 20, [F.col("n_chars").desc()]).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+_TOKEN_BUDGET = 10_000
+
+
+@register(
+    "docs_token_budget",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_distinct({_TOK_SQL}))::DOUBLE / len({_TOK_SQL})::DOUBLE AS score,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, round(score, 6) AS ttr, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {_TOKEN_BUDGET}
+""",
+)
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quality-ranked selection under a global token budget (★
+    curation) — docs ordered by type-token ratio (raw IEEE ratio, so
+    the order is engine-exact), kept while the running token total
+    stays ≤ 10k. The Spark plan is the scalable two-phase prefix sum
+    (operators/sampling.py select_token_budget — same machinery as
+    pack_sequences, no single-partition window); the oracle is the
+    single-window cumsum, so a green hash certifies the budget cut
+    lands on exactly the same boundary doc."""
+    from vicinity_spark.operators.sampling import select_token_budget
+    from vicinity_spark.operators.textops import _toks
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks("text")
+    scored = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    sel = select_token_budget(scored, _TOKEN_BUDGET)
+    return sel.select(
+        "doc_id",
+        F.round("score", 6).alias("ttr"),
+        "n_tokens",
+        "cum_tokens",
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         n_chars::DOUBLE
+           / ((('0x' || substring(md5('wsamp:' || doc_id::VARCHAR), 1, 13))::BIGINT + 1)::DOUBLE
+              / 4503599627370496.0) AS priority
+  FROM documents
+)
+ORDER BY priority DESC, doc_id LIMIT 100
+""",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: deterministic weighted sampling without replacement (★
+    curation) — 100 docs, inclusion probability ∝ n_chars, via
+    PRIORITY SAMPLING (top-k by weight/uniform). The uniform is
+    (h+1)/2^52 over md5 bits — every arithmetic step is IEEE-exact or
+    singly-rounded, so Spark and the oracle rank identically with no
+    transcendental-ulp risk (operators/sampling.py weighted_sample
+    docstring). Plan: narrow projection + TakeOrdered top-k — no
+    global sort shuffle."""
+    from vicinity_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, 100, "n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
     "text_pmi_bigrams",
     f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
@@ -3383,6 +3495,9 @@ _CHECK_FIRST = [
     "text_repetition",
     "docs_pii_redact",
     "dedup_minhash_incremental",
+    "docs_source_cap",
+    "docs_token_budget",
+    "docs_weighted_sample",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3434,6 +3549,12 @@ _ROTATE_OUT: "list[str]" = [
     # r1-r6, 6 consecutive) and text_subword_tokens (green r2-r6)
     "dedup_exact",
     "text_subword_tokens",
+    # r7 curation additions (docs_source_cap 65, docs_token_budget 66,
+    # docs_weighted_sample 67): three more 6-consecutive-green rows
+    # take the tail — all code-untouched this round
+    "text_langid",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
