@@ -602,6 +602,36 @@ def neardup_inmem_sweep(spark, sf_dir):
     return e.repartition(32).mapInPandas(kernel, schema)
 
 
+def curation_2m(spark, sf_dir):
+    """Corpus curation at the 2M tier with PATHOLOGICAL source skew:
+    half the corpus (1M docs) sits in ONE hot source, the rest spread
+    over 9 — the exact case the per-domain cap exists for. Pipeline:
+    cap every source at 50k docs preferring the longest
+    (sampling.py cap_per_group — the two-phase top-N sorts the hot
+    source as 32 parallel bucket tasks; the naive single window sorts
+    its 1M rows in ONE task, a 2.3x straggler by the 20M tier —
+    crossover measured in BENCHNOTES "curation at 2M"), then
+    priority-sample 1,000 docs from the ~500k survivors weighted by
+    length (TakeOrdered top-k, no global sort). All columns
+    synthesized executor-side from `range`."""
+    from vicinity_spark.operators.sampling import cap_per_group, weighted_sample
+
+    n = 2_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("s0"))
+        .otherwise(F.concat(F.lit("s"), ((F.col("id") % 9) + 1).cast("string")))
+        .alias("source"),
+        ((F.col("id") * 37) % 997).cast("long").alias("n_chars"),
+    )
+
+    def run(s, d):
+        capped = cap_per_group(docs, "source", 50_000, [F.col("n_chars").desc()])
+        return weighted_sample(capped, 1_000, "n_chars")
+
+    return run
+
+
 BENCH = {
     "knn_batch_full": knn_batch_full,
     "knn_cosine": Q._make_knn("cosine"),
@@ -650,6 +680,7 @@ BENCH = {
     "minhash_tokenroll_200k": minhash_tokenroll_200k,
     "pack_mix_2m": pack_mix_2m,
     "minhash_incremental_2m": minhash_incremental_2m,
+    "curation_2m": curation_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
