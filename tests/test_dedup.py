@@ -822,3 +822,32 @@ def test_minhash_incremental_cap_bounds_cross_cluster(spark):
     found = {(r.id_new, r.id_corpus) for r in res}
     assert (60_000, 10_000) in found  # planted cross pair survives
     assert all(n >= 50_000 and c >= 10_000 for n, c in found)  # clusters dropped
+
+
+def test_keep_best_picks_quality_survivor_per_cluster(spark):
+    from vicinity_spark.operators.dedup import keep_best
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 99)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3}: best is 2 (longest); cluster {4,5}: best is 5;
+    # no singletons here
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in keep_best(docs, pairs, [F.col("n_chars").desc()]).collect()}
+    assert set(rows) == {2, 5}
+    assert rows[2].cluster_id == 1 and rows[5].cluster_id == 4
+
+
+def test_keep_best_keeps_singletons_and_breaks_ties_by_id(spark):
+    from vicinity_spark.operators.dedup import keep_best
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 5), (9, 1)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r.doc_id for r in keep_best(docs, pairs, [F.col("n_chars").desc()]).collect()}
+    # tie on n_chars -> lowest id wins; singleton 9 survives untouched
+    assert got == {1, 9}

@@ -218,3 +218,99 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
 
     with _pt.raises(ValueError):
         weighted_sample(df, 0, "w")
+
+
+def test_stratified_sample_deterministic_prefix_and_bucket_invariant(spark):
+    from vicinity_spark.operators.sampling import stratified_sample
+
+    df = (
+        spark.range(5_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("g", (F.col("doc_id") % 4).cast("string"))
+    )
+    small = stratified_sample(df, "g", 10)
+    big = stratified_sample(df, "g", 50)
+    counts = {r["g"]: r["n"] for r in small.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values()), counts
+    # prefix property: the n=10 sample is contained in the n=50 sample
+    assert small.select("doc_id").exceptAll(big.select("doc_id")).count() == 0
+    # bucket-count invariance (the two-phase guard can't change the set)
+    alt = stratified_sample(df, "g", 10, n_buckets=7)
+    assert small.select("doc_id").exceptAll(alt.select("doc_id")).count() == 0
+    assert alt.select("doc_id").exceptAll(small.select("doc_id")).count() == 0
+    # different salt selects a different sample
+    other = stratified_sample(df, "g", 10, salt="other")
+    assert small.select("doc_id").exceptAll(other.select("doc_id")).count() > 0
+
+
+def test_global_rank_matches_single_window(spark):
+    from pyspark.sql import Window
+    from vicinity_spark.operators.sampling import global_rank
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 101).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    got = global_rank(df, order)
+    ref = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # range-count invariance: same ranks for any number of ranges
+    alt = global_rank(df, order, num_ranges=5)
+    assert alt.exceptAll(ref).count() == 0
+
+
+def test_quality_tiers_matches_sql_ntile(spark):
+    from vicinity_spark.operators.sampling import quality_tiers
+
+    # n = 1003 NOT divisible by k = 7: remainder buckets must sit at
+    # the front exactly as ntile's spec says
+    df = spark.range(1_003).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 13) % 47).alias("score")
+    )
+    got = quality_tiers(df, 7, [F.col("score").desc(), F.col("doc_id").asc()])
+    df.createOrReplaceTempView("qt_docs")
+    ref = spark.sql(
+        """
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS LONG) AS rank,
+               CAST(ntile(7) OVER (ORDER BY score DESC, doc_id) AS LONG) AS tier
+        FROM qt_docs
+        """
+    )
+    assert got.select(*ref.columns).exceptAll(ref).count() == 0
+    assert ref.exceptAll(got.select(*ref.columns)).count() == 0
+    with pytest.raises(ValueError):
+        quality_tiers(df, 0, [F.col("doc_id").asc()])
+
+
+def test_quality_tiers_empty_input(spark):
+    from vicinity_spark.operators.sampling import quality_tiers
+
+    df = spark.range(0).select(F.col("id").alias("doc_id"))
+    out = quality_tiers(df, 4, [F.col("doc_id").asc()])
+    assert out.count() == 0
+
+
+def test_global_rank_is_permutation_above_sampler_threshold(spark):
+    """Regression: repartitionByRange samples boundaries with a
+    per-execution seed, so the offsets collect and the final read
+    could see different row placements (duplicate + gapped ranks).
+    30k rows / 4 ranges is far above the sampler's exact threshold
+    (~100 rows/partition), where the bug reproduced before the
+    localCheckpoint fix."""
+    from vicinity_spark.operators.sampling import global_rank
+
+    n = 30_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 101).alias("score")
+    )
+    got = global_rank(df, [F.col("score").desc(), F.col("doc_id").asc()])
+    stats = got.agg(
+        F.count("*").alias("c"),
+        F.countDistinct("rank").alias("d"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+    ).collect()[0]
+    assert (stats.c, stats.d, stats.mn, stats.mx) == (n, n, 1, n), stats

@@ -1121,3 +1121,41 @@ def minhash_lsh_pairs_incremental(
         )
         .where(F.col("jaccard") >= float(min_jaccard))
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_by: "list",
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The QUALITY-AWARE last mile of dedup: given mined duplicate
+    pairs, keep exactly ONE document per connected dup cluster — the
+    best by `order_by` (ties broken by `id_col` ascending, so the
+    survivor set is unique) — plus every singleton untouched. This is
+    the "of 40 near-copies of the same article, keep the longest /
+    highest-quality one" step that min-id canonicalization
+    (connected_components alone) gets wrong: the canonical doc should
+    be chosen by quality, not by which copy happened to get the
+    smallest id. Output: the surviving docs rows plus `cluster_col`
+    (the component's min id, stable across reruns).
+
+    Plan: connected_components labels only the edge-touched subgraph
+    (singletons bypass the loop), then the per-cluster argmax runs as
+    cap_per_group's two-phase top-1 — an adversarial giant cluster
+    (10k exact copies of one page) ranks as 32 parallel bucket tasks,
+    never one straggler sort. Every shuffle is bounded by
+    |docs| + |edges|."""
+    from vicinity_spark.operators.sampling import cap_per_group
+
+    labels = connected_components(
+        docs.select(F.col(id_col).alias("id")), pairs, a_col=a_col, b_col=b_col
+    )
+    joined = docs.join(
+        labels.select(F.col("id").alias(id_col), F.col("rep").alias(cluster_col)),
+        id_col,
+    )
+    return cap_per_group(joined, cluster_col, 1, list(order_by), id_col=id_col)

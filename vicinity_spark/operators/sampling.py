@@ -160,7 +160,12 @@ def select_token_budget(
     w = Window.partitionBy("__pid").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    d = d.withColumn("__cum", F.sum(tokens_col).over(w))
+    # materialize ONE range partitioning before the totals collect —
+    # range boundaries are sampled per-execution (seed includes the
+    # fresh RDD id), so without this the offsets can be computed
+    # against a different row placement than the final read uses
+    # (see _global_rank_with_total)
+    d = d.withColumn("__cum", F.sum(tokens_col).over(w)).localCheckpoint(eager=True)
     totals = {
         r["__pid"]: r["tot"]
         for r in d.groupBy("__pid").agg(F.sum(tokens_col).alias("tot")).collect()
@@ -295,4 +300,136 @@ def mix_sources(
                             F.col("repeat_idx").cast("string")).cast("binary")
             ).alias("order_key"),
         )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic uniform sample of at most `n` rows per group —
+    "give me 10k docs per language" stratified inspection/eval pulls.
+    Rows are ranked inside each group by the portable md5 split key
+    (uniform, engine-exact, retry-stable — the hash_split mechanics),
+    so the sample is reproducible across runs AND across engines, and
+    grows monotonically: the n=100 sample is a prefix of the n=1000
+    sample under the same salt.
+
+    Plan: delegates to cap_per_group's two-phase top-N, so a hot
+    stratum (one language being 90% of a 100 TB corpus) ranks as
+    `n_buckets` parallel tasks instead of one straggler sort."""
+    key = split_key(id_col, salt)
+    return cap_per_group(
+        df, group_col, n, [key.asc()], id_col=id_col, n_buckets=n_buckets
+    )
+
+
+def _global_rank_with_total(
+    df: DataFrame, order_by: "list[Column]", rank_col: str, num_ranges: int
+) -> "tuple[DataFrame, int]":
+    """(df + 1-based `rank_col` over the global `order_by` order,
+    total row count) — WITHOUT a single-partition window: range-
+    repartition on the full ordering key, row_number within each
+    range, per-range counts (≤ num_ranges rows, a metadata-sized
+    driver collect) prefix-summed into broadcast offsets. Same
+    machinery as pack_sequences' token prefix sum (textops.py:176).
+    `order_by` must be a total order (include an id tiebreak) so
+    ranks are unique and partition-boundary placement can't split
+    equal keys.
+
+    The ranged frame is materialized (localCheckpoint) BEFORE the
+    counts collect: repartitionByRange picks its boundaries by
+    SAMPLING with a seed derived from the execution's fresh RDD id,
+    so two executions of the same lazy plan can place rows in
+    DIFFERENT range partitions once partitions exceed the sampler's
+    exact threshold (spark.sql.execution.rangeExchange.
+    sampleSizePerPartition, 100 rows) — offsets collected from one
+    execution then misalign with the partitioning of the next
+    (measured: duplicate + gapped ranks at 3k rows × 4 ranges).
+    Checkpointing pins ONE partitioning for both reads; the cost is
+    linear and the alternative (a single-partition window) is not a
+    plan at corpus scale."""
+    spark = df.sparkSession
+    if num_ranges <= 0:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    d = d.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = {
+        r["__pid"]: r["c"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(rank_col, F.lit(None).cast("long")), 0
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    ranked = d.withColumn(rank_col, (F.col("__rn") + off).cast("long")).drop(
+        "__pid", "__rn"
+    )
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: "list[Column]",
+    rank_col: str = "rank",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """Exact global 1-based rank over `order_by` (must include an id
+    tiebreak for a total order). The naive `row_number() OVER (ORDER
+    BY ...)` plans as ONE partition holding the whole corpus; this
+    runs as the two-phase range-partitioned prefix count instead —
+    the only data shuffle is the range partitioning any global order
+    requires."""
+    ranked, _ = _global_rank_with_total(df, order_by, rank_col, num_ranges)
+    return ranked
+
+
+def quality_tiers(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: "list[Column]",
+    tier_col: str = "tier",
+    rank_col: str = "rank",
+    num_ranges: int = 0,
+) -> DataFrame:
+    """Exact quantile binning: adds `rank` (global 1-based) and `tier`
+    (1..n_tiles) matching SQL `ntile(n_tiles) OVER (ORDER BY ...)`
+    bit-for-bit — the "split the corpus into quality deciles, train on
+    the top 3" curation step. ntile front-loads the remainder: the
+    first n mod k buckets hold floor(n/k)+1 rows, the rest floor(n/k)
+    — reproduced here in pure integer arithmetic from the global rank
+    (NOT the tempting floor((rank-1)·k/n) identity, which spreads the
+    remainder Bresenham-style and diverges from ntile whenever
+    n mod k ≥ 2). Same scale plan as global_rank — no
+    single-partition window at any corpus size."""
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    ranked, total = _global_rank_with_total(df, order_by, rank_col, num_ranges)
+    if total == 0:
+        return ranked.withColumn(tier_col, F.lit(None).cast("long"))
+    q, r = divmod(int(total), int(n_tiles))
+    cut = r * (q + 1)  # last rank inside the front (bigger) buckets
+    big = F.expr(f"({rank_col} - 1) div {q + 1}L") + 1
+    small = (
+        F.lit(r) + F.expr(f"({rank_col} - {cut}L - 1) div {max(q, 1)}L") + 1
+    )
+    return ranked.withColumn(
+        tier_col,
+        F.when(F.col(rank_col) <= F.lit(cut), big).otherwise(small).cast("long"),
     )

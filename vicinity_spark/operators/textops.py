@@ -215,7 +215,13 @@ def pack_sequences(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy("doc_id")
-    d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    # materialize ONE range partitioning before the totals collect —
+    # range boundaries are sampled per-execution (seed includes the
+    # fresh RDD id), so without this the broadcast offsets can be
+    # computed against a different row placement than the final read
+    # uses once partitions exceed the sampler's exact threshold
+    # (sampling.py _global_rank_with_total has the measured failure)
+    d = d.withColumn("__cum", F.sum("n_tokens").over(w)).localCheckpoint(eager=True)
     # one row per RANGE PARTITION (≤ num_ranges) — a metadata-sized
     # driver collect, not a data collect; range ids are ordered by key
     totals = {r["__pid"]: r["tot"] for r in

@@ -1650,6 +1650,127 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_stratified_sample",
+    """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 30
+""",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: deterministic stratified sampling (★ curation) — at most 30
+    docs per language, ranked by the portable md5 split key, so the
+    sample is reproducible across runs and engines and the n=30
+    sample is a prefix of any larger one. The Spark plan is the
+    skew-safe two-phase top-N (a hot stratum ranks as 32 parallel
+    bucket tasks); the oracle is the naive single-window SQL, so a
+    green hash certifies the two plans select identical rows."""
+    from vicinity_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(d, "lang", 30).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "docs_quality_tiers",
+    """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS g_rank,
+       CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tier
+FROM documents
+""",
+)
+def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: exact global rank + decile binning (★ curation) — every doc
+    gets its corpus-wide rank by length and its ntile(10) quality
+    tier ("train on the top 3 deciles"). The oracle's `row_number() /
+    ntile() OVER (ORDER BY ...)` plans as ONE partition holding the
+    whole corpus; the Spark plan is the two-phase range-partitioned
+    prefix count (operators/sampling.py global_rank — same machinery
+    as pack_sequences), with ntile reproduced bit-exactly via
+    tier = (rank-1)·k div n + 1. A green hash certifies the
+    distributed rank equals the single-window rank row-for-row."""
+    from vicinity_spark.operators.sampling import quality_tiers
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = quality_tiers(
+        d, 10, [F.col("n_chars").desc(), F.col("doc_id").asc()], rank_col="g_rank"
+    )
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "g_rank", "tier"
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE
+sh AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS both
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.both::DOUBLE / (sa.sz + sb.sz - i.both)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+),
+comp AS (SELECT id AS doc_id, min(rep) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT d.doc_id, c.cluster_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rn
+  FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+) WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quality-aware dedup survivors (★ the full last mile) —
+    shingle-Jaccard pairs → connected components → keep the LONGEST
+    doc per dup cluster (not the min-id one) plus all singletons:
+    exactly the corpus a training pipeline feeds downstream. The
+    per-cluster argmax runs as cap_per_group's two-phase top-1, so a
+    giant cluster of near-copies can never become one straggler sort.
+    Oracle: recursive-CTE closure + the naive single-window argmax."""
+    from vicinity_spark.operators.dedup import jaccard_pairs, keep_best, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(d, n=3), "shingle", 0.5)
+    kept = keep_best(
+        d.select("doc_id", "n_chars"), pairs, [F.col("n_chars").desc()]
+    )
+    return kept.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "text_pmi_bigrams",
     f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
@@ -3498,6 +3619,9 @@ _CHECK_FIRST = [
     "docs_source_cap",
     "docs_token_budget",
     "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_quality_tiers",
+    "dedup_keep_best",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3555,6 +3679,12 @@ _ROTATE_OUT: "list[str]" = [
     "text_langid",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r7 final additions (docs_stratified_sample 68, docs_quality_tiers
+    # 69, dedup_keep_best 70): three more long-green (r5+r6 green,
+    # code-untouched this round) rows take the tail
+    "vocab_top_tokens",
+    "docs_clean_pipeline",
+    "text_pmi_bigrams",
 ]
 
 
