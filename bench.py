@@ -632,6 +632,32 @@ def curation_2m(spark, sf_dir):
     return run
 
 
+def rank_tiers_2m(spark, sf_dir):
+    """Exact global rank + ntile decile binning over 2M docs
+    (sampling.py quality_tiers): the two-phase range-partitioned
+    prefix count, checkpointed once so the offsets collect and the
+    final read share one partitioning. The naive `ntile() OVER (ORDER
+    BY ...)` moves all rows to ONE partition — ~equal at this tier
+    (1.4s) but 3.9x slower by 20M and an OOM at corpus scale
+    (BENCHNOTES "global rank at 2M"). Aggregates to a 10-row tier
+    histogram so the timed work is the full per-row rank."""
+    from vicinity_spark.operators.sampling import quality_tiers
+
+    n = 2_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 997).cast("long").alias("n_chars"),
+    )
+
+    def run(s, d):
+        out = quality_tiers(
+            docs, 10, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+        )
+        return out.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+
+    return run
+
+
 BENCH = {
     "knn_batch_full": knn_batch_full,
     "knn_cosine": Q._make_knn("cosine"),
@@ -681,6 +707,7 @@ BENCH = {
     "pack_mix_2m": pack_mix_2m,
     "minhash_incremental_2m": minhash_incremental_2m,
     "curation_2m": curation_2m,
+    "rank_tiers_2m": rank_tiers_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
