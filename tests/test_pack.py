@@ -122,3 +122,37 @@ def test_pack_sequences_property(spark, texts, seq_len):
             for r in pack_sequences(docs, seq_len=seq_len, num_ranges=nr).collect()
         )
         assert got == want, (texts, seq_len, nr)
+
+
+def test_pack_sequences_null_text_zero_width(spark):
+    """NULL text is a zero-width doc: coordinates are total (no crash
+    on the driver-side offset fold), it consumes no stream space, and
+    last_seq never precedes first_seq even on a boundary."""
+    from pyspark.sql import functions as F
+    from vicinity_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, seq_len=4).collect()}
+    assert rows[1].n_tokens == 0 and rows[3].n_tokens == 0
+    # zero-width docs sit at the position of the next doc's start
+    assert rows[1].start == 3 and rows[2].start == 3
+    assert rows[1].last_seq >= rows[1].first_seq
+    # stream total unaffected by NULL docs
+    assert rows[3].start == 5
+
+
+def test_select_token_budget_null_tokens_weigh_zero(spark):
+    from pyspark.sql import functions as F
+    from vicinity_spark.operators.sampling import select_token_budget
+
+    scored = spark.createDataFrame(
+        [(0, 3.0, 60), (1, 2.0, None), (2, 1.0, 50)],
+        "doc_id long, score double, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in select_token_budget(scored, 110).collect()}
+    # NULL weighs 0: doc 1 fits for free between 0 and 2
+    assert set(rows) == {0, 1, 2}
+    assert rows[1].cum_tokens == 60 and rows[2].cum_tokens == 110

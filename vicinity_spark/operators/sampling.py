@@ -164,11 +164,14 @@ def select_token_budget(
     # range boundaries are sampled per-execution (seed includes the
     # fresh RDD id), so without this the offsets can be computed
     # against a different row placement than the final read uses
-    # (see _global_rank_with_total)
-    d = d.withColumn("__cum", F.sum(tokens_col).over(w)).localCheckpoint(eager=True)
+    # (see _global_rank_with_total). NULL token counts weigh 0 (SQL
+    # sum would skip them row-wise but return a None partition total
+    # for an all-NULL partition, crashing the driver-side fold).
+    tok0 = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    d = d.withColumn("__cum", F.sum(tok0).over(w)).localCheckpoint(eager=True)
     totals = {
         r["__pid"]: r["tot"]
-        for r in d.groupBy("__pid").agg(F.sum(tokens_col).alias("tot")).collect()
+        for r in d.groupBy("__pid").agg(F.sum(tok0).alias("tot")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(totals):

@@ -209,7 +209,11 @@ def pack_sequences(
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
+        # NULL text = a zero-width doc (contributes nothing to the
+        # token stream but still gets coordinates) — without the
+        # coalesce a NULL partition total reaches the driver-side
+        # offset fold as None and crashes the whole pack
+        F.coalesce(F.size(_toks(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
     )
     d = d.repartitionByRange(num_ranges, "doc_id").withColumn(
         "__pid", F.spark_partition_id()
@@ -242,7 +246,9 @@ def pack_sequences(
         "n_tokens",
         "start",
         F.expr(f"start div {seq_len}").alias("first_seq"),
-        F.expr(f"(start + n_tokens - 1) div {seq_len}").alias("last_seq"),
+        # greatest(n_tokens, 1) keeps last_seq >= first_seq for
+        # zero-width (NULL-text) docs sitting exactly on a boundary
+        F.expr(f"(start + greatest(n_tokens, 1) - 1) div {seq_len}").alias("last_seq"),
         F.expr(f"start % {seq_len}").alias("seq_offset"),
     )
 
