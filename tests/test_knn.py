@@ -891,3 +891,29 @@ def test_graph_bench_operating_point_recall_floor(spark):
         assert recall >= 0.90, f"bench-config graph recall {recall:.3f} < 0.90 floor"
     finally:
         built.unpersist()
+
+
+def test_nonfinite_corpus_vectors_rank_last_all_algorithms(spark):
+    """A corrupt (NaN/Inf) corpus vector must NEVER outrank a finite
+    one. Regression: the Arrow boundary of the Pandas kernels turns a
+    NaN distance into SQL NULL; the default NULLS FIRST window order
+    then ranked the corrupt vector as the rank-1 neighbor and
+    clip_distance(greatest) rewrote its NULL distance to a perfect
+    0.0. Now: NULLS LAST ordering + NULL->NaN restoration, matching
+    the JVM expression path's NaN-sorts-last semantics."""
+    from pyspark.sql import functions as F
+    from vicinity_spark.operators.knn import knn_join
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0]),
+         (2, [float("inf"), 0.0]), (3, [0.6, 0.8])],
+        "id long, vector array<double>",
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "query_id long, qvec array<double>")
+    for alg in ("window", "partial", "grid"):
+        rows = knn_join(emb, q, k=4, metric="cosine", algorithm=alg).collect()
+        ids = [r.id for r in sorted(rows, key=lambda r: r.rank)]
+        assert ids[:2] == [0, 3], (alg, ids)
+        assert all(r.distance != r.distance for r in rows if r.id in (1, 2)), (
+            alg, [(r.id, r.distance) for r in rows],
+        )  # reported as NaN, never 0.0

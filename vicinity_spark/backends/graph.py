@@ -163,7 +163,7 @@ class GraphStrategy(IndexStrategy):
             .select("id", "nbr")
         )
         scored = self._scored_edges(edges, vectors, metric)
-        w = Window.partitionBy("id").orderBy(F.col("distance"), F.col("nbr"))
+        w = Window.partitionBy("id").orderBy(F.col("distance").asc_nulls_last(), F.col("nbr"))
         for _ in range(self.params["iters"]):
             top = (
                 scored.withColumn("__r", F.row_number().over(w))
@@ -345,7 +345,7 @@ class GraphStrategy(IndexStrategy):
             )
             seeds = entry_df.unionByName(corpus.where(F.col(INSERTED_COL)).select("id"))
             frontier = qids.crossJoin(F.broadcast(seeds.distinct()))
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         scored = score_joined(frontier.join(vec, "id"), queries, metric)
         if rounds >= 2:
             # the seed scores feed every later round's visited/pool —
@@ -418,7 +418,7 @@ class GraphStrategy(IndexStrategy):
         if k < 1:
             raise ValueError("k must be greater than 0")
         visited = self._searched(corpus, queries, metric, k)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         out = (
             visited.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

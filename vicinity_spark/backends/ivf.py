@@ -164,7 +164,7 @@ class IVFStrategy(IndexStrategy):
         if k < 1:
             raise ValueError("k must be greater than 0")
         scored = self._scored(corpus, queries, metric)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         out = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

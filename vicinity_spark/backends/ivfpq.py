@@ -295,7 +295,7 @@ class IVFPQStrategy(PQStrategy):
         from vicinity_spark.functions.metrics import clip_distance
 
         cand = self._candidates(corpus, queries, k, metric)
-        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
         scored = self._recon_scored(cand, corpus, queries, metric)
@@ -314,7 +314,7 @@ class IVFPQStrategy(PQStrategy):
             from vicinity_spark.operators.knn import score_joined
 
             k2 = max(k * fr, k)
-            w1 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+            w1 = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
             winners = (
                 scored.withColumn("__r1", F.row_number().over(w1))
                 .where(F.col("__r1") <= k2)
@@ -323,7 +323,7 @@ class IVFPQStrategy(PQStrategy):
             scored = score_joined(
                 winners.join(corpus.select("id", "vector"), "id"), queries, metric
             )
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         out = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

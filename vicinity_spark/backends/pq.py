@@ -233,7 +233,7 @@ class PQStrategy(IndexStrategy):
         if k < 1:
             raise ValueError("k must be greater than 0")
         cand = self._candidates(corpus, queries, k, metric)
-        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
         from vicinity_spark.operators.knn import score_joined
@@ -244,7 +244,7 @@ class PQStrategy(IndexStrategy):
             corpus.select("id", "vector"), "id"
         )
         exact = score_joined(joined, queries, metric)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         out = (
             exact.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -124,7 +124,7 @@ class SQStrategy(IndexStrategy):
             raise ValueError("k must be greater than 0")
         cand = self._candidates(corpus, queries, k, metric)
         # keep k×refine best approx candidates globally per query
-        w0 = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w0 = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         kk = max(k * self.params["refine"], k)
         cand = cand.withColumn("__r0", F.row_number().over(w0)).where(F.col("__r0") <= kk)
         # phase 2: exact re-rank on true vectors (candidates are tiny →
@@ -138,7 +138,7 @@ class SQStrategy(IndexStrategy):
             corpus.select("id", "vector"), "id"
         )
         exact = score_joined(joined, queries, metric)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         out = (
             exact.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

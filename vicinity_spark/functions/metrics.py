@@ -257,5 +257,16 @@ def distance_expr(
 
 
 def clip_distance(d: Column) -> Column:
-    """Facade-level clip to ≥ 0 (vicinity/vicinity.py:135,162)."""
-    return F.greatest(d, F.lit(0.0))
+    """Facade-level clip to ≥ 0 (vicinity/vicinity.py:135,162).
+
+    NULL maps back to NaN: the Arrow boundary of every Pandas kernel
+    converts a NaN distance (non-finite input vector) into SQL NULL,
+    and `greatest` alone would silently clip that NULL to 0.0 — a
+    corrupt corpus vector masquerading as a perfect rank-1 match. The
+    JVM expression paths keep NaN end-to-end; this restores the same
+    value at the kernel paths' output (ranking is handled by the
+    asc_nulls_last window order, which matches Spark's NaN-sorts-last
+    semantics on the JVM paths)."""
+    return F.when(d.isNull(), F.lit(float("nan"))).otherwise(
+        F.greatest(d, F.lit(0.0))
+    )

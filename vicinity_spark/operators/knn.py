@@ -342,7 +342,7 @@ def knn_join(
             dist.alias("distance"),
             *(payload_cols or []),
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -364,7 +364,7 @@ def knn_join(
                 "query_id", "id", "distance", "rank", *(payload_cols or [])
             )
         local = _partial_topk(corpus, id_col, vector_col, bq, k, metric)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         merged = (
             local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -408,7 +408,7 @@ def knn_join(
                     yield dense_cell_topk(qids, ids, X.astype(np.float64), Q, metric, k)
 
         local = grid.mapInPandas(cell_fn, _KNN_SCHEMA)
-        w = Window.partitionBy("query_id").orderBy(F.col("distance"), F.col("id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
         merged = (
             local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
