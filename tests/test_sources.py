@@ -125,3 +125,54 @@ def test_formats_feed_operators_identically(spark, tmp_path, docs, embs):
         r = knn_join(e, q, k=2, metric="cosine", algorithm="window")
         knns.append({(x.query_id, x.id, round(x.distance, 6)) for x in r.collect()})
     assert knns[0] == knns[1] == knns[2]
+
+
+def test_write_corpus_layout_prunes_and_bounds_files(spark, tmp_path):
+    """The production layout contract: (a) directory partitioning by
+    lang — a lang-filtered read-back plan shows a partition filter and
+    reads only that directory's files; (b) maxRecordsPerFile bounds
+    every file; (c) rows inside each file are sorted by doc_id (the
+    row-group stats precondition)."""
+    import os
+    from pyspark.sql import functions as F
+    from vicinity_spark.sources.files import read_documents, write_corpus_layout
+
+    docs = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s0").alias("source"),
+        F.when(F.col("id") % 4 == 0, "de").otherwise("en").alias("lang"),
+        (F.col("id") % 97).alias("n_chars"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus_layout(docs, path, partition_by=("lang",),
+                        sort_within=("doc_id",), max_records_per_file=100)
+    # (a) directory partitioning + pruned read
+    assert sorted(d for d in os.listdir(path) if d.startswith("lang=")) == [
+        "lang=de", "lang=en",
+    ]
+    back = spark.read.parquet(path).where(F.col("lang") == "de")
+    assert back.count() == 250
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    dirs = {f["p"].split("lang=")[1].split("/")[0] for f in
+            back.select(F.input_file_name().alias("p")).distinct().collect()}
+    assert dirs == {"de"}
+    # (b) bounded file sizes
+    import glob
+    for f in glob.glob(path + "/lang=*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 100, (f, n)
+    # (c) sorted within files
+    one = glob.glob(path + "/lang=en/*.parquet")[0]
+    ids = [r.doc_id for r in spark.read.parquet(one).select("doc_id").collect()]
+    assert ids == sorted(ids)
+    # schema round-trips through the enforced reader
+    rt = read_documents(spark, path)
+    assert rt.count() == 1_000
+    # error paths
+    import pytest
+    with pytest.raises(ValueError):
+        write_corpus_layout(docs, path + "2", partition_by=())
+    with pytest.raises(ValueError):
+        write_corpus_layout(docs, path + "3", partition_by=("nope",))

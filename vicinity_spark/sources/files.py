@@ -149,3 +149,40 @@ def write_embeddings(
                 vector_delimiter,
             ),
         ).write.mode("error").option("header", "true").csv(path)
+
+
+def write_corpus_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: "tuple[str, ...] | list[str]" = ("lang",),
+    sort_within: "tuple[str, ...] | list[str]" = ("doc_id",),
+    max_records_per_file: int = 0,
+    mode: str = "error",
+) -> None:
+    """Write a corpus in the PRODUCTION parquet layout: directory-
+    partitioned by low-cardinality columns (so downstream scans with
+    a `lang = 'en'`-style predicate prune whole directories before
+    reading a byte), rows sorted within each file (so min/max
+    row-group statistics make point/range predicates on the sort key
+    prune row groups too), and file sizes bounded by
+    `max_records_per_file` (one hot partition value never becomes one
+    multi-GB file that a single task must read).
+
+    Plan: one hash repartition on `partition_by` routes each
+    partition value's rows to one task set (without it, every input
+    task writes a file into every partition directory — the
+    small-files explosion at 100 TB: tasks × partitions files), then
+    sortWithinPartitions orders rows inside each task for the
+    row-group stats. No global sort."""
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    for c in (*partition_by, *sort_within):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame: {df.columns}")
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_within:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_within])
+    w = out.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
+    w.parquet(path)
