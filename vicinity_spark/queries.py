@@ -1770,6 +1770,108 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_pipeline_sql() -> str:
+    """Oracle for `docs_curation_pipeline`: the full curation chain
+    replayed in SQL — exact-dedup canonical rows, the docs_pii_redact
+    planting + fixed-order redaction chain, type-token-ratio scoring
+    over the REDACTED text, global rank + ntile deciles, md5 split."""
+    from vicinity_spark.operators.pii import PII_PATTERNS
+
+    chain = "text"
+    for _cat, (pat, repl) in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+),
+kept AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+planted AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 7 = 0
+      THEN text || ' contact user' || doc_id::VARCHAR
+           || '@example.com or 555-867-5309 at 10.0.'
+           || (doc_id % 200)::VARCHAR || '.17 ssn 123-45-6789'
+      ELSE text END AS text
+  FROM kept
+),
+red AS (SELECT doc_id, lang, {chain} AS text FROM planted),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_distinct({_TOK_SQL}))::DOUBLE / len({_TOK_SQL})::DOUBLE AS ttr
+  FROM red
+),
+ranked AS (
+  SELECT doc_id, lang, ttr,
+         row_number() OVER (ORDER BY ttr DESC, doc_id) AS g_rank,
+         ntile(10) OVER (ORDER BY ttr DESC, doc_id) AS tier
+  FROM scored
+)
+SELECT doc_id, lang, round(ttr, 6) AS ttr,
+       CAST(g_rank AS BIGINT) AS g_rank, CAST(tier AS BIGINT) AS tier,
+       CASE WHEN md5('split:' || doc_id::VARCHAR) < 'e6666666'
+            THEN 'train' ELSE 'holdout' END AS split
+FROM ranked
+"""
+
+
+@register("docs_curation_pipeline", _curation_pipeline_sql())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: THE full training-data curation chain as ONE certified
+    composition (★ flagship) — exact-dedup to canonical rows, PII
+    redaction (with the docs_pii_redact deterministic planting so the
+    scrub genuinely transforms every 7th doc and its downstream
+    quality score), type-token-ratio scoring over the redacted text,
+    exact global rank + decile tiers (two-phase, no single-partition
+    window), and the deterministic train/holdout split. Every stage
+    is individually certified elsewhere; this row certifies their
+    INTERPLAY — planted PII changes a doc's TTR, which moves its
+    rank, which can move tier boundaries for other docs."""
+    from vicinity_spark.operators.dedup import exact_dedup
+    from vicinity_spark.operators.pii import redact_pii
+    from vicinity_spark.operators.sampling import hash_split, quality_tiers
+    from vicinity_spark.operators.textops import _toks
+
+    d = _t(spark, sf_dir, "documents")
+    canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    kept = d.join(canon, "doc_id", "left_semi")
+    planted = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 at 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".17 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_pii(planted)
+    toks = _toks("text")
+    scored = red.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("ttr"),
+    )
+    tiers = quality_tiers(
+        scored, 10, [F.col("ttr").desc(), F.col("doc_id").asc()], rank_col="g_rank"
+    )
+    out = hash_split(tiers, train_fraction=0.9)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("ttr", 6).alias("ttr"),
+        "g_rank",
+        "tier",
+        "split",
+    )
+
+
 @register(
     "text_pmi_bigrams",
     f"""
@@ -3622,6 +3724,7 @@ _CHECK_FIRST = [
     "docs_stratified_sample",
     "docs_quality_tiers",
     "dedup_keep_best",
+    "docs_curation_pipeline",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3685,6 +3788,9 @@ _ROTATE_OUT: "list[str]" = [
     "vocab_top_tokens",
     "docs_clean_pipeline",
     "text_pmi_bigrams",
+    # r7 flagship addition (docs_curation_pipeline 71): one more
+    # long-green row takes the tail
+    "lineitem_quantiles",
 ]
 
 
