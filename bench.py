@@ -658,6 +658,73 @@ def rank_tiers_2m(spark, sf_dir):
     return run
 
 
+def curation_pipeline_2m(spark, sf_dir):
+    """The ENTIRE curation chain (the docs_curation_pipeline oracle
+    row) at the 2M tier: exact dedup (10k planted exact copies) →
+    PII redaction (4-pattern regexp chain; every 7th doc carries
+    planted PII) → type-token-ratio scoring of the redacted text →
+    exact global rank + decile tiers (two-phase, checkpointed) →
+    deterministic split → per-(tier, split) audit counts. One run
+    prices what a daily 2M-doc curation batch costs end-to-end; the
+    per-stage asymptotics are each pinned by their own entries."""
+    from vicinity_spark.operators.dedup import exact_dedup
+    from vicinity_spark.operators.pii import redact_pii
+    from vicinity_spark.operators.sampling import hash_split, quality_tiers
+    from vicinity_spark.operators.textops import _toks
+
+    docs = _synth_docs(spark, n=1_990_000, n_dups=10_000, parts=64)
+    # exact copies (not near-copies): overwrite the dup rows' text
+    # with their source doc's text so the exact-dedup stage is live
+    n = 1_990_000
+    src = F.when(F.col("doc_id") >= n, F.col("doc_id") - n).otherwise(F.col("doc_id"))
+    toks = [
+        F.substring(
+            F.md5(F.concat_ws("-", src.cast("string"), F.lit(str(j)))), 1, 8
+        )
+        for j in range(16)
+    ]
+    docs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", *toks).alias("text"),
+        (F.col("doc_id") % 4).cast("string").alias("lang"),
+    ).cache()
+    docs.count()
+
+    def run(s, d):
+        canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+        kept = docs.join(canon, "doc_id", "left_semi")
+        planted = kept.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-867-5309 at 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".17 ssn 123-45-6789"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        red = redact_pii(planted)
+        t = _toks("text")
+        scored = red.select(
+            "doc_id",
+            "lang",
+            (
+                F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+            ).alias("ttr"),
+        )
+        tiers = quality_tiers(
+            scored, 10, [F.col("ttr").desc(), F.col("doc_id").asc()], rank_col="g_rank"
+        )
+        out = hash_split(tiers, train_fraction=0.9)
+        return out.groupBy("tier", "split").agg(F.count(F.lit(1)).alias("n"))
+
+    return run
+
+
 BENCH = {
     "knn_batch_full": knn_batch_full,
     "knn_cosine": Q._make_knn("cosine"),
@@ -708,6 +775,7 @@ BENCH = {
     "minhash_incremental_2m": minhash_incremental_2m,
     "curation_2m": curation_2m,
     "rank_tiers_2m": rank_tiers_2m,
+    "curation_pipeline_2m": curation_pipeline_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
