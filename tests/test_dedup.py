@@ -851,3 +851,29 @@ def test_keep_best_keeps_singletons_and_breaks_ties_by_id(spark):
     got = {r.doc_id for r in keep_best(docs, pairs, [F.col("n_chars").desc()]).collect()}
     # tie on n_chars -> lowest id wins; singleton 9 survives untouched
     assert got == {1, 9}
+
+
+def test_shared_gram_stats_cross_doc_only(spark):
+    from pyspark.sql import functions as F
+    from vicinity_spark.operators.dedup import shared_gram_stats
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),   # shares 'the quick brown' w/ 1
+         (1, "the quick brown cat sits"),
+         (2, "totally unique sentence here"),
+         (3, "xx yy"),                        # < 3 tokens -> no grams
+         (4, "rep rep rep rep")],             # within-doc repeat, no cross match
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in shared_gram_stats(docs, n=3).collect()}
+    assert rows[0].n_grams == 3 and rows[0].n_shared_grams == 1
+    assert rows[0].shared_gram_frac == round(1 / 3, 6)
+    assert rows[1].n_shared_grams == 1
+    assert rows[2].n_shared_grams == 0 and rows[2].shared_gram_frac == 0.0
+    assert rows[3].n_grams == 0 and rows[3].shared_gram_frac is None
+    # within-doc repetition alone is NOT cross-doc sharing: 'rep rep
+    # rep' dedupes to one gram in-doc and matches no other doc
+    assert rows[4].n_grams == 1 and rows[4].n_shared_grams == 0
+    import pytest
+    with pytest.raises(ValueError):
+        shared_gram_stats(docs, min_docs=1)

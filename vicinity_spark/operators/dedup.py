@@ -1159,3 +1159,59 @@ def keep_best(
         id_col,
     )
     return cap_per_group(joined, cluster_col, 1, list(order_by), id_col=id_col)
+
+
+def shared_gram_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared_grams, shared_gram_frac) — the
+    CROSS-DOC duplicate n-gram signal: for each doc, how many of its
+    distinct word n-grams also appear in ≥ `min_docs`-1 other docs
+    (the exact-substring-dedup statistic of Lee et al.'s
+    "Deduplicating Training Data" — a high shared fraction marks
+    boilerplate/templated text that per-doc near-dup mining misses
+    because no single pair crosses the Jaccard threshold). The
+    within-doc twin is textops.repetition_scores; this one needs the
+    corpus.
+
+    Plan: grams are a pure per-row projection (shingles — zero
+    shuffles before aggregation); the document-frequency table is one
+    combine-friendly groupBy (hot grams cost a counter, never a row
+    explosion); docs then left-semi join against only the SHARED
+    vocabulary (∝ duplicated grams, typically a small fraction — AQE
+    can broadcast it), so the second shuffle is bounded by the dup
+    rate, not the token stream. Docs with < n tokens report 0 grams
+    and a NULL fraction."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("shingle")
+    )
+    shared = (
+        sh.join(hot, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_grams_arr(n, text_col)).cast("long").alias("n_grams"),
+    )
+    out = base.join(shared, "doc_id", "left")
+    ns = F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        "n_grams",
+        ns.alias("n_shared_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(ns.cast("double") / F.col("n_grams").cast("double"), 6),
+        ).alias("shared_gram_frac"),
+    )

@@ -1770,6 +1770,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_shared_grams",
+    f"""
+WITH sh AS ({_SHINGLE_SQL}),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+hot AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) >= 2),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM dsh JOIN hot USING (shingle) GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(b.n, 0) AS n_grams,
+       COALESCE(p.n_shared, 0) AS n_shared_grams,
+       CASE WHEN COALESCE(b.n, 0) > 0
+            THEN round(COALESCE(p.n_shared, 0)::DOUBLE / b.n::DOUBLE, 6)
+       END AS shared_gram_frac
+FROM documents d
+LEFT JOIN base b USING (doc_id)
+LEFT JOIN per p USING (doc_id)
+""",
+)
+def dedup_shared_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: CROSS-DOC duplicate n-gram fraction (the exact-substring-
+    dedup signal of Lee et al. — boilerplate/templated text that
+    pairwise near-dup mining misses). Plan: rowwise gram projection →
+    one combine-friendly document-frequency groupBy → left-semi join
+    against only the SHARED vocabulary (∝ dup rate, broadcastable),
+    so no shuffle scales with the token stream except the DF count's
+    map-side-combined aggregation. The within-doc twin is
+    text_repetition."""
+    from vicinity_spark.operators.dedup import shared_gram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return shared_gram_stats(d, n=3)
+
+
 def _curation_pipeline_sql() -> str:
     """Oracle for `docs_curation_pipeline`: the full curation chain
     replayed in SQL — exact-dedup canonical rows, the docs_pii_redact
@@ -3725,6 +3762,7 @@ _CHECK_FIRST = [
     "docs_quality_tiers",
     "dedup_keep_best",
     "docs_curation_pipeline",
+    "dedup_shared_grams",
     # never green (r1-r3):
     "skew_salted_join",
     "ann_ivfpqr_knn",
@@ -3788,9 +3826,10 @@ _ROTATE_OUT: "list[str]" = [
     "vocab_top_tokens",
     "docs_clean_pipeline",
     "text_pmi_bigrams",
-    # r7 flagship addition (docs_curation_pipeline 71): one more
-    # long-green row takes the tail
+    # r7 flagship addition (docs_curation_pipeline 71) and
+    # dedup_shared_grams (72): two more long-green rows take the tail
     "lineitem_quantiles",
+    "orders_running_revenue",
 ]
 
 
