@@ -877,3 +877,28 @@ def test_shared_gram_stats_cross_doc_only(spark):
     import pytest
     with pytest.raises(ValueError):
         shared_gram_stats(docs, min_docs=1)
+
+
+def test_keep_best_giant_cluster_bounded(spark):
+    """Adversarial giant cluster: 10k docs in ONE dup cluster (star
+    edges to doc 0). keep_best must return exactly one survivor — the
+    highest-quality member — via the two-phase top-1, with singletons
+    untouched."""
+    from pyspark.sql import functions as F
+    from vicinity_spark.operators.dedup import keep_best
+
+    n = 10_000
+    docs = spark.range(n + 5).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 977).cast("long").alias("n_chars"),
+    )
+    pairs = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    kept = keep_best(docs, pairs, [F.col("n_chars").desc()]).collect()
+    ids = sorted(r.doc_id for r in kept)
+    # 1 survivor from the 10k cluster + the 5 singletons
+    assert len(ids) == 6 and ids[-5:] == [10_000, 10_001, 10_002, 10_003, 10_004]
+    winner = [r for r in kept if r.cluster_id == 0][0]
+    # best (n_chars, -id): n_chars == 976 first occurs at doc 976
+    assert winner.doc_id == 976 and winner.n_chars == 976
