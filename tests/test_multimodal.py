@@ -793,3 +793,43 @@ def test_fake_mode_total_on_corrupt_jpeg_sniff(spark):
     assert len(got) == 1 and len(got[0].feature) == 16
     with _pytest.raises(Exception):
         extract_features(df, fake=False).collect()
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """ADVICE r7 / T.81 B.1.1.2: markers may be preceded by any number
+    of 0xFF fill bytes. External encoders pad with them; the parser
+    (full decode AND the header-only _jpeg_meta slice) must skip fill
+    bytes instead of reading 0xFF as a marker code + bogus length."""
+    import numpy as np
+
+    from vicinity_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode,
+        _jpeg_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    clean = _jpeg_encode(img, quality=100)
+    # inject fill bytes before every segment marker after SOI (markers
+    # outside entropy-coded data; entropy data itself is untouched —
+    # 0xFF bytes there are byte-stuffed 0xFF00 already)
+    padded = bytearray()
+    pos = 0
+    n = len(clean)
+    padded += clean[:2]
+    pos = 2
+    while pos + 4 <= n:
+        assert clean[pos] == 0xFF
+        marker = clean[pos + 1]
+        padded += b"\xff\xff\xff"  # three fill bytes, then the marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            padded += clean[pos:]
+            break
+        seglen = int.from_bytes(clean[pos + 2 : pos + 4], "big")
+        padded += clean[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    padded = bytes(padded)
+    assert len(padded) > len(clean)
+    assert _jpeg_meta(padded) == _jpeg_meta(clean) == (9, 13)
+    assert np.array_equal(_jpeg_decode(padded), _jpeg_decode(clean))

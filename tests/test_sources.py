@@ -176,3 +176,19 @@ def test_write_corpus_layout_prunes_and_bounds_files(spark, tmp_path):
         write_corpus_layout(docs, path + "2", partition_by=())
     with pytest.raises(ValueError):
         write_corpus_layout(docs, path + "3", partition_by=("nope",))
+
+
+@pytest.mark.parametrize("delim", ["s", "d", "\t", "w9"])
+def test_embeddings_csv_alphanumeric_delimiter(spark, tmp_path, embs, delim):
+    """ADVICE r7: read_embeddings CSV used '\\\\' + delimiter as the split
+    regex, which turns alphanumeric delimiters into escape classes
+    (\\s, \\d, \\w) that silently corrupt every vector. The \\Q…\\E literal
+    quote must round-trip ANY delimiter, including multi-char ones."""
+    from vicinity_spark.sources.files import read_embeddings, write_embeddings
+
+    p = str(tmp_path / "embs_csv_delim")
+    write_embeddings(embs, p, "csv", vector_delimiter=delim)
+    back = read_embeddings(spark, p, "csv", vector_delimiter=delim)
+    got = {r.id: [round(float(x), 6) for x in r.vector] for r in back.collect()}
+    want = {r.id: [round(float(x), 6) for x in r.vector] for r in embs.collect()}
+    assert got == want

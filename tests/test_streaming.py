@@ -981,3 +981,30 @@ def test_stream_clean_redacts_pii(spark, tmp_path):
     assert got[0] == base + " mail <EMAIL> now"
     assert got[1] == base + " mail <EMAIL> now"
     assert got[2] == base
+
+
+def test_stateless_minhash_tokenroll_shingle_one(spark):
+    """ADVICE r7: shingle=1 crashed with AttributeError — the short-doc
+    CASE chain is empty at shingle=1 (every 1-token doc already emits
+    its gram) and `short.otherwise(...)` dereferenced None. Guarded:
+    the projection runs, identical texts agree component-for-component,
+    and disjoint token sets diverge."""
+    from vicinity_spark.streaming.neardup import stateless_minhash_tokenroll
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "one two three four"),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = stateless_minhash_tokenroll(docs, n_hashes=8, shingle=1)
+    sigs = {r.doc_id: list(r.sig) for r in out.collect()}
+    assert all(len(s) == 8 for s in sigs.values())
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # shingle=1 signature is the per-token minhash — a 1-token doc's
+    # signature is just that token's transforms (no short-doc tier)
+    assert len(sigs[4]) == 8

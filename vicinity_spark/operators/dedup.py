@@ -35,7 +35,7 @@ _log = logging.getLogger("vicinity_spark.dedup")
 
 
 def cap_hot_buckets(
-    buckets: DataFrame, keys, max_bucket: int, what: str
+    buckets: DataFrame, keys, max_bucket: int, what: str, eager_stats: bool = False
 ) -> DataFrame:
     """Hot-BUCKET skew guard for the pair miners (r7): drop every
     blocking bucket whose row count exceeds ``max_bucket`` BEFORE the
@@ -57,30 +57,42 @@ def cap_hot_buckets(
     The hot-bucket list is tiny by construction (cap ≫ typical bucket
     size), so the filter is a broadcast anti-join; the count pass is
     one map-side-combined aggregation over the narrow key columns.
-    What was dropped is logged (bucket count + max size) so the recall
-    trade is observable, not silent.
+
+    Fully lazy (ADVICE r7): the anti-join is applied unconditionally —
+    a no-op when no bucket is over the cap — so enabling the cap never
+    triggers an eager job that would recompute the signature+banding
+    chain twice. Observability comes from ``observe()`` metrics
+    (``<what>_hot_buckets`` = dropped-bucket count, ``<what>_hot_max``
+    = largest dropped bucket) on the hot frame, readable from a batch
+    QueryExecutionListener or Observation without a second pass; pass
+    ``eager_stats=True`` to additionally pay one bounded driver action
+    and WARN-log the drop (tests / interactive audits).
     """
     keys = list(keys)
     counts = buckets.groupBy(*keys).agg(F.count("*").alias("__bsz"))
     hot = counts.where(F.col("__bsz") > int(max_bucket))
-    # bounded action: aggregate of the (few) over-cap buckets only —
-    # this is the one eager job the logging contract costs
-    stats = hot.agg(
-        F.count("*").alias("n"), F.max("__bsz").alias("mx")
-    ).first()
-    if stats["n"]:
-        _log.warning(
-            "%s: dropping %d hot bucket(s) (largest %d rows > max_bucket=%d) "
-            "from candidate generation — pairs co-bucketed ONLY there are "
-            "lost; run exact_dedup first so identical-doc clusters collapse "
-            "upstream of the miner",
-            what,
-            stats["n"],
-            stats["mx"],
-            int(max_bucket),
-        )
-        return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
-    return buckets
+    if eager_stats:
+        # bounded action: aggregate of the (few) over-cap buckets only
+        stats = hot.agg(
+            F.count("*").alias("n"), F.max("__bsz").alias("mx")
+        ).first()
+        if stats["n"]:
+            _log.warning(
+                "%s: dropping %d hot bucket(s) (largest %d rows > "
+                "max_bucket=%d) from candidate generation — pairs "
+                "co-bucketed ONLY there are lost; run exact_dedup first so "
+                "identical-doc clusters collapse upstream of the miner",
+                what,
+                stats["n"],
+                stats["mx"],
+                int(max_bucket),
+            )
+    hot = hot.observe(
+        f"{what}_hot_buckets_cap",
+        F.count("*").alias(f"{what}_hot_buckets"),
+        F.coalesce(F.max("__bsz"), F.lit(0)).alias(f"{what}_hot_max"),
+    )
+    return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -437,6 +437,11 @@ def _jpeg_parse_segments(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them so fill-padded encoder output parses
+        # (ADVICE r7; the fill byte is NOT itself a marker code).
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
@@ -799,6 +804,8 @@ def _jpeg_meta(payload: bytes) -> "tuple[int, int]":
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:  # T.81 fill bytes
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

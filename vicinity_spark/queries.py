@@ -1695,9 +1695,13 @@ def docs_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile() OVER (ORDER BY ...)` plans as ONE partition holding the
     whole corpus; the Spark plan is the two-phase range-partitioned
     prefix count (operators/sampling.py global_rank — same machinery
-    as pack_sequences), with ntile reproduced bit-exactly via
-    tier = (rank-1)·k div n + 1. A green hash certifies the
-    distributed rank equals the single-window rank row-for-row."""
+    as pack_sequences), with ntile reproduced bit-exactly via SQL
+    ntile's front-loaded remainder arithmetic: the first n mod k tiers
+    hold q+1 = n div k + 1 rows each (tier = (rank-1) div (q+1) + 1
+    within the r·(q+1) prefix, the small-bucket formula past it) — NOT
+    the naive (rank-1)·k div n + 1, which diverges whenever
+    n mod k ≥ 2 (see sampling.quality_tiers). A green hash certifies
+    the distributed rank equals the single-window rank row-for-row."""
     from vicinity_spark.operators.sampling import quality_tiers
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -103,10 +103,14 @@ def read_embeddings(
             ]
         )
         df = _read(spark, path, fmt, csv_schema, mode)
+        # \Q…\E quotes the delimiter as a Java-regex LITERAL — a bare
+        # backslash prefix only works for single metachars and turns an
+        # alphanumeric delimiter into an escape class (\d, \s) that
+        # silently mis-splits vectors (ADVICE r7).
         return df.withColumn(
             "vector",
             F.transform(
-                F.split(F.col("vector"), "\\" + vector_delimiter),
+                F.split(F.col("vector"), "\\Q" + vector_delimiter + "\\E"),
                 lambda x: x.cast("float"),
             ),
         )

@@ -107,7 +107,10 @@ def stateless_minhash_tokenroll(
     staged = docs.select("*", F.explode(F.array(tok_h)).alias("__th"))
     n = F.size("__th")
     gram_h = _tokenroll_gram_hashes(shingle, "__th")
-    # short docs: one gram over however many tokens exist
+    # short docs: one gram over however many tokens exist. shingle=1 has
+    # no short tier (every 1-token doc already yields its one gram), so
+    # the CASE chain is skipped entirely (ADVICE r7: `short` would stay
+    # None and crash).
     short = None
     for k in range(1, shingle):
         combined = _roll_combine([F.element_at("__th", i + 1) for i in range(k)])
@@ -116,7 +119,8 @@ def stateless_minhash_tokenroll(
             if short is None
             else short.when(n == k, F.array(combined))
         )
-    gram_h = short.otherwise(gram_h)
+    if short is not None:
+        gram_h = short.otherwise(gram_h)
     staged = staged.select("*", F.explode(F.array(gram_h)).alias("__gh")).drop("__th")
     sig = F.array(
         *[
