@@ -902,3 +902,77 @@ def test_keep_best_giant_cluster_bounded(spark):
     winner = [r for r in kept if r.cluster_id == 0][0]
     # best (n_chars, -id): n_chars == 976 first occurs at doc 976
     assert winner.doc_id == 976 and winner.n_chars == 976
+
+
+# ---- persisted corpus-bucket snapshot (r8) ---------------------------
+
+
+def test_snapshot_probe_matches_direct_incremental(spark, tmp_path):
+    """save_corpus_buckets → minhash_lsh_pairs_vs_snapshot must emit
+    exactly the pairs the direct incremental miner finds, the probe's
+    candidate join must carry a DynamicPartitionPruning filter on the
+    snapshot's (band, bpart) partition columns (the ingest batch reads
+    only the corpus files its own keys hash into — VERDICT r7 item 3),
+    and the params sidecar must round-trip the banding family."""
+    from vicinity_spark.operators.dedup import (
+        corpus_buckets_from,
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    snap = str(tmp_path / "snap")
+    save_corpus_buckets(
+        corpus, snap, n_hashes=16, rows_per_band=4, hash_fn="tokenroll", n_bpart=8
+    )
+    _, params = corpus_buckets_from(spark, snap)
+    assert params == {
+        "n_hashes": 16,
+        "rows_per_band": 4,
+        "shingle_n": 3,
+        "hash_fn": "tokenroll",
+        "n_bpart": 8,
+    }
+    seen = {}
+    got = minhash_lsh_pairs_vs_snapshot(
+        spark, corpus, new, snap, min_jaccard=0.3,
+        _plan_observer=lambda df: seen.setdefault("cands", df),
+    )
+    want = minhash_lsh_pairs_incremental(
+        corpus, new, n_hashes=16, rows_per_band=4, min_jaccard=0.3,
+        hash_fn="tokenroll",
+    )
+    g = {(r.id_new, r.id_corpus, round(r.jaccard, 6)) for r in got.collect()}
+    w = {(r.id_new, r.id_corpus, round(r.jaccard, 6)) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # plan shape: the snapshot scan is partition-pruned at runtime by
+    # the batch side (localCheckpoint truncates lineage after the
+    # candidate join — assert on the pre-checkpoint frame)
+    from vicinity_spark.plans.checks import explain_str
+
+    plan = explain_str(seen["cands"])
+    assert "dynamicpruning" in plan, plan
+    # the partitioned layout is on disk: band=*/bpart=* directories
+    import glob
+
+    assert glob.glob(snap + "/band=*/bpart=*"), "missing (band, bpart) layout"
+
+
+def test_snapshot_buckets_without_n_bpart_raise(spark, tmp_path):
+    """A bucket frame carrying bpart but no n_bpart is a param-loss
+    bug (the batch side could not derive matching keys) — refuse."""
+    from vicinity_spark.operators.dedup import (
+        corpus_buckets_from,
+        minhash_lsh_pairs_incremental,
+        save_corpus_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    snap = str(tmp_path / "snap2")
+    save_corpus_buckets(docs, snap, n_bpart=4)
+    bk, _ = corpus_buckets_from(spark, snap)
+    with pytest.raises(ValueError, match="n_bpart"):
+        minhash_lsh_pairs_incremental(docs, docs, corpus_buckets=bk)

@@ -3720,6 +3720,34 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_minhash_snapshot", _MINHASH_INCR_SQL)
+def dedup_minhash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: the PERSISTED-snapshot ingest probe — save_corpus_buckets
+    writes the corpus bucket table partitionBy(band, bpart) with a
+    _params sidecar, then minhash_lsh_pairs_vs_snapshot probes it via
+    the three-key (band, bpart, bkey) join that Catalyst turns into a
+    DynamicPartitionPruning scan (the batch reads only the snapshot
+    files its own keys hash into; tests/test_dedup.py asserts the
+    dynamicpruning filter). Same (corpus, new) role split and banding
+    params as dedup_minhash_incremental, and the SAME oracle SQL: a
+    green hash certifies the save → load → pruned-probe path is
+    value-identical to mining the buckets in memory."""
+    import tempfile
+
+    from vicinity_spark.operators.dedup import (
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 5 == 0)
+    snap = tempfile.mkdtemp(prefix="vspark_snapshot_") + "/buckets"
+    save_corpus_buckets(corpus, snap, n_hashes=16, rows_per_band=4, n_bpart=4)
+    j = minhash_lsh_pairs_vs_snapshot(spark, corpus, new, snap, min_jaccard=0.5)
+    return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -3744,6 +3772,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
+    # new in r8 — need their first green row:
+    "dedup_minhash_snapshot",
     # new in r7 — need their first green row (VERDICT r6 item 7):
     "threshold_grid_routing",
     "dedup_minhash_onepass",
@@ -3834,6 +3864,9 @@ _ROTATE_OUT: "list[str]" = [
     # dedup_shared_grams (72): two more long-green rows take the tail
     "lineitem_quantiles",
     "orders_running_revenue",
+    # r8 addition (dedup_minhash_snapshot 73): one r7-green row whose
+    # code is untouched so far this round takes the tail
+    "docs_pack_sequences",
 ]
 
 
