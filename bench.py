@@ -116,6 +116,15 @@ def _ann_batch(strategy_name):
         strat.knn(
             corpus, _emb_all_queries(spark, sf_dir).limit(100), k=10, metric=Metric.COSINE
         ).count()
+        if strategy_name == "graph":
+            # r8: graph's beam loop is the one ANN query path with a
+            # measurable JIT slope left after the 100-query slice
+            # (isolated reps 8.5→7.2→7.5 vs 5.7 builder-clean in r7) —
+            # one full-size untimed pass starts the timed reps at the
+            # knee (same finding as lsh_neardup_2m; BENCHNOTES r8)
+            strat.knn(
+                corpus, _emb_all_queries(spark, sf_dir), k=10, metric=Metric.COSINE
+            ).count()
         return lambda s, d: strat.knn(corpus, _emb_all_queries(s, d), k=10, metric=Metric.COSINE)
 
     return make
@@ -199,8 +208,17 @@ def _lsh_neardup(n, n_dups, n_bits, parts=32):
         strat = LSHStrategy(n_tables=6, n_bits=n_bits)
         corpus = strat.build(base.unionByName(dups), Metric.COSINE, 64).cache()
         corpus.count()
-        # untimed warm-up: same bucket-join + verify codegen on a slice
+        # untimed warm-up, FULL size (r8, VERDICT r7 item 2): the r7
+        # driver-vs-clean spread on this entry (33.3s vs 16.2s) is
+        # long-tail JIT + Python-worker warm-up, not plan instability —
+        # instrumented reps decay monotonically 24.5→16.8→13.0→~12.7s
+        # PLATEAU with the corpus 128/128 cache-resident, GC deltas
+        # <0.3s, and zero AQE plan changes between reps (BENCHNOTES r8
+        # "heavy-tail spread"). A 0.5%-sample warm-up never drives the
+        # C2 compile thresholds of the join/verify loops; one full-size
+        # untimed pass does, so the timed reps start at the knee.
         strat.neardup_pairs(corpus.sample(0.005, seed=1), 0.1, Metric.COSINE).count()
+        strat.neardup_pairs(corpus, 0.1, Metric.COSINE).count()
         return lambda s, d: strat.neardup_pairs(corpus, 0.1, Metric.COSINE)
 
     return make
@@ -248,6 +266,7 @@ def _dedup_e2e(n, n_dups, parts=32):
     collision-driven (near-dups only) at every tier and cost stays
     ∝ n with no knob change."""
     from vicinity_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
         connected_components,
         minhash_lsh_pairs_rowwise,
     )
@@ -267,8 +286,14 @@ def _dedup_e2e(n, n_dups, parts=32):
             # survivor count, e2e 24.5s → 17.4s min-of-2 same-session
             # at 2M (BENCHNOTES "tokenroll"; the isolated family twin
             # is the minhash_tokenroll_200k suite entry)
+            # r8 (VERDICT item 5): the production hot-bucket cap ON by
+            # default in the composed path — measured FREE here (20.41s
+            # capped vs 20.51s uncapped min-of-2 at 2M: the r8 lazy cap
+            # is one map-side-combined count + a broadcast anti-join,
+            # and nothing binds on this corpus), survivor set identical
             pairs = minhash_lsh_pairs_rowwise(
-                base, n_hashes=16, rows_per_band=2, min_jaccard=0.5, hash_fn="tokenroll"
+                base, n_hashes=16, rows_per_band=2, min_jaccard=0.5,
+                hash_fn="tokenroll", max_bucket=DEFAULT_MAX_BUCKET,
             )
             comps = connected_components(base.select("doc_id"), pairs, id_col="doc_id")
             return comps.where(F.col("rep") == F.col("id"))
@@ -281,6 +306,28 @@ def _dedup_e2e(n, n_dups, parts=32):
 
 
 dedup_e2e_200k = _dedup_e2e(200_000, 1000)
+
+
+def neardup_dedup_2m(spark, sf_dir):
+    """r8: the COMPOSED library entry point (operators/dedup.py
+    neardup_dedup) at 2M — what a user actually calls: exact-dedup
+    pre-pass → tokenroll MinHash mining with the production cap ON →
+    components → survivor ROWS with all columns. ~+11s over the
+    mining-only dedup_e2e_2m anchor, all of it the pre-pass hash
+    groupBy and the two id semi-joins that return full rows — each
+    linear, shuffle-bounded by |docs|, and absent from the anchor
+    because the anchor returns survivor IDs only. Both entries stay:
+    the anchor isolates mining cost across rounds; this one prices the
+    user-facing composition."""
+    docs = _synth_docs(spark, n=1_999_000, n_dups=1000, parts=64).cache()
+    docs.count()
+    from vicinity_spark.operators.dedup import neardup_dedup
+
+    def run(s, d):
+        return neardup_dedup(docs)
+
+    run(spark, sf_dir).count()  # untimed warm-up (plan + codegen)
+    return run
 dedup_e2e_2m = _dedup_e2e(2_000_000, 10_000, parts=64)
 
 
@@ -838,6 +885,7 @@ BENCH = {
     "pack_mix_2m": pack_mix_2m,
     "minhash_incremental_2m": minhash_incremental_2m,
     "minhash_snapshot_2m": minhash_snapshot_2m,
+    "neardup_dedup_2m": neardup_dedup_2m,
     "curation_2m": curation_2m,
     "rank_tiers_2m": rank_tiers_2m,
     "curation_pipeline_2m": curation_pipeline_2m,
@@ -899,7 +947,15 @@ def main():
             # localCheckpoint blocks BEFORE rep 2 allocates its own —
             # without this the checkpoint-heavy 2M entries carry two
             # reps of blocks at once (measured OOM at 8g).
-            if t1 < 90.0:
+            # r8: the two entries the r7 verdict flagged for driver-vs-
+            # clean spread get a third rep — their residual variance is
+            # transient host stalls (a 43s outlier was observed amid a
+            # 12.7s plateau), which min-of-N absorbs but min-of-2 can
+            # lose to twice in a row
+            extra_reps = 2 if name in ("lsh_neardup_2m", "ann_graph_batch") else 1
+            for _ in range(extra_reps):
+                if t1 >= 90.0:
+                    break
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()

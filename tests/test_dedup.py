@@ -976,3 +976,160 @@ def test_snapshot_buckets_without_n_bpart_raise(spark, tmp_path):
     bk, _ = corpus_buckets_from(spark, snap)
     with pytest.raises(ValueError, match="n_bpart"):
         minhash_lsh_pairs_incremental(docs, docs, corpus_buckets=bk)
+
+
+# ---- exact-substring span dedup (r8) ---------------------------------
+
+
+def _naive_strip(texts, n, min_count):
+    """Spec reference: count every positioned n-gram (lowercase,
+    multiplicity), mark covered token indexes, keep the rest."""
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    cnt = Counter()
+    for ts in toks.values():
+        lc = [t.lower() for t in ts]
+        for i in range(len(lc) - n + 1):
+            cnt[" ".join(lc[i : i + n])] += 1
+    out = {}
+    for i, ts in toks.items():
+        lc = [t.lower() for t in ts]
+        covered = set()
+        for p in range(len(lc) - n + 1):
+            if cnt[" ".join(lc[p : p + n])] >= min_count:
+                covered.update(range(p, p + n))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (" ".join(kept), len(ts), len(covered))
+    return out
+
+
+def test_strip_shared_spans_planted_boilerplate(spark):
+    """The Lee-et-al case doc-level MinHash cannot catch: 40 docs share
+    one 8-token boilerplate footer but are otherwise disjoint — every
+    PAIR's Jaccard is ~8/38 ≈ 0.21, far below a 0.5 near-dup
+    threshold, yet the footer must be stripped from every doc while
+    all unique content survives verbatim."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs, strip_shared_spans
+
+    bp = "all rights reserved contact us for licensing terms"
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(15)) + " " + bp) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc-level near-dup mining finds nothing at the usual threshold
+    assert minhash_lsh_pairs(docs, min_jaccard=0.5).count() == 0
+    out = {r.doc_id: r for r in strip_shared_spans(docs, n=5, min_count=2).collect()}
+    for i in range(40):
+        assert out[i].text_clean == " ".join(f"u{i}w{j}" for j in range(15)), i
+        assert out[i].n_removed == 8 and out[i].n_tokens == 23
+
+
+def test_strip_shared_spans_matches_naive_reference(spark):
+    """Property check vs the quadratic spec reference on an adversarial
+    mix: overlapping runs, within-doc repeats, mixed case, short docs,
+    duplicated prefixes/suffixes, and run-adjacency merges."""
+    from vicinity_spark.operators.dedup import strip_shared_spans
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    texts = {
+        0: base + " extra one two three",
+        1: "prefix words here " + base,
+        2: base,  # exact dup of the shared sentence
+        3: "short doc",
+        4: "Mixed CASE the QUICK brown FOX jumps OVER the lazy DOG again",
+        5: "loop loop loop loop loop loop loop loop loop loop",  # self-repeat
+        6: " ".join(f"z{j}" for j in range(12)),
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    for n, mc in [(3, 2), (5, 2), (4, 3)]:
+        want = _naive_strip(texts, n, mc)
+        got = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in strip_shared_spans(docs, n=n, min_count=mc).collect()
+        }
+        assert got == want, (n, mc)
+
+
+def test_strip_shared_spans_mask_and_errors(spark):
+    from vicinity_spark.operators.dedup import strip_shared_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e tail0"), (1, "a b c d e tail1")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text_clean for r in strip_shared_spans(docs, n=5, mask="<DUP>").collect()}
+    assert out == {0: "<DUP> tail0", 1: "<DUP> tail1"}
+    with pytest.raises(ValueError, match="n must"):
+        strip_shared_spans(docs, n=1)
+    with pytest.raises(ValueError, match="min_count"):
+        strip_shared_spans(docs, min_count=1)
+
+
+# ---- composed neardup_dedup entry point (r8) --------------------------
+
+
+def test_neardup_dedup_defaults_and_giant_cluster(spark):
+    """The composed entry point ships with the production hot-bucket
+    cap ON (VERDICT r7 item 5) and the exact-dedup pre-pass that makes
+    it safe: 5,000 exact copies of one page (>> DEFAULT_MAX_BUCKET)
+    collapse to ONE survivor — the pre-pass collapses them before the
+    miner, so the binding cap cannot orphan the cluster — while
+    near-dup pairs and unique docs behave as without the cap."""
+    from vicinity_spark.operators.dedup import DEFAULT_MAX_BUCKET, neardup_dedup
+
+    assert DEFAULT_MAX_BUCKET == 100
+    page = "this exact page is mirrored five thousand times across the crawl today"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    uniq = [
+        (100_000 + i, " ".join(f"u{i}t{j}" for j in range(12))) for i in range(20)
+    ]
+    rows = (
+        [(i, page) for i in range(5000)]
+        + [(50_000, near_a), (50_001, near_b)]
+        + uniq
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup_dedup(docs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids and len(ids & set(range(5000))) == 1  # giant cluster → one
+    assert 50_000 in ids and 50_001 not in ids  # near-pair → min id
+    assert {i for i, _ in uniq} <= ids
+    assert len(ids) == 1 + 1 + 20
+
+
+def test_neardup_dedup_quality_survivors(spark):
+    """quality_col keeps each cluster's argmax instead of min id."""
+    from vicinity_spark.operators.dedup import neardup_dedup
+
+    near_a = "one two three four five six seven eight nine ten eleven twelve"
+    near_b = "one two three four five six seven eight nine ten eleven thirteen"
+    docs = spark.createDataFrame(
+        [(1, near_a, 0.2), (2, near_b, 0.9), (3, "totally different words here now ok yes", 0.5)],
+        "doc_id long, text string, quality double",
+    )
+    ids = {r.doc_id for r in neardup_dedup(docs, quality_col="quality").collect()}
+    assert ids == {2, 3}
+
+
+def test_hash_fn_auto_resolves_to_tokenroll(spark, docs_df):
+    """hash_fn='auto' (the documented production default, r8) must be
+    pair-identical to an explicit 'tokenroll' in every public miner."""
+    from vicinity_spark.operators.dedup import (
+        minhash_lsh_pairs_rowwise,
+        resolve_hash_fn,
+    )
+
+    assert resolve_hash_fn("auto") == "tokenroll"
+    assert resolve_hash_fn("md5") == "md5"
+    a = {
+        tuple(r)
+        for r in minhash_lsh_pairs_rowwise(docs_df, min_jaccard=0.3, hash_fn="auto").collect()
+    }
+    b = {
+        tuple(r)
+        for r in minhash_lsh_pairs_rowwise(
+            docs_df, min_jaccard=0.3, hash_fn="tokenroll"
+        ).collect()
+    }
+    assert a == b and len(a) > 0

@@ -237,6 +237,7 @@ def minhash_signatures(
       fewer hash evaluations than the families above; ``md5_affine``
       is cross-engine portable (the affine oracle family).
     """
+    hash_fn = resolve_hash_fn(hash_fn)
     spark = features.sparkSession
     seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
     if hash_fn == "xxhash64":
@@ -331,6 +332,20 @@ def _affine_mh_expr(a: int, b: int, h):
     """(a*h + b) mod P. Bounded arithmetic: a < 2^30, h < 2^32 →
     a*h < 2^62, + b < 2^62 + 2^32 — no bigint overflow (ANSI-safe)."""
     return (F.lit(a) * h + F.lit(b)) % F.lit(_AFFINE_P)
+
+
+def resolve_hash_fn(hash_fn: str) -> str:
+    """The ONE documented production default (VERDICT r7 item 7):
+    ``hash_fn='auto'`` resolves to ``tokenroll`` — the fastest measured
+    family for new-corpus text mining (16× the signature phase, 3.8×
+    the full miner vs the md5 string-gram family; BENCHNOTES r7
+    "tokenroll", linearity measured to 320M grams at the 2M long-doc
+    tier). Explicit family names pass through untouched: ``md5`` /
+    ``md5_affine`` / ``md5_tokenroll`` remain the cross-engine
+    (oracle-portable) choices, and an EXISTING LSH store / bucket
+    snapshot / streaming state must keep the family it was built with
+    — bucket keys from different families never collide."""
+    return "tokenroll" if hash_fn == "auto" else hash_fn
 
 
 def _is_affine(hash_fn: str) -> bool:
@@ -431,6 +446,7 @@ def band_buckets_onepass(
     band key layout), but the row form crossJoins the seed table first
     — shuffling n_hashes× the shingle rows into a two-key aggregation —
     where this shuffles exactly one combined row per doc."""
+    hash_fn = resolve_hash_fn(hash_fn)
     if _is_affine(hash_fn):
         # project the base hash ONCE per shingle row (a projection
         # below the aggregate — guaranteed single evaluation, where 16
@@ -502,6 +518,7 @@ def band_buckets_rowwise(
     docs; a count()-only A/B hides this via column pruning —
     BENCHNOTES r6 "measurement trap"). F.least skips the NULL init
     values, so the fold needs no sentinel."""
+    hash_fn = resolve_hash_fn(hash_fn)
     if _is_affine(hash_fn) or _is_tokenroll(hash_fn):
         # affine/tokenroll families (r7): hash every gram ONCE into an
         # int array (transform pass) and materialize THAT behind the
@@ -629,6 +646,7 @@ def minhash_lsh_pairs_rowwise(
     Precondition: doc_id unique per row (the universal dedup-input
     contract). Duplicate doc_id rows would bucket per-row here where
     minhash_lsh_pairs merges them into one shingle set first."""
+    hash_fn = resolve_hash_fn(hash_fn)
     buckets = band_buckets_rowwise(
         docs, n_hashes, rows_per_band, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, hash_fn=hash_fn,
@@ -716,6 +734,7 @@ def minhash_lsh_pairs(
     at corpus scale that is the difference between one pass over the
     text and four.
     """
+    hash_fn = resolve_hash_fn(hash_fn)
     sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
     if max_df is not None:
         hot = (
@@ -1072,6 +1091,7 @@ def minhash_lsh_pairs_incremental(
     bucket keys from different families never collide, so a mismatch
     silently finds nothing (the same contract as loading a saved LSH
     store with its persisted params)."""
+    hash_fn = resolve_hash_fn(hash_fn)
     if corpus_buckets is None:
         corpus_buckets = band_buckets_rowwise(
             corpus, n_hashes, rows_per_band, shingle_n=shingle_n,
@@ -1303,6 +1323,7 @@ def save_corpus_buckets(
     ``n_bpart`` so one (band, bpart) directory's bytes fit a scan
     task comfortably: ≈ bands × corpus_rows / n_bpart rows per
     directory, ~50 bytes/row."""
+    hash_fn = resolve_hash_fn(hash_fn)
     if n_bpart <= 0:
         raise ValueError(f"n_bpart must be positive, got {n_bpart}")
     buckets = band_buckets_rowwise(
@@ -1416,3 +1437,245 @@ def minhash_lsh_pairs_vs_snapshot(
         n_bpart=params["n_bpart"],
         _plan_observer=_plan_observer,
     )
+
+
+# ---- exact-substring span dedup (r8) ---------------------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better": remove every token span whose exact content appears
+# elsewhere in the corpus. Doc-level near-dup mining cannot replicate
+# this — boilerplate shared by thousands of docs sits below any
+# per-pair Jaccard threshold. The reference has no analog (vicinity is
+# a vector store); this is part of the LLM-curation layer.
+#
+# Suffix-array semantics are approximated by DUPLICATED-GRAM RUN
+# MERGING (documented trade): a token is removed iff it is covered by
+# some n-token gram occurring >= min_count times in the corpus
+# (multiplicity counted, within-doc repeats included — the ExactSubstr
+# criterion). Every maximal duplicated substring of length >= n is the
+# union of its duplicated n-gram windows, so merged gram runs equal
+# the suffix-array span set for spans >= n tokens; spans shorter than
+# n are (intentionally) below the threshold, and a run may extend up
+# to n-1 tokens past a true duplicated span's edge when the edge gram
+# overlaps it (the standard window-granularity overcount).
+
+
+def strip_shared_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask: Optional[str] = None,
+) -> DataFrame:
+    """(doc_id, text_clean, n_tokens, n_removed) — remove (or, with
+    ``mask='<DUP>'``-style, replace per removed run) every token span
+    covered by an n-gram occurring >= min_count times corpus-wide.
+    Gram matching is case-insensitive; kept text preserves the
+    ORIGINAL token casing (only duplicated spans are touched).
+
+    Plan, 100 TB shape:
+      1. positioned grams are a per-row projection + one Generate —
+         zero shuffles before aggregation;
+      2. the gram-frequency table is ONE map-side-combined groupBy
+         (a hot boilerplate gram costs a counter, never a row blowup);
+         filtering to count >= min_count FIRST bounds the join table
+         by the duplicated vocabulary (typically a small fraction —
+         AQE broadcasts it);
+      3. duplicated start positions come back via a left-semi join,
+         so the second shuffle is ∝ duplicated content, and the
+         per-doc span work (sort starts → merge runs → rebuild text)
+         is in-row Catalyst HOF arithmetic — no window, no UDF, no
+         ×n covered-position row expansion (the oracle's expand form
+         is the semantics spec; this is the scale form)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks_lc = F.split(F.lower(F.col(text_col)), " ")
+    pg = F.when(
+        F.size(toks_lc) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_lc) - (n - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", F.slice(toks_lc, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pg).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup_vocab = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("gram")
+    )
+    starts = (
+        grams.join(dup_vocab, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(starts, "doc_id", "left")
+
+    toks = F.split(F.col("__text"), " ")
+    n_tokens = F.size(toks)
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    merged = F.aggregate(
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["lo"].alias("lo"),
+                        F.greatest(last(acc)["hi"], s + F.lit(n - 1)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("lo"), (s + F.lit(n - 1)).cast("int").alias("hi"))
+                ),
+            )
+        ),
+    )
+    # walk the merged runs left→right: emit the kept slice before each
+    # run (and the mask token, if masking), then the tail after the
+    # last run. parts are pre-joined strings so the final concat_ws
+    # skips empties.
+    mask_part = (
+        F.array(F.lit(mask)) if mask is not None else F.array().cast("array<string>")
+    )
+    walk = F.aggregate(
+        merged,
+        F.struct(
+            F.lit(0).cast("int").alias("prev"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, iv: F.struct(
+            iv["hi"].alias("prev"),
+            F.concat(
+                acc["parts"],
+                F.array(
+                    F.array_join(
+                        F.slice(toks, acc["prev"] + 1, iv["lo"] - acc["prev"] - 1), " "
+                    )
+                ),
+                mask_part,
+            ).alias("parts"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.array(
+                F.array_join(
+                    F.slice(toks, acc["prev"] + 1, n_tokens - acc["prev"]), " "
+                )
+            ),
+        ),
+    )
+    n_removed = F.aggregate(
+        merged, F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.filter(walk, lambda x: x != "")).alias("text_clean"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("n_removed"),
+    )
+
+
+# ---- composed near-dup dedup entry point (r8) -------------------------
+# VERDICT r7 item 5: raw pair miners keep max_bucket opt-in (a research
+# surface should not silently drop candidates), but the COMPOSED
+# "dedup my corpus" path ships with the production guard ON — at
+# 100 TB an unguarded d-identical-doc cluster is a d²/2 candidate bomb
+# a pipeline author should not need to know about in advance.
+
+# BENCHNOTES "hot-bucket skew guard" sizing rule: ~100× the expected
+# (band, bkey) occupancy. Band keys are 64-bit hashes, so expected
+# occupancy is ~1 at ANY corpus size (density is collision-driven, not
+# volume-driven) → 100. Clusters larger than the cap stop contributing
+# CANDIDATES, never lose rows: components still collapse them through
+# their sub-cap edges, and the planted-cluster test below pins the
+# survivor count with the cap binding.
+
+
+DEFAULT_MAX_BUCKET = 100
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "tokenroll",
+    max_bucket="auto",
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate-deduplicate a corpus END TO END: MinHash-LSH
+    pair mining → connected components → one survivor per cluster —
+    returns the SURVIVING rows of `docs`, all columns intact.
+
+    Defaults are the production choices the per-stage benchmarks
+    justify: ``hash_fn='tokenroll'`` (the fastest measured family —
+    16× the signature phase vs string-gram md5, BENCHNOTES r7;
+    families are interchangeable estimators of the same Jaccard, so
+    the SURVIVOR SET is family-stable on well-separated corpora even
+    though the candidate sets differ at the margin) and
+    ``max_bucket='auto'`` (= DEFAULT_MAX_BUCKET, the sizing rule
+    above; pass None to disable, or an int to size it yourself).
+
+    ``quality_col``: survivors are min-id representatives by default;
+    name a numeric column to keep each cluster's argmax instead
+    (keep_best's two-phase top-1 — no per-cluster straggler sort).
+    Exact-identical copies collapse to their min id in the pre-pass
+    either way (identical text has identical quality).
+
+    STRUCTURAL INVARIANT — exact dedup runs FIRST, inside this
+    operator. The cap's recall trade (a cluster whose EVERY bucket is
+    hot loses all its candidate edges) only bites on clusters of
+    (near-)identical docs larger than the cap, and the pre-pass
+    collapses the exact-identical bulk of any such cluster to one row
+    before the miner sees it. The standing docstring advice "run
+    exact_dedup first" is a contract a composed entry point should
+    enforce, not hope for — the cap default is safe BECAUSE the
+    pre-pass is unconditional. (Residual: >max_bucket docs that are
+    near- but not exact-identical — the documented cap_hot_buckets
+    trade, observable via its observe() metrics.)"""
+    mb = DEFAULT_MAX_BUCKET if max_bucket == "auto" else max_bucket
+    canon = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    canon_docs = docs.join(canon, id_col, "left_semi")
+    pairs = minhash_lsh_pairs_rowwise(
+        canon_docs,
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        min_jaccard=min_jaccard,
+        text_col=text_col,
+        id_col=id_col,
+        hash_fn=hash_fn,
+        max_bucket=mb,
+    )
+    if quality_col is not None:
+        best = keep_best(
+            canon_docs, pairs, [F.col(quality_col).desc()], id_col=id_col
+        )
+        return best.drop("cluster_id")
+    comps = connected_components(
+        canon_docs.select(F.col(id_col).alias("id")), pairs
+    )
+    keep = comps.where(F.col("rep") == F.col("id")).select(F.col("id").alias(id_col))
+    return canon_docs.join(keep, id_col, "left_semi")

@@ -3748,6 +3748,119 @@ def dedup_minhash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
 
 
+# ---- exact-substring span dedup (r8 ★) -------------------------------
+
+_STRIP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks_o, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM toks)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + k.k AS t
+  FROM grams g JOIN dup d USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k
+),
+tok_rows AS (
+  SELECT doc_id, toks_o[i] AS tok, i AS t
+  FROM (SELECT doc_id, toks_o, unnest(range(1, len(toks_o) + 1)) AS i FROM toks)
+),
+kept AS (
+  SELECT tr.doc_id,
+         string_agg(tr.tok, ' ' ORDER BY tr.t) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM tok_rows tr
+  LEFT JOIN cov c ON c.doc_id = tr.doc_id AND c.t = tr.t
+  WHERE c.t IS NULL
+  GROUP BY tr.doc_id
+)
+SELECT t.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+"""
+
+
+@register("docs_strip_shared_spans", _STRIP_SPANS_SQL)
+def docs_strip_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation): exact-substring span dedup — Lee et al.'s
+    ExactSubstr operator, the one per-doc near-dup mining cannot
+    replicate (boilerplate shared by thousands of docs never crosses
+    a pair Jaccard threshold). Every token covered by a 5-gram
+    occurring >= 2 times corpus-wide (multiplicity counted, within-doc
+    repeats included) is REMOVED; unique text survives with original
+    casing. Spark plans it as per-row positioned grams → one
+    map-side-combined frequency count filtered to the duplicated
+    vocabulary → a left-semi join back → in-row HOF run merging and
+    text rebuild (operators/dedup.py strip_shared_spans — suffix-array
+    semantics approximated by duplicated-gram run merging, documented
+    there). The oracle replays the rule in expand form (covered token
+    set via dup-position × offset join); a green hash certifies the
+    merged-run reconstruction equals the covered-set spec token-for-
+    token, including n_removed accounting."""
+    from vicinity_spark.operators.dedup import strip_shared_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_shared_spans(d, n=5, min_count=2)
+
+
+# ---- composed near-dup dedup entry point (r8) ------------------------
+
+
+def _neardup_e2e_sql() -> str:
+    """Full-composition replay: exact pre-pass (min-id per md5(text)),
+    the md5_tokenroll pair miner over canonical rows, recursive
+    transitive closure, min-id survivors, surviving rows projected."""
+    inner = _tokenroll_minhash_sql().replace("FROM documents", "FROM cdocs")
+    return f"""
+WITH RECURSIVE
+canon AS (SELECT min(doc_id) AS cid FROM documents GROUP BY md5(text)),
+cdocs AS (SELECT d.* FROM documents d JOIN canon c ON c.cid = d.doc_id),
+pairs AS (SELECT id_a, id_b FROM ({inner}) tp),
+edges AS (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT doc_id, doc_id FROM cdocs
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+),
+surv AS (SELECT id FROM reach GROUP BY id HAVING min(rep) = id)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM cdocs d JOIN surv s ON s.id = d.doc_id
+"""
+
+
+@register("dedup_neardup_e2e", _neardup_e2e_sql())
+def dedup_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation, VERDICT r7 item 5): the COMPOSED dedup entry
+    point `neardup_dedup` — exact-dedup pre-pass → capped MinHash-LSH
+    mining (max_bucket='auto' = the BENCHNOTES production sizing rule,
+    ON by default here while raw miners stay opt-in) → connected
+    components → min-id survivors, returning surviving rows with all
+    columns. The pre-pass is the structural reason the default cap is
+    safe: identical-doc clusters collapse before the miner, so a
+    binding cap cannot orphan them (operators/dedup.py neardup_dedup;
+    the 5k-identical-cluster test pins the binding case). The oracle
+    replays every stage — a green hash additionally certifies the cap
+    is non-binding on the gate corpus, row-for-row."""
+    from vicinity_spark.operators.dedup import neardup_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = neardup_dedup(d, rows_per_band=4, hash_fn="md5_tokenroll")
+    return out.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -3772,37 +3885,86 @@ def dedup_minhash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # new in r8 — need their first green row:
+    # --- r8 rotation (VERDICT r7 item 6) -----------------------------
+    # Window design: (a) the 3 new r8 rows need their first green;
+    # (b) the 22 rows that sat in the r7 tail (last green r6) come
+    # back — the rotation policy promises at most ONE round unchecked;
+    # (c) the remaining 25 slots go to r7-green rows whose code r8
+    # TOUCHED (resolve_hash_fn in every miner, the lazy cap rewrite in
+    # all four pair miners + lsh.py, the incremental miner's snapshot
+    # join keys, the JPEG fill-byte fix) or that compose the touched
+    # operators. Everything in _ROTATE_OUT below is r7-green AND
+    # r8-untouched.
+    # (a) new in r8:
     "dedup_minhash_snapshot",
-    # new in r7 — need their first green row (VERDICT r6 item 7):
-    "threshold_grid_routing",
+    "docs_strip_shared_spans",
+    "dedup_neardup_e2e",
+    # (b) r7 tail, last green r6:
+    "vector_norms",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "vector_stats_by_label",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "regional_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "top_parts_per_brand",
+    "docs_stats_by_lang",
+    "dedup_exact",
+    "text_subword_tokens",
+    "text_langid",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "vocab_top_tokens",
+    "docs_clean_pipeline",
+    "text_pmi_bigrams",
+    "lineitem_quantiles",
+    "orders_running_revenue",
+    # (c) r7-green, r8-touched code paths:
     "dedup_minhash_onepass",
     "dedup_minhash_capped",
-    "dedup_simhash_exploded",
     "dedup_minhash_affine",
     "dedup_minhash_tokenroll",
+    "dedup_minhash_incremental",
+    "dedup_simhash_exploded",
+    "dedup_simhash_pairs",
+    "neardup_pairs",
+    "dedup_jaccard_variants",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "dedup_shared_grams",
+    "semantic_dedup",
+    "docs_curation_pipeline",
+    "docs_decontaminate",
+    "multimodal_knn",
+    "knn_all_metrics",
+    "threshold_radius",
+    "threshold_grid_routing",
+    "knn_filtered_label",
+    "ann_recall_summary",
+    "ann_graph_knn",
+    "skew_salted_join",
+    "skew_salted_agg",
+    "events_asof_join",
+]
+
+# r8 tail: 25 rows, every one green in CORRECTNESS_r07.json with its
+# code untouched this round (scripts/verified_ledger.py enforces that
+# nothing never-green sits here; VERIFIED.md records the skip).
+_ROTATE_OUT: "list[str]" = [
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",
-    "docs_decontaminate",
-    "semantic_dedup",
-    "text_repetition",
     "docs_pii_redact",
-    "dedup_minhash_incremental",
     "docs_source_cap",
     "docs_token_budget",
     "docs_weighted_sample",
     "docs_stratified_sample",
     "docs_quality_tiers",
-    "dedup_keep_best",
-    "docs_curation_pipeline",
-    "dedup_shared_grams",
-    # never green (r1-r3):
-    "skew_salted_join",
-    "ann_ivfpqr_knn",
-    # green in r2, evicted from the window in r3:
-    "skew_salted_agg",
-    "events_asof_join",
+    "docs_splits",
+    "text_repetition",
     "rollup_revenue",
     "part_string_functions",
     "events_json_extract",
@@ -3810,16 +3972,13 @@ _CHECK_FIRST = [
     "customers_without_orders",
     "lineitem_stats",
     "supplier_stats_by_nation",
-    "dedup_simhash_pairs",
-    # new/changed in r5 — need their first green row:
-    "multimodal_knn",
-    "ann_recall_summary",
-    # new/merged in r4 — need their first green row:
-    "knn_all_metrics",
-    "threshold_radius",
-    "dedup_jaccard_variants",
-    "docs_splits",
-    "neardup_pairs",
+    "ann_lsh_knn",
+    "ann_ivf_knn",
+    "ann_sq_knn",
+    "ann_pq_knn",
+    "ann_ivfpq_knn",
+    "ann_ivfsq_knn",
+    "ann_ivfpqr_knn",
 ]
 
 # r7: the registry grew to 54 (four new certifiable surfaces above),
@@ -3864,9 +4023,12 @@ _ROTATE_OUT: "list[str]" = [
     # dedup_shared_grams (72): two more long-green rows take the tail
     "lineitem_quantiles",
     "orders_running_revenue",
-    # r8 addition (dedup_minhash_snapshot 73): one r7-green row whose
-    # code is untouched so far this round takes the tail
+    # r8 additions (dedup_minhash_snapshot 73, docs_strip_shared_spans
+    # 74, dedup_neardup_e2e 75): r7-green rows whose code is untouched
+    # so far this round take the tail
     "docs_pack_sequences",
+    "docs_mix_sources",
+    "docs_training_stream",
 ]
 
 
