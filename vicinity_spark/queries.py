@@ -3981,57 +3981,6 @@ _ROTATE_OUT: "list[str]" = [
     "ann_ivfpqr_knn",
 ]
 
-# r7: the registry grew to 54 (four new certifiable surfaces above),
-# so four long-stable rows take the unchecked tail for one round.
-# Chosen: green every round since r1 (6 consecutive driver-green rows,
-# code untouched this round) — the lowest-information checks to skip,
-# and VERIFIED.md records the skip honestly so rotation is auditable.
-_ROTATE_OUT: "list[str]" = [
-    "vector_norms",
-    "text_token_stats",
-    "text_quality",
-    "text_fingerprint",
-    # r7 late additions (dedup_minhash_affine 55, dedup_minhash_tokenroll
-    # 56): two more 6-consecutive-green rows take the tail to keep the
-    # window at 50
-    "vector_stats_by_label",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "regional_revenue",
-    "events_hourly",
-    "events_sessionize",
-    "top_parts_per_brand",
-    "docs_stats_by_lang",
-    # r7 latest additions (docs_pii_redact 63, dedup_minhash_incremental
-    # 64): two more long-green rows take the tail — dedup_exact (green
-    # r1-r6, 6 consecutive) and text_subword_tokens (green r2-r6)
-    "dedup_exact",
-    "text_subword_tokens",
-    # r7 curation additions (docs_source_cap 65, docs_token_budget 66,
-    # docs_weighted_sample 67): three more 6-consecutive-green rows
-    # take the tail — all code-untouched this round
-    "text_langid",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # r7 final additions (docs_stratified_sample 68, docs_quality_tiers
-    # 69, dedup_keep_best 70): three more long-green (r5+r6 green,
-    # code-untouched this round) rows take the tail
-    "vocab_top_tokens",
-    "docs_clean_pipeline",
-    "text_pmi_bigrams",
-    # r7 flagship addition (docs_curation_pipeline 71) and
-    # dedup_shared_grams (72): two more long-green rows take the tail
-    "lineitem_quantiles",
-    "orders_running_revenue",
-    # r8 additions (dedup_minhash_snapshot 73, docs_strip_shared_spans
-    # 74, dedup_neardup_e2e 75): r7-green rows whose code is untouched
-    # so far this round take the tail
-    "docs_pack_sequences",
-    "docs_mix_sources",
-    "docs_training_stream",
-]
-
-
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     front = [n for n in _CHECK_FIRST if n in QUERIES]
