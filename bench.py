@@ -266,7 +266,6 @@ def _dedup_e2e(n, n_dups, parts=32):
     collision-driven (near-dups only) at every tier and cost stays
     ∝ n with no knob change."""
     from vicinity_spark.operators.dedup import (
-        DEFAULT_MAX_BUCKET,
         connected_components,
         minhash_lsh_pairs_rowwise,
     )
@@ -286,14 +285,19 @@ def _dedup_e2e(n, n_dups, parts=32):
             # survivor count, e2e 24.5s → 17.4s min-of-2 same-session
             # at 2M (BENCHNOTES "tokenroll"; the isolated family twin
             # is the minhash_tokenroll_200k suite entry)
-            # r8 (VERDICT item 5): the production hot-bucket cap ON by
-            # default in the composed path — measured FREE here (20.41s
-            # capped vs 20.51s uncapped min-of-2 at 2M: the r8 lazy cap
-            # is one map-side-combined count + a broadcast anti-join,
-            # and nothing binds on this corpus), survivor set identical
+            # r8: this entry stays UNCAPPED deliberately — it is the
+            # cross-round anchor for raw mining cost, and the capped
+            # production default lives in the composed library entry
+            # point it predates (neardup_dedup / neardup_dedup_2m,
+            # VERDICT item 5). Interleaved same-session A/B at 2M puts
+            # the lazy cap at parity ([27.1,23.2]s capped vs
+            # [29.9,22.3]s uncapped) but one in-suite run showed a 2x
+            # overage with the cap on — the cap's second bucket-frame
+            # projection is the plausible term; priced in
+            # neardup_dedup_2m, kept out of the anchor (BENCHNOTES r8).
             pairs = minhash_lsh_pairs_rowwise(
                 base, n_hashes=16, rows_per_band=2, min_jaccard=0.5,
-                hash_fn="tokenroll", max_bucket=DEFAULT_MAX_BUCKET,
+                hash_fn="tokenroll",
             )
             comps = connected_components(base.select("doc_id"), pairs, id_col="doc_id")
             return comps.where(F.col("rep") == F.col("id"))
@@ -313,12 +317,13 @@ def neardup_dedup_2m(spark, sf_dir):
     neardup_dedup) at 2M — what a user actually calls: exact-dedup
     pre-pass → tokenroll MinHash mining with the production cap ON →
     components → survivor ROWS with all columns. ~+11s over the
-    mining-only dedup_e2e_2m anchor, all of it the pre-pass hash
-    groupBy and the two id semi-joins that return full rows — each
-    linear, shuffle-bounded by |docs|, and absent from the anchor
-    because the anchor returns survivor IDs only. Both entries stay:
-    the anchor isolates mining cost across rounds; this one prices the
-    user-facing composition."""
+    mining-only dedup_e2e_2m anchor: the pre-pass hash groupBy, the
+    two id semi-joins that return full rows, and the cap's second
+    bucket-frame projection (BENCHNOTES r8 "lazy hot-bucket cap") —
+    each linear, shuffle-bounded by |docs|, and absent from the anchor
+    because the anchor times raw uncapped mining over survivor IDs
+    only. Both entries stay: the anchor isolates mining cost across
+    rounds; this one prices the user-facing composition."""
     docs = _synth_docs(spark, n=1_999_000, n_dups=1000, parts=64).cache()
     docs.count()
     from vicinity_spark.operators.dedup import neardup_dedup

@@ -917,3 +917,63 @@ def test_nonfinite_corpus_vectors_rank_last_all_algorithms(spark):
         assert all(r.distance != r.distance for r in rows if r.id in (1, 2)), (
             alg, [(r.id, r.distance) for r in rows],
         )  # reported as NaN, never 0.0
+
+
+def test_graph_searched_collect_visited_pool_identical(spark):
+    """r8: the collect_visited diagnostics path must return the SAME
+    pool as the serving path (it only changes bookkeeping/laziness),
+    and visited must contain the seeds plus every scored expansion —
+    the contract the ann_recall_summary graph branch leans on."""
+    import numpy as np
+
+    from vicinity_spark.backends.graph import GraphStrategy
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)],
+        "id long, vector array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(3)],
+        "query_id long, qvec array<float>",
+    )
+    strat = GraphStrategy(k_build=4, iters=1, beam=6, expansions=2, n_entries=3, seed=42)
+    built = strat.build(corpus, Metric.COSINE, 8).cache()
+    plain = strat._searched(built, queries, Metric.COSINE, 5)
+    pool, visited = strat._searched(
+        built, queries, Metric.COSINE, 5, collect_visited=True
+    )
+    a = {(r.query_id, r.id, round(r.distance, 9)) for r in plain.collect()}
+    b = {(r.query_id, r.id, round(r.distance, 9)) for r in pool.collect()}
+    assert a == b and len(a) > 0
+    vis = {(r.query_id, r.id) for r in visited.collect()}
+    # every pooled row was scored, and all 3 entry seeds are visited
+    assert {(q, i) for q, i, _ in b} <= vis
+    for qid in (0, 1, 2):
+        assert {(qid, 0), (qid, 1), (qid, 2)} <= vis
+
+
+def test_graph_build_deterministic_across_builds(spark):
+    """Seeded build: two independent builds over the same rows yield
+    identical adjacency (the determinism the SQL-replayed recall
+    branch requires — ring offsets, window tie-breaks, rank map)."""
+    import numpy as np
+
+    from vicinity_spark.backends.graph import GraphStrategy, NBRS_COL
+    from vicinity_spark.datatypes import Metric
+
+    rng = np.random.default_rng(11)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)],
+        "id long, vector array<float>",
+    )
+
+    def adjacency():
+        s = GraphStrategy(k_build=4, iters=2, seed=42)
+        return {
+            r["id"]: list(r[NBRS_COL])
+            for r in s.build(corpus, Metric.COSINE, 8).select("id", NBRS_COL).collect()
+        }
+
+    assert adjacency() == adjacency()

@@ -303,12 +303,21 @@ class GraphStrategy(IndexStrategy):
 
     # ---- query: batched beam expansion ------------------------------
     def _searched(
-        self, corpus: DataFrame, queries: DataFrame, metric: Metric, k: int
+        self, corpus: DataFrame, queries: DataFrame, metric: Metric, k: int,
+        collect_visited: bool = False,
     ) -> DataFrame:
         """(query_id, id, distance) — the per-query top-max(beam, k)
         pool after beam search (sufficient for any final top-k ≤ k:
         a row outside the pool was beaten by ≥ max(beam, k) rows the
         round it was scored, and the pool only improves).
+
+        ``collect_visited=True`` (r8, the ann_recall_summary graph
+        branch) returns ``(pool, visited)`` where visited is every
+        (query_id, id) pair the search scored — the candidate-set
+        accounting the recall summary reports. It forces the final
+        round to materialize its delta (normally fused into the
+        caller's single job), so it is a diagnostics surface, not the
+        serving path.
 
         Round structure keeps three disjoint sets instead of one
         monotone visited blob:
@@ -371,7 +380,7 @@ class GraphStrategy(IndexStrategy):
                 .join(visited, ["query_id", "id"], "left_anti")
             )
             newly = score_joined(nxt.join(vec, "id"), queries, metric)
-            last = rnd == rounds - 1
+            last = rnd == rounds - 1 and not collect_visited
             if not last:
                 # intermediate rounds materialize: the scored delta
                 # feeds three consumers (early-exit probe, visited,
@@ -404,6 +413,8 @@ class GraphStrategy(IndexStrategy):
             # the convergence probe, and both checkpoint jobs are dead
             # work there — the caller's one action executes
             # expand→score→merge as a single fused job
+        if collect_visited:
+            return pool.select("query_id", "id", "distance"), visited
         return pool.select("query_id", "id", "distance")
 
     def knn(
