@@ -1133,3 +1133,36 @@ def test_hash_fn_auto_resolves_to_tokenroll(spark, docs_df):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_dedup_lines_cross_doc_boilerplate(spark):
+    """CCNet-style line dedup: lines in >= min_docs distinct docs go,
+    unique lines stay byte-exact with order and empty lines preserved;
+    within-doc repeats of a corpus-wide dup line are all removed."""
+    from vicinity_spark.operators.dedup import dedup_lines
+
+    nav = "home | products | about us"
+    foot = "copyright 2024 example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique article one text here\n{foot}"),
+            (2, f"{nav}\nsecond unique body\n\n{foot}"),
+            (3, f"{nav}\nthird thing entirely"),
+            (4, "standalone doc no boilerplate at all"),
+            (5, f"{foot}\n{foot}\nbody five"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in dedup_lines(docs, min_docs=3).collect()
+    }
+    assert got == {
+        1: ("unique article one text here", 3, 2),
+        2: ("second unique body\n", 4, 2),  # empty line preserved
+        3: ("third thing entirely", 2, 1),
+        4: ("standalone doc no boilerplate at all", 1, 0),
+        5: ("body five", 3, 2),  # both in-doc copies removed
+    }
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_lines(docs, min_docs=1)

@@ -65,3 +65,44 @@ def test_langid_rowwise_matches_exploded(spark):
     b = {tuple(r) for r in langid_scores_rowwise(docs).collect()}
     assert a == b
     assert not any(r[0] == 5 for r in b)
+
+
+# ---- unigram-LM quality scoring (r8) ---------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Self-fit add-1 unigram xent on a 2-doc corpus, checked against
+    the closed-form values."""
+    import math
+
+    from vicinity_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2 b=2 c=1, N=5, V=3 -> denom = 5 + (3+1) = 9
+    lp = {t: math.log((c + 1) / 9.0) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    want = {
+        1: round(-(2 * lp["a"] + lp["b"]) / 3, 6),
+        2: round(-(lp["b"] + lp["c"]) / 2, 6),
+    }
+    got = {r.doc_id: r.xent for r in unigram_logprob(docs).collect()}
+    assert got == want
+
+
+def test_unigram_logprob_reference_lm_and_unk(spark):
+    """Scoring against a SUPPLIED reference LM: unseen tokens fall to
+    the __unk__ floor; empty docs report n_tokens=0 and NULL xent."""
+    import math
+
+    from vicinity_spark.operators.textops import fit_unigram_lm, unigram_logprob
+
+    ref = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+    lm = fit_unigram_lm(ref)  # x=2 y=1, N=3, V=2 -> denom 6
+    target = spark.createDataFrame(
+        [(1, "x z"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.xent) for r in unigram_logprob(target, lm=lm).collect()}
+    lx, lunk = math.log(3 / 6.0), math.log(1 / 6.0)
+    assert got[1] == (2, round(-(lx + lunk) / 2, 6))
+    assert got[2] == (0, None)

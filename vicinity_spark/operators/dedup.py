@@ -1679,3 +1679,67 @@ def neardup_dedup(
     )
     keep = comps.where(F.col("rep") == F.col("id")).select(F.col("id").alias(id_col))
     return canon_docs.join(keep, id_col, "left_semi")
+
+
+# ---- cross-doc line dedup (r8) ---------------------------------------
+# CCNet/RefinedWeb-style LINE-level dedup: drop every line that occurs
+# in >= min_docs distinct documents (navigation chrome, cookie
+# banners, boilerplate footers). Line granularity complements
+# strip_shared_spans: spans catch duplicated TOKEN runs inside prose;
+# line dedup catches structurally repeated WHOLE lines regardless of
+# their length (a 3-token nav line never forms a 5-gram).
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, text_clean, n_lines, n_removed) — remove every line
+    occurring in >= min_docs DISTINCT docs; surviving lines keep their
+    order and exact bytes (empty lines are never counted or removed).
+
+    Plan, 100 TB shape (the strip_shared_spans pattern at line
+    granularity): per-row posexplode of the line array is the only
+    full-text pass; the line-frequency table is a distinct + one
+    map-side-combined groupBy (a nav line in 1M docs is a counter,
+    not a row blowup), filtered to the duplicated vocabulary BEFORE
+    the join back; removal positions return per doc as a small array
+    (shuffle ∝ duplicated lines), and reassembly is an in-row
+    filter-by-index + array_join — no full-text regroup shuffle."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # \Q…\E: the separator is a LITERAL, not a regex (same hazard class
+    # as the r7 CSV-delimiter advice fix)
+    sep_pat = "\\Q" + line_sep + "\\E"
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("pos", "line"),
+    ).where(F.col("line") != "")
+    dup = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("line")
+    )
+    rm = (
+        lines.join(dup, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__rm"))
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(rm, "doc_id", "left")
+    arr = F.split(F.col("__text"), sep_pat)
+    rmset = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(arr, lambda l, i: ~F.array_contains(rmset, i.cast("int")))
+    return out.select(
+        "doc_id",
+        F.array_join(kept, line_sep).alias("text_clean"),
+        F.size(arr).cast("long").alias("n_lines"),
+        (F.size(arr) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -335,3 +335,92 @@ def repetition_scores(
         .otherwise(F.lit(0.0))
         .alias("top_token_frac"),
     )
+
+
+# ---- unigram-LM quality scoring (r8) ---------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lm: "DataFrame | None" = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, xent) — per-doc cross-entropy (nats/token)
+    under an add-α-smoothed UNIGRAM language model: the CCNet-style
+    "perplexity against a reference corpus" quality filter with the
+    unigram approximation (no external LM library; KenLM plugs into
+    the same shape by swapping the `lm` table). Lower = more typical
+    text; curation keeps the low/middle buckets and routes the high
+    tail (gibberish) and the very low tail (boilerplate) to review.
+
+    ``lm``: pass a (tok, logp) table to score against a REFERENCE
+    corpus (the standard setup — score the crawl against Wikipedia);
+    default fits on `docs` itself. Fit with ``fit_unigram_lm``.
+    Tokens unseen by a supplied lm score at the smoothed floor
+    recorded in its ``__unk__`` row.
+
+    Scale: the LM fit is one map-side-combined groupBy (vocab-bounded);
+    scoring joins the token stream on `tok` — a hot stopword is fine
+    (join, not explosion) and AQE broadcasts small vocabularies. The
+    per-doc sum is a double; output rounds to 1e-6, well above
+    cross-engine summation-order noise at document magnitudes."""
+    from vicinity_spark.operators.dedup import tokens
+
+    t = tokens(docs, text_col, id_col)
+    if lm is None:
+        lm = fit_unigram_lm(docs, text_col=text_col, id_col=id_col, alpha=alpha)
+    unk = lm.where(F.col("tok") == "__unk__").select(
+        F.col("logp").alias("__unk_lp")
+    )
+    scored = (
+        t.join(lm.where(F.col("tok") != "__unk__"), "tok", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("doc_id", F.coalesce("logp", F.col("__unk_lp")).alias("logp"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("__s")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(-F.col("__s") / F.col("n_tokens"), 6),
+            ).alias("xent"),
+        )
+    )
+
+
+def fit_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(tok, logp) add-α unigram LM over `docs`, plus an ``__unk__``
+    row carrying the unseen-token floor log(α / (N + α·(V+1))) — the
+    +1 reserves the unk type itself. Pure aggregation: one groupBy
+    (vocab-bounded, map-side combined) and a broadcast one-row total."""
+    from vicinity_spark.operators.dedup import tokens
+
+    tf = tokens(docs, text_col, id_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = tf.agg(
+        F.sum("__c").cast("double").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    denom = F.col("__n") + F.lit(alpha) * (F.col("__v") + 1.0)
+    with_tot = tf.crossJoin(F.broadcast(tot))
+    lm = with_tot.select(
+        "tok", F.log((F.col("__c") + F.lit(alpha)) / denom).alias("logp")
+    )
+    unk = tot.select(
+        F.lit("__unk__").alias("tok"), F.log(F.lit(alpha) / denom).alias("logp")
+    )
+    return lm.unionByName(unk)

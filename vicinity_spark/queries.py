@@ -4073,6 +4073,113 @@ def dedup_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- cross-doc line dedup (r8) ---------------------------------------
+
+_LINE_NAV = "home | products | docs | about"
+_LINE_FOOT = "copyright example corp all rights reserved worldwide"
+_LINE_RARE = "rare promo line only a handful of mirrors carry"
+
+_LINE_DEDUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LINE_NAV}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_LINE_FOOT}' ELSE '' END
+         || CASE WHEN doc_id % 97 = 0 THEN chr(10) || '{_LINE_RARE}' ELSE '' END
+         AS text
+  FROM documents
+),
+split_t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM split_t
+),
+dup AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines WHERE line <> '') dl
+  GROUP BY line HAVING count(*) >= 20
+),
+keptl AS (
+  SELECT doc_id, line, pos FROM lines
+  WHERE line = '' OR line NOT IN (SELECT line FROM dup)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keptl GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(s.ls) AS BIGINT) AS n_lines,
+       CAST(len(s.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM split_t s LEFT JOIN agg a ON a.doc_id = s.doc_id
+"""
+
+
+@register("docs_line_dedup", _LINE_DEDUP_SQL)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation): CCNet/RefinedWeb-style cross-doc LINE dedup —
+    drop every line occurring in >= 20 distinct docs (nav chrome,
+    footers); line granularity catches whole-line boilerplate too
+    short to form the 5-grams strip_shared_spans needs. The corpus has
+    no newlines, so the entry PLANTS deterministic lines identically
+    on both sides (the docs_pii_redact pattern): a nav line on every
+    3rd doc (~1/3 of corpus — removed), a footer on every 5th
+    (removed), a rare line on every 97th (~1/97 — BELOW threshold,
+    certifies the keep side), unique bodies untouched. Spark plan:
+    operators/dedup.py dedup_lines — positions-only join-back and
+    in-row filter-by-index reassembly, no full-text regroup shuffle."""
+    from vicinity_spark.operators.dedup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _LINE_NAV)).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _LINE_FOOT)).otherwise(""),
+            F.when(F.col("doc_id") % 97 == 0, F.lit("\n" + _LINE_RARE)).otherwise(""),
+        ).alias("text"),
+    )
+    return dedup_lines(planted, min_docs=20)
+
+
+# ---- unigram-LM quality scoring (r8) ---------------------------------
+
+_UNIGRAM_XENT_SQL = """
+WITH tkf AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tkf GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf),
+lp AS (SELECT tok, ln((c + 1.0) / (tot.n + (tot.v + 1.0))) AS logp FROM tf, tot),
+per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nt, sum(lp.logp) AS s
+  FROM tkf t JOIN lp USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.nt, 0) AS n_tokens,
+       CASE WHEN per.nt > 0 THEN round(-per.s / per.nt, 6) END AS xent
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register("docs_unigram_xent", _UNIGRAM_XENT_SQL)
+def docs_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation): per-doc cross-entropy under an add-1 unigram
+    LM fit on the corpus itself — the CCNet-style perplexity quality
+    filter with the unigram approximation (operators/textops.py
+    unigram_logprob; a KenLM table drops into the same `lm` slot in
+    production). Curation keeps low/middle xent and routes the
+    gibberish tail. Plan: vocab-bounded LM fit (one map-side groupBy +
+    a broadcast one-row total), token-stream join for scoring (hot
+    stopwords are join keys, never row blowups), per-doc mean rounded
+    to 1e-6 — above cross-engine float-summation-order noise."""
+    from vicinity_spark.operators.textops import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4111,6 +4218,8 @@ _CHECK_FIRST = [
     "dedup_minhash_snapshot",
     "docs_strip_shared_spans",
     "dedup_neardup_e2e",
+    "docs_line_dedup",
+    "docs_unigram_xent",
     # (b) r7 tail, last green r6:
     "vector_norms",
     "text_token_stats",
@@ -4158,14 +4267,17 @@ _CHECK_FIRST = [
     "ann_recall_summary",
     "ann_graph_knn",
     "skew_salted_join",
-    "skew_salted_agg",
-    "events_asof_join",
 ]
 
 # r8 tail: 25 rows, every one green in CORRECTNESS_r07.json with its
 # code untouched this round (scripts/verified_ledger.py enforces that
 # nothing never-green sits here; VERIFIED.md records the skip).
 _ROTATE_OUT: "list[str]" = [
+    # events_asof_join / skew_salted_agg: r7-green, their code untouched
+    # in r8 — take the tail so docs_line_dedup / docs_unigram_xent
+    # (new) fit the window
+    "events_asof_join",
+    "skew_salted_agg",
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",
