@@ -1166,3 +1166,20 @@ def test_dedup_lines_cross_doc_boilerplate(spark):
     }
     with pytest.raises(ValueError, match="min_docs"):
         dedup_lines(docs, min_docs=1)
+
+
+def test_strip_shared_spans_hash_keys_matches_exact(spark):
+    """The hashed-gram scale form must produce the identical cleaned
+    corpus as the exact-string form on collision-free input (collisions
+    are ~1e-10/pair; any mismatch here is a logic bug, not a hash
+    accident)."""
+    from vicinity_spark.operators.dedup import strip_shared_spans
+
+    bp = "shared footer line with several tokens to strip out"
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(10)) + " " + bp) for i in range(12)]
+    rows.append((99, "Mixed CASE unique text that stays fully intact here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in ({}, {"mask": "<DUP>"}):
+        a = {tuple(r) for r in strip_shared_spans(docs, n=4, **kw).collect()}
+        b = {tuple(r) for r in strip_shared_spans(docs, n=4, hash_keys=True, **kw).collect()}
+        assert a == b and len(a) == 13

@@ -1466,6 +1466,7 @@ def strip_shared_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     mask: Optional[str] = None,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """(doc_id, text_clean, n_tokens, n_removed) — remove (or, with
     ``mask='<DUP>'``-style, replace per removed run) every token span
@@ -1492,19 +1493,43 @@ def strip_shared_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks_lc = F.split(F.lower(F.col(text_col)), " ")
-    pg = F.when(
-        F.size(toks_lc) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks_lc) - (n - 1)),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.concat_ws(" ", F.slice(toks_lc, i, n)).alias("gram"),
+    if hash_keys:
+        # scale form (r8): positioned gram keys as tokenroll Rabin–Karp
+        # combinations of per-token 32-bit hashes — no gram STRING is
+        # ever built, and both shuffles below move narrow bigints
+        # instead of ~n-token strings (the same constant-killer the
+        # MinHash miners measured at 16× their signature phase). The
+        # trade, stated: a 32-bit-masked key collision between two
+        # DISTINCT grams (≈1e-10 per pair at 33M grams) marks a unique
+        # span as duplicated — a lost-recall-free FALSE REMOVAL risk
+        # the exact-string form (default, oracle-checked) does not
+        # have. Use for corpus-scale runs; keep exact keys where every
+        # byte must be attributable.
+        staged = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.array(_tokenroll_token_hashes(F.col(text_col), "tokenroll"))
+            ).alias("__th"),
+        )
+        gh = _tokenroll_gram_hashes(n, "__th")
+        grams = staged.select(
+            "doc_id", F.posexplode(gh).alias("pos0", "gram")
+        ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gram")
+    else:
+        pg = F.when(
+            F.size(toks_lc) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks_lc) - (n - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat_ws(" ", F.slice(toks_lc, i, n)).alias("gram"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(pg).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        grams = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(pg).alias("g")
+        ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     dup_vocab = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__c"))
