@@ -4261,7 +4261,7 @@ _CHECK_FIRST = [
     "docs_decontaminate",
     "multimodal_knn",
     "knn_all_metrics",
-    "threshold_radius",
+    "text_repetition",
     "threshold_grid_routing",
     "knn_filtered_label",
     "ann_recall_summary",
@@ -4288,7 +4288,9 @@ _ROTATE_OUT: "list[str]" = [
     "docs_stratified_sample",
     "docs_quality_tiers",
     "docs_splits",
-    "text_repetition",
+    # threshold_radius: knn/metrics code untouched in r8; text_repetition
+    # moved INTO the window because textops.py gained code this round
+    "threshold_radius",
     "rollup_revenue",
     "part_string_functions",
     "events_json_extract",
