@@ -32,7 +32,7 @@ def embs(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_documents_roundtrip(spark, tmp_path, docs, fmt):
     from vicinity_spark.sources.files import read_documents, write_documents
 
@@ -48,7 +48,7 @@ def test_documents_roundtrip(spark, tmp_path, docs, fmt):
     assert got == want
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_embeddings_roundtrip(spark, tmp_path, embs, fmt):
     from vicinity_spark.sources.files import read_embeddings, write_embeddings
 
@@ -109,7 +109,7 @@ def test_formats_feed_operators_identically(spark, tmp_path, docs, embs):
     )
 
     outs = []
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         p = str(tmp_path / f"docs2_{fmt}")
         write_documents(docs, p, fmt)
         d = read_documents(spark, p, fmt).withColumn("text", F.coalesce("text", F.lit("")))
@@ -117,7 +117,7 @@ def test_formats_feed_operators_identically(spark, tmp_path, docs, embs):
     assert outs[0] == outs[1] == outs[2]
 
     knns = []
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         p = str(tmp_path / f"embs2_{fmt}")
         write_embeddings(embs, p, fmt)
         e = read_embeddings(spark, p, fmt)

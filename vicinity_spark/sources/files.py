@@ -1,6 +1,6 @@
 """File-format sources for the engine's two pipeline tables (r7):
 documents (text corpus) and embeddings (vector corpus) from parquet,
-JSON-lines, or CSV — with the SAME enforced schema regardless of
+ORC (r8), JSON-lines, or CSV — with the SAME enforced schema regardless of
 format, so every downstream operator (dedup, textops, knn, packing,
 mixing) sees one contract.
 
@@ -40,7 +40,7 @@ EMBEDDINGS_SCHEMA = T.StructType(
     ]
 )
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def _read(
@@ -53,12 +53,14 @@ def _read(
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
-    if fmt == "parquet":
-        # parquet is self-describing; select enforces presence + order
-        df = spark.read.parquet(path)
+    if fmt in ("parquet", "orc"):
+        # parquet/ORC are self-describing columnar formats (both keep
+        # column pruning + predicate pushdown); select enforces
+        # presence + order
+        df = spark.read.format(fmt).load(path)
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
-            raise ValueError(f"parquet at {path} lacks columns {missing}")
+            raise ValueError(f"{fmt} at {path} lacks columns {missing}")
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -124,8 +126,8 @@ def write_documents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
     w = df.select(*[f.name for f in DOCUMENTS_SCHEMA.fields]).write.mode("error")
-    if fmt == "parquet":
-        w.parquet(path)
+    if fmt in ("parquet", "orc"):
+        w.format(fmt).save(path)
     elif fmt == "json":
         w.json(path)
     else:
@@ -141,8 +143,8 @@ def write_embeddings(
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
     out = df.select(*[f.name for f in EMBEDDINGS_SCHEMA.fields])
     w = out.write.mode("error")
-    if fmt == "parquet":
-        w.parquet(path)
+    if fmt in ("parquet", "orc"):
+        w.format(fmt).save(path)
     elif fmt == "json":
         w.json(path)
     else:
