@@ -1183,3 +1183,40 @@ def test_strip_shared_spans_hash_keys_matches_exact(spark):
         a = {tuple(r) for r in strip_shared_spans(docs, n=4, **kw).collect()}
         b = {tuple(r) for r in strip_shared_spans(docs, n=4, hash_keys=True, **kw).collect()}
         assert a == b and len(a) == 13
+
+
+def test_append_corpus_buckets_grows_snapshot(spark, tmp_path):
+    """save(A) + append(B) must probe identically to save(A ∪ B): the
+    appended rows land in the same pruning-ready layout with the
+    sidecar's banding params."""
+    from vicinity_spark.operators.dedup import (
+        append_corpus_buckets,
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part_a = docs.where(F.col("doc_id") % 10 < 4)
+    part_b = docs.where((F.col("doc_id") % 10 >= 4) & (F.col("doc_id") % 5 != 0))
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = part_a.unionByName(part_b)
+
+    grown = str(tmp_path / "grown")
+    save_corpus_buckets(part_a, grown, n_hashes=16, rows_per_band=4, n_bpart=4)
+    append_corpus_buckets(part_b, grown)
+    oneshot = str(tmp_path / "oneshot")
+    save_corpus_buckets(corpus, oneshot, n_hashes=16, rows_per_band=4, n_bpart=4)
+
+    g = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, new, grown, min_jaccard=0.3
+        ).collect()
+    }
+    w = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, new, oneshot, min_jaccard=0.3
+        ).collect()
+    }
+    assert g == w and len(g) > 0

@@ -1008,3 +1008,73 @@ def test_stateless_minhash_tokenroll_shingle_one(spark):
     # shingle=1 signature is the per-token minhash — a 1-token doc's
     # signature is just that token's transforms (no short-doc tier)
     assert len(sigs[4]) == 8
+
+
+def test_stream_neardup_vs_snapshot_matches_batch(spark, tmp_path):
+    """r8: streaming daily-ingest dedup against the PERSISTED corpus
+    bucket snapshot — every micro-batch is planned as a BATCH query
+    (foreachBatch), so the snapshot probe carries the same
+    DynamicPartitionPruning filter as the batch path, and the union of
+    per-trigger results equals one batch probe over all the docs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.dedup import (
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+    from vicinity_spark.streaming.neardup import stream_neardup_vs_snapshot
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") % 5 != 0
+    )
+    new = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    snap = str(tmp_path / "snap")
+    save_corpus_buckets(corpus, snap, n_hashes=16, rows_per_band=4, n_bpart=8)
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "stream_src"
+    halves = [
+        new.where(F.col("doc_id") % 2 == 0),
+        new.where(F.col("doc_id") % 2 == 1),
+    ]
+    for i, h in enumerate(halves):
+        h.select("doc_id", "text").withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    seen_plans = []
+    w = stream_neardup_vs_snapshot(
+        stream,
+        corpus,
+        snap,
+        sink=lambda df, bid: got.extend(
+            (r.id_new, r.id_corpus, round(r.jaccard, 6)) for r in df.collect()
+        ),
+        min_jaccard=0.3,
+        _plan_observer=lambda df: seen_plans.append(df),
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    want = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, new, snap, min_jaccard=0.3
+        ).collect()
+    }
+    assert set(got) == want and len(want) > 0
+    assert len(got) == len(set(got))  # triggers partition the batch — no dup pairs
+    # the per-trigger probe is batch-planned: DPP filter present
+    from vicinity_spark.plans.checks import explain_str
+
+    assert seen_plans and any(
+        "dynamicpruning" in explain_str(df) for df in seen_plans
+    )

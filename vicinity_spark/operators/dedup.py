@@ -1768,3 +1768,32 @@ def dedup_lines(
         F.size(arr).cast("long").alias("n_lines"),
         (F.size(arr) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def append_corpus_buckets(docs: DataFrame, path: str) -> None:
+    """Append a new batch's bucket rows to an EXISTING snapshot — the
+    daily maintenance op that closes the ingest loop: probe today's
+    crawl against the snapshot (minhash_lsh_pairs_vs_snapshot), keep
+    the survivors, then append THEIR buckets so tomorrow's probe sees
+    them. Banding params come from the snapshot's sidecar (a mismatch
+    would write keys that collide with nothing); the same
+    (band, bpart) routing + bkey sort keeps the layout pruning-ready.
+    Caller contract: doc ids are unique across the snapshot's history
+    (the same id-uniqueness every dedup input already requires)."""
+    spark = docs.sparkSession
+    params = _read_sidecar(spark, _params_path(path))
+    params = {k: (v if k == "hash_fn" else int(v)) for k, v in params.items()}
+    buckets = band_buckets_rowwise(
+        docs,
+        params["n_hashes"],
+        params["rows_per_band"],
+        shingle_n=params["shingle_n"],
+        hash_fn=params["hash_fn"],
+    ).withColumn("bpart", _bpart_expr(params["n_bpart"]))
+    (
+        buckets.repartition(F.col("band"), F.col("bpart"))
+        .sortWithinPartitions("bkey")
+        .write.mode("append")
+        .partitionBy("band", "bpart")
+        .parquet(path)
+    )

@@ -228,3 +228,64 @@ def stream_neardup_candidates(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_neardup_vs_snapshot(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    snapshot_path: str,
+    sink,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: "int | None" = None,
+    _plan_observer=None,
+):
+    """Streaming daily-ingest dedup against a PERSISTED corpus bucket
+    snapshot (r8): each arriving micro-batch of documents is probed
+    against the save_corpus_buckets layout via foreachBatch, so every
+    trigger is planned by the BATCH planner — AQE and dynamic
+    partition pruning apply (neither does inside a pure streaming
+    plan), and the probe reads ONLY the snapshot files the batch's own
+    band keys hash into (the minhash_lsh_pairs_vs_snapshot three-key
+    join). This is the streaming face of the incremental-ingest story:
+    the standing corpus is never re-shuffled, never re-hashed, and now
+    never even fully re-READ per trigger.
+
+    `corpus` supplies candidate-verification TEXT only (semi-joined
+    down to candidate docs per batch). `sink(pairs_df, batch_id)`
+    receives (id_new, id_corpus, jaccard) per trigger. Cross-batch
+    near-dups WITHIN the stream are stream_neardup_candidates' job —
+    this operator prices new-vs-standing-corpus only, which is why it
+    needs no state at all.
+
+    Returns the DataStreamWriter — call `.trigger(...).start()`."""
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_vs_snapshot
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # Null-text rows cannot be mined — and this filter is ALSO what
+        # arms dynamic partition pruning: Catalyst's PartitionPruning
+        # rule only prunes when the filtering side carries a selective
+        # predicate, and a materialized micro-batch source has no
+        # Filter node at all (the batch path naturally has one from its
+        # role split). length(text) >= 0 is a BinaryComparison, so the
+        # heuristic accepts it; semantics are "skip unminable rows".
+        batch = batch_df.where(
+            F.col(text_col).isNotNull() & (F.length(text_col) >= 0)
+        )
+        pairs = minhash_lsh_pairs_vs_snapshot(
+            batch_df.sparkSession,
+            corpus,
+            batch,
+            snapshot_path,
+            min_jaccard=min_jaccard,
+            text_col=text_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+            _plan_observer=_plan_observer,
+        )
+        sink(pairs, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_process).outputMode("append")
