@@ -314,3 +314,105 @@ def test_global_rank_is_permutation_above_sampler_threshold(spark):
         F.max("rank").alias("mx"),
     ).collect()[0]
     assert (stats.c, stats.d, stats.mn, stats.mx) == (n, n, 1, n), stats
+
+
+def _dsir_docs(spark):
+    # target domain speaks "alpha beta gamma"; off-domain speaks
+    # "zeta eta theta"; mixed docs sit between
+    rows = [
+        (0, "alpha beta gamma alpha beta", "t"),   # pure target
+        (1, "alpha beta gamma gamma alpha", "t"),  # pure target
+        (2, "zeta eta theta zeta eta", "r"),       # pure off-domain
+        (3, "alpha zeta beta eta gamma", "r"),     # mixed
+        (4, "alpha beta gamma beta gamma", "r"),   # target-like raw doc
+        (5, "theta theta zeta eta zeta", "r"),     # pure off-domain
+        (6, None, "r"),                            # NULL text
+        (7, "", "r"),                              # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, grp string")
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from vicinity_spark.operators.sampling import dsir_weights
+
+    docs = _dsir_docs(spark)
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+    w = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert set(w) == {2, 3, 4, 5, 6, 7}
+    # empty/NULL docs: n_tokens 0, llr NULL
+    assert w[6]["n_tokens"] == 0 and w[6]["llr"] is None
+    assert w[7]["n_tokens"] == 0 and w[7]["llr"] is None
+    # target-like raw doc scores strictly above mixed above off-domain
+    assert w[4]["llr"] > w[3]["llr"] > w[2]["llr"]
+    assert w[4]["llr"] > 0  # reads like the target
+    assert w[2]["llr"] < 0 and w[5]["llr"] < 0  # off-domain
+
+
+def test_dsir_weights_matches_numpy_reference(spark):
+    import math
+    from collections import Counter
+
+    from vicinity_spark.operators.sampling import dsir_weights
+
+    docs = _dsir_docs(spark)
+    raw_rows = [(i, t) for i, t, g in docs.collect() if g == "r" and t]
+    tgt_rows = [(i, t) for i, t, g in docs.collect() if g == "t"]
+
+    def lm(rows, alpha=1.0):
+        c = Counter(tok for _, t in rows for tok in t.lower().split() if tok)
+        n, v = sum(c.values()), len(c)
+        lp = {k: math.log((x + alpha) / (n + alpha * (v + 1))) for k, x in c.items()}
+        return lp, math.log(alpha / (n + alpha * (v + 1)))
+
+    lp_t, unk_t = lm(tgt_rows)
+    lp_r, _ = lm(raw_rows)
+    expect = {
+        i: round(sum(lp_t.get(tok, unk_t) - lp_r[tok] for tok in t.lower().split() if tok), 6)
+        for i, t in raw_rows
+    }
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+    got = {r["doc_id"]: r["llr"] for r in dsir_weights(raw, target).collect() if r["llr"] is not None}
+    assert got == pytest.approx(expect, abs=2e-6)
+
+
+def test_dsir_select_and_sample(spark):
+    from vicinity_spark.operators.sampling import dsir_sample, dsir_select
+
+    docs = _dsir_docs(spark)
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+    # head selection: k=2 takes the two most target-like docs
+    head = [r["doc_id"] for r in dsir_select(raw, target, k=2).collect()]
+    assert head == [4, 3]
+    # k > n returns all scored (non-NULL-llr) docs
+    assert dsir_select(raw, target, k=100).count() == 4
+    # sampled variant: deterministic for a fixed salt, k rows, scored docs only
+    s1 = sorted(r["doc_id"] for r in dsir_sample(raw, target, k=3, salt="a").collect())
+    s2 = sorted(r["doc_id"] for r in dsir_sample(raw, target, k=3, salt="a").collect())
+    assert s1 == s2 and len(s1) == 3
+    assert set(s1) <= {2, 3, 4, 5}
+    with pytest.raises(ValueError):
+        dsir_select(raw, target, k=0)
+    with pytest.raises(ValueError):
+        dsir_sample(raw, target, k=-1)
+
+
+def test_dsir_sample_tracks_weights(spark):
+    """Over many salts, the Gumbel-top-k sample includes high-llr docs
+    more often than low-llr docs — inclusion tracks exp(llr)."""
+    from collections import Counter
+
+    from vicinity_spark.operators.sampling import dsir_sample
+
+    docs = _dsir_docs(spark)
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+    hits = Counter()
+    for i in range(12):
+        for r in dsir_sample(raw, target, k=2, salt=f"s{i}").collect():
+            hits[r["doc_id"]] += 1
+    # doc 4 (most target-like, llr >> others) must dominate inclusion
+    assert hits[4] >= hits[2] and hits[4] >= hits[5]
+    assert hits[4] >= 9  # included in nearly every draw at k=2 of 4

@@ -436,3 +436,142 @@ def quality_tiers(
         tier_col,
         F.when(F.col(rank_col) <= F.lit(cut), big).otherwise(small).cast("long"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_tokens, llr) — per-doc LOG IMPORTANCE RATIO for
+    DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023, with
+    the unigram feature model): llr = Σ_tok [log p_target(tok) −
+    log p_raw(tok)] under two add-α-smoothed unigram LMs, one fit on
+    the (small) target-domain corpus and one on the raw crawl itself.
+    Positive llr ⇒ the doc "reads like" the target domain; selection
+    keeps the high end (``dsir_select``) or samples ∝ exp(llr)
+    (``dsir_sample``). Reference has no analog — this is the
+    training-data-curation layer of the brief.
+
+    Tokens absent from the target LM score at its smoothed unknown
+    floor log(α / (N_t + α·(V_t+1))); every raw token is present in
+    the raw LM by construction, so no raw-side floor is needed.
+
+    Scale: two vocab-bounded map-side-combined groupBys fit the LMs
+    (the target corpus is typically MBs — its LM broadcasts); the
+    raw token stream joins ONCE against a combined (tok, lp_t, lp_r)
+    table — hot stopwords are join keys, never row explosions — and
+    the per-doc sum is one groupBy on doc_id, pre-partitioned by the
+    tokenizer's explode. No shuffle touches full document text.
+    llr rounds to 1e-6, above cross-engine float-summation noise at
+    document magnitudes."""
+    from vicinity_spark.operators.dedup import tokens
+    from vicinity_spark.operators.textops import fit_unigram_lm
+
+    lm_t = fit_unigram_lm(target, text_col=text_col, id_col=id_col, alpha=alpha)
+    lm_r = fit_unigram_lm(raw, text_col=text_col, id_col=id_col, alpha=alpha)
+    unk_t = lm_t.where(F.col("tok") == "__unk__").select(
+        F.col("logp").alias("__unk_t")
+    )
+    combined = (
+        lm_t.where(F.col("tok") != "__unk__")
+        .select("tok", F.col("logp").alias("__lp_t"))
+        .join(
+            lm_r.where(F.col("tok") != "__unk__").select(
+                "tok", F.col("logp").alias("__lp_r")
+            ),
+            "tok",
+            "right",
+        )
+    )
+    t = tokens(raw, text_col, id_col)
+    scored = (
+        t.join(combined, "tok", "left")
+        .crossJoin(F.broadcast(unk_t))
+        .select(
+            "doc_id",
+            (F.coalesce("__lp_t", F.col("__unk_t")) - F.col("__lp_r")).alias("__d"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("__d").alias("__s")
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("n_tokens") > 0, F.round(F.col("__s"), 6)).alias("llr"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-k raw docs by DSIR log importance ratio (deterministic
+    head selection — ties broken by doc_id, so the selected SET is
+    engine-reproducible on the rounded llr). The paper's sampled
+    variant (avoids over-concentrating on the extreme head) is
+    ``dsir_sample``. Plan: TakeOrdered over the weights projection —
+    per-partition top-k + driver merge, no global sort shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = dsir_weights(raw, target, text_col=text_col, id_col=id_col, alpha=alpha)
+    return w.where(F.col("llr").isNotNull()).orderBy(
+        F.col("llr").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING: k raw docs sampled without
+    replacement ∝ exp(llr), the paper's actual selection rule. The
+    Gumbel-max trick keeps everything in LOG space — priority =
+    llr − ln(−ln(u)) with u the same md5-exact per-row uniform as
+    ``weighted_sample`` — so exp(llr) is never materialized (a long
+    doc's llr of ±1e3 would overflow a double as a raw weight).
+    Deterministic for a fixed salt; NOT oracle-certified (ln is
+    libm-dependent at the last ulp, which can flip the k-th boundary
+    row across engines — ``dsir_select`` is the certified twin).
+    Same TakeOrdered plan as weighted_sample: no global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = dsir_weights(raw, target, text_col=text_col, id_col=id_col, alpha=alpha)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.where(F.col("llr").isNotNull())
+        .withColumn("priority", F.col("llr") + gumbel)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -4180,6 +4180,58 @@ def docs_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# ---- DSIR importance selection (r8) ----------------------------------
+
+_DSIR_SELECT_SQL = """
+WITH tkf AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+ttk AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE source = 'src0'
+  ) WHERE tok <> ''
+),
+tf_r AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tkf GROUP BY tok),
+tot_r AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf_r),
+lp_r AS (SELECT tok, ln((c + 1.0) / (tot_r.n + (tot_r.v + 1.0))) AS lpr FROM tf_r, tot_r),
+tf_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ttk GROUP BY tok),
+tot_t AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf_t),
+lp_t AS (SELECT tok, ln((c + 1.0) / (tot_t.n + (tot_t.v + 1.0))) AS lpt FROM tf_t, tot_t),
+unk AS (SELECT ln(1.0 / (n + (v + 1.0))) AS fl FROM tot_t),
+per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(coalesce(lp_t.lpt, unk.fl) - lp_r.lpr), 6) AS llr
+  FROM tkf t JOIN lp_r USING (tok) LEFT JOIN lp_t USING (tok), unk
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, llr FROM per
+ORDER BY llr DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+@register("docs_dsir_select", _DSIR_SELECT_SQL)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation): DSIR data selection (Xie et al., NeurIPS 2023,
+    unigram feature model) — log importance ratio of every raw doc
+    under a target-domain unigram LM (here: the src0 slice, standing
+    in for "Wikipedia") vs the raw-corpus LM, then the deterministic
+    top-100 head (operators/sampling.py dsir_select; the paper's
+    Gumbel-top-k resampled variant is dsir_sample, tested in-suite —
+    ln(−ln(u)) is libm-dependent at the last ulp, so the certified
+    row is the rounded-llr head with doc_id tiebreaks). Plan: two
+    vocab-bounded LM fits, ONE token-stream join against the combined
+    (tok, lp_t, lp_r) table, per-doc sum, TakeOrdered top-k — no
+    global sort, no full-text shuffle."""
+    from vicinity_spark.operators.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d, d.where(F.col("source") == "src0"), k=100)
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4220,6 +4272,7 @@ _CHECK_FIRST = [
     "dedup_neardup_e2e",
     "docs_line_dedup",
     "docs_unigram_xent",
+    "docs_dsir_select",
     # (b) r7 tail, last green r6:
     "vector_norms",
     "text_token_stats",
@@ -4266,18 +4319,19 @@ _CHECK_FIRST = [
     "knn_filtered_label",
     "ann_recall_summary",
     "ann_graph_knn",
-    "skew_salted_join",
 ]
 
 # r8 tail: 25 rows, every one green in CORRECTNESS_r07.json with its
 # code untouched this round (scripts/verified_ledger.py enforces that
 # nothing never-green sits here; VERIFIED.md records the skip).
 _ROTATE_OUT: "list[str]" = [
-    # events_asof_join / skew_salted_agg: r7-green, their code untouched
-    # in r8 — take the tail so docs_line_dedup / docs_unigram_xent
-    # (new) fit the window
+    # events_asof_join / skew_salted_agg / skew_salted_join: r7-green,
+    # their code (skew.py, asof) untouched in r8 — take the tail so
+    # docs_line_dedup / docs_unigram_xent / docs_dsir_select (new) fit
+    # the window
     "events_asof_join",
     "skew_salted_agg",
+    "skew_salted_join",
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",
