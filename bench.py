@@ -604,6 +604,53 @@ def span_dedup_2m(spark, sf_dir):
     return run
 
 
+def dsir_2m(spark, sf_dir):
+    """r8: DSIR importance selection at 2M raw docs × 24 tokens from a
+    bounded 50k-type vocabulary (realistic LM-fit shape — _synth_docs'
+    unique-vocab corpus would make the vocab scale with the corpus,
+    which is the wrong asymptote for an LM) against a 20k-doc target
+    domain concentrated on a 5k-type sub-vocabulary. Timed work = BOTH
+    LM fits (vocab-bounded map-side groupBys), the 48M-token stream
+    join against the combined (tok, lp_t, lp_r) table, the per-doc
+    sum, and the TakeOrdered top-10k head — the full dsir_select call,
+    since re-fitting per run is exactly what a daily curation job
+    pays."""
+    from vicinity_spark.operators.sampling import dsir_select
+
+    vocab, n = 50_000, 2_000_000
+    base = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"))
+    toks = [
+        F.substring(
+            F.md5((F.abs(F.hash(F.col("doc_id"), F.lit(j))) % vocab).cast("string")),
+            1,
+            8,
+        )
+        for j in range(24)
+    ]
+    raw = base.select("doc_id", F.concat_ws(" ", *toks).alias("text")).cache()
+    raw.count()
+    tb = spark.range(0, 20_000, 1, 8).select(F.col("id").alias("doc_id"))
+    ttoks = [
+        F.substring(
+            F.md5(
+                (F.abs(F.hash(F.col("doc_id"), F.lit(j + 100))) % 5_000).cast("string")
+            ),
+            1,
+            8,
+        )
+        for j in range(24)
+    ]
+    target = tb.select("doc_id", F.concat_ws(" ", *ttoks).alias("text")).cache()
+    target.count()
+
+    def run(s, d):
+        return dsir_select(raw, target, k=10_000)
+
+    # untimed warm-up on a slice (plan + codegen, not the full fit)
+    dsir_select(raw.limit(20_000), target, k=100).count()
+    return run
+
+
 def minhash_snapshot_2m(spark, sf_dir):
     """r8 (VERDICT r7 item 3): the same 20k-batch-vs-2M-corpus probe as
     minhash_incremental_2m, but the corpus bucket table is READ FROM
@@ -936,6 +983,7 @@ BENCH = {
     "curation_2m": curation_2m,
     "rank_tiers_2m": rank_tiers_2m,
     "curation_pipeline_2m": curation_pipeline_2m,
+    "dsir_2m": dsir_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

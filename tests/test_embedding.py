@@ -1,0 +1,128 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vicinity_spark.operators.embedding import (
+    covariance_stats,
+    pca_projection,
+    random_projection,
+    random_projection_matrix,
+)
+
+
+def _emb_df(spark, n=120, d=24, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, vector array<double>").repartition(4),
+        X,
+    )
+
+
+def test_random_projection_matches_numpy(spark):
+    df, X = _emb_df(spark)
+    out_dim = 8
+    got = {
+        r["vec_id"]: np.asarray(r["projected"])
+        for r in random_projection(df, out_dim, seed="t").collect()
+    }
+    R = np.asarray(random_projection_matrix(X.shape[1], out_dim, seed="t"))
+    scale = 1.0 / math.sqrt(out_dim * (6.0 / 16.0))
+    expect = X @ R * scale
+    for i in range(X.shape[0]):
+        assert np.allclose(got[i], expect[i], rtol=1e-9, atol=1e-12)
+
+
+def test_random_projection_matrix_density_and_determinism():
+    R = np.asarray(random_projection_matrix(64, 32, seed="d"))
+    assert np.array_equal(R, np.asarray(random_projection_matrix(64, 32, seed="d")))
+    assert not np.array_equal(R, np.asarray(random_projection_matrix(64, 32, seed="e")))
+    assert set(np.unique(R)) <= {-1.0, 0.0, 1.0}
+    dens = float(np.mean(R != 0.0))
+    assert 0.30 < dens < 0.45  # nominal 6/16 = 0.375
+
+
+def test_random_projection_preserves_geometry(spark):
+    """E‖y‖² = ‖x‖² — with out_dim=32 the per-vector relative error
+    concentrates; check the median is small and unbiased-ish."""
+    df, X = _emb_df(spark, n=200, d=48, seed=9)
+    got = {
+        r["vec_id"]: np.asarray(r["projected"])
+        for r in random_projection(df, 32, seed="g").collect()
+    }
+    ratios = np.asarray(
+        [np.sum(got[i] ** 2) / np.sum(X[i] ** 2) for i in range(len(X))]
+    )
+    assert abs(np.median(ratios) - 1.0) < 0.25
+    assert np.all(ratios > 0.2) and np.all(ratios < 3.0)
+
+
+def test_random_projection_infers_dim_and_errors(spark):
+    df, X = _emb_df(spark, n=10, d=12)
+    assert len(random_projection(df, 4, seed="t").first()["projected"]) == 4
+    with pytest.raises(ValueError):
+        random_projection(df, 0)
+    empty = df.where(F.lit(False))
+    with pytest.raises(ValueError):
+        random_projection(empty, 4)
+
+
+def test_covariance_stats_matches_numpy(spark):
+    df, X = _emb_df(spark, n=150, d=10, seed=5)
+    n, mean, cov = covariance_stats(df)
+    assert n == 150
+    assert np.allclose(mean, X.mean(axis=0), rtol=1e-9, atol=1e-12)
+    assert np.allclose(cov, np.cov(X.T, bias=True), rtol=1e-8, atol=1e-10)
+
+
+def test_pca_projection_matches_numpy_reference(spark):
+    df, X = _emb_df(spark, n=200, d=12, seed=7)
+    out_dim = 5
+    got = {
+        r["vec_id"]: np.asarray(r["projected"])
+        for r in pca_projection(df, out_dim).collect()
+    }
+    mean = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:out_dim]
+    vecs = vecs[:, order]
+    for j in range(out_dim):
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    expect = (X - mean) @ vecs
+    for i in range(X.shape[0]):
+        assert np.allclose(got[i], expect[i], rtol=1e-7, atol=1e-9)
+
+
+def test_pca_whiten_unit_variance_and_errors(spark):
+    # anisotropic data: strong axis 0, weak axis 1
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 6)) * np.asarray([10.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(300)], "vec_id long, vector array<double>"
+    )
+    Y = np.vstack(
+        [
+            np.asarray(r["projected"])
+            for r in pca_projection(df, 3, whiten=True).collect()
+        ]
+    )
+    assert np.allclose(Y.var(axis=0), 1.0, atol=0.05)
+    # unwhitened: component variances are the descending eigenvalues
+    Z = np.vstack(
+        [np.asarray(r["projected"]) for r in pca_projection(df, 3).collect()]
+    )
+    v = Z.var(axis=0)
+    assert v[0] > v[1] > v[2]
+    assert v[0] == pytest.approx(100.0, rel=0.2)
+    with pytest.raises(ValueError):
+        pca_projection(df, 0)
+    with pytest.raises(ValueError):
+        pca_projection(df, 7)
+    with pytest.raises(ValueError):
+        covariance_stats(df.where(F.lit(False)))

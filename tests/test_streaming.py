@@ -1078,3 +1078,70 @@ def test_stream_neardup_vs_snapshot_matches_batch(spark, tmp_path):
     assert seen_plans and any(
         "dynamicpruning" in explain_str(df) for df in seen_plans
     )
+
+
+def test_stream_lm_scores_matches_batch(spark, tmp_path):
+    """r8: streaming LM scoring against precomputed LM tables — the
+    union of per-trigger (xent, llr) rows equals one batch scoring
+    pass over the same docs, and llr from the precomputed tables
+    equals dsir_weights' fit-and-score (raw LM fit on the raw corpus
+    covers every raw token, so the from_lms unk-floor generalization
+    must be value-invisible there)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.sampling import dsir_weights, dsir_weights_from_lms
+    from vicinity_spark.operators.textops import fit_unigram_lm, unigram_logprob
+    from vicinity_spark.streaming.clean import stream_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+    lm_raw = fit_unigram_lm(docs).cache()
+    lm_t = fit_unigram_lm(target).cache()
+
+    # precomputed-vs-fit parity on the full corpus
+    got_w = {
+        r["doc_id"]: (r["n_tokens"], r["llr"])
+        for r in dsir_weights_from_lms(docs, lm_raw, lm_t).collect()
+    }
+    want_w = {
+        r["doc_id"]: (r["n_tokens"], r["llr"])
+        for r in dsir_weights(docs, target).collect()
+    }
+    assert got_w == want_w
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "lm_stream_src"
+    halves = [docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)]
+    for i, h in enumerate(halves):
+        h.select("doc_id", "text").withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    batches = []
+    w = stream_lm_scores(
+        stream,
+        lm_raw,
+        sink=lambda df, bid: (
+            got.extend((r.doc_id, r.n_tokens, r.xent, r.llr) for r in df.collect()),
+            batches.append(bid),
+        ),
+        target_lm=lm_t,
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 → one trigger per half
+    want_x = {
+        r["doc_id"]: (r["n_tokens"], r["xent"])
+        for r in unigram_logprob(docs).collect()
+    }
+    assert len(got) == docs.count()
+    for doc_id, n_tokens, xent, llr in got:
+        assert (n_tokens, xent) == want_x[doc_id]
+        assert llr == want_w[doc_id][1]

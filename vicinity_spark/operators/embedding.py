@@ -1,0 +1,182 @@
+"""Embedding-column transforms: deterministic sparse random projection
+(Johnson–Lindenstrauss) and one-pass PCA / whitening.
+
+Both produce a dense projection matrix that is TINY (in_dim × out_dim
+doubles — a few KB) next to the corpus, so the 100 TB plan is the same
+for each: broadcast the matrix as Catalyst literals and run the
+projection as a per-row whole-stage-codegen fold — zero shuffles, zero
+Python in the hot path. The two differ only in where the matrix comes
+from: the random projection derives it from md5 bits (engine-portable,
+reproducible anywhere, no training pass), PCA estimates it with ONE
+tree-aggregated pass over the data (per-batch X^T X partials, dim²
+doubles each, combined driver-side — the covariance is an aggregate,
+never a shuffle of vectors).
+
+Reference parity: the reference stores raw vectors and offers no
+dimensionality reduction (vicinity/backends/*.py); these are
+engine-side additions for the embedding-pipeline brief (shrink 1024-d
+embeddings before ANN indexing / near-dup mining).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sparse sign matrix: +1 / −1 each with probability 3/16, else 0,
+# decided by the FIRST hex digit of md5("seed:i:j") — chosen over the
+# classic Achlioptas 1/6 because 3/16 is exact in one hex digit, so
+# the same rule is one substring test in ANY engine (no hex→int cast,
+# which is the non-portable step across SQL dialects)
+_POS = frozenset("012")
+_NEG = frozenset("345")
+_DENSITY = 6.0 / 16.0  # P[r ≠ 0] = 2·(3/16); Var(r_ij) = 6/16
+
+
+def random_projection_matrix(
+    in_dim: int, out_dim: int, seed: str = "rp"
+) -> "list[list[float]]":
+    """The in_dim × out_dim sparse sign matrix as plain Python floats
+    (±1/0 before scaling). Deterministic in (in_dim, out_dim, seed);
+    entry (i, j) depends only on md5(f"{seed}:{i}:{j}"), so any engine
+    — this module, the DuckDB oracle, a future Flink port — rebuilds
+    the identical matrix from the same seed string."""
+    mat = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            d = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0]
+            row.append(1.0 if d in _POS else (-1.0 if d in _NEG else 0.0))
+        mat.append(row)
+    return mat
+
+
+def _project_col(vec_col: str, mat: "list[list[float]]", scale: float) -> Column:
+    """array<double> column: y_j = scale · Σ_i x_i · M[i][j], as a
+    per-output-dim zip_with/aggregate fold over literal matrix columns
+    — stays inside whole-stage codegen, no UDF, no explode."""
+    out_dim = len(mat[0])
+    outs = []
+    for j in range(out_dim):
+        col_j = F.array(*[F.lit(float(mat[i][j])) for i in range(len(mat))])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), col_j, lambda x, r: x * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(dot * F.lit(float(scale)))
+    return F.array(*outs)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "vector",
+    out_col: str = "projected",
+    seed: str = "rp",
+    in_dim: "int | None" = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sparse random projection (Achlioptas-style
+    signed sparse matrix at density 6/16): adds `out_col` =
+    array<double> of length out_dim with E‖y‖² = ‖x‖², so cosine /
+    euclidean structure survives in expectation and ANN indexing or
+    near-dup mining can run on the short vectors. Scale =
+    1/√(out_dim · Var(r)). Per-row projection only — the plan is a
+    projection over the scan, pushdown-friendly, shuffle-free at any
+    corpus size. `in_dim` is read from the first row when not given
+    (one bounded driver lookup)."""
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    if in_dim is None:
+        first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+        if first is None:
+            raise ValueError("cannot infer in_dim from an empty frame")
+        in_dim = int(first["d"])
+    mat = random_projection_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim * _DENSITY)
+    return df.withColumn(out_col, _project_col(vec_col, mat, scale))
+
+
+def covariance_stats(df: DataFrame, vec_col: str = "vector") -> "tuple":
+    """(n, mean, cov) of the vector column via ONE Arrow-batched pass:
+    each batch emits (n, Σx, flattened ΣxxT) — dim + dim² doubles — and
+    the driver folds the bounded per-batch partials. This is the
+    tree-aggregate covariance pattern: at 100 TB the collected frame
+    has one row per Arrow batch, never per input row."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(it):
+        for pdf in it:
+            arrs = pdf[vec_col].dropna()
+            if len(arrs) == 0:
+                continue
+            X = np.vstack(arrs.to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("cannot compute covariance of an empty frame")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "vector",
+    out_col: str = "projected",
+    whiten: bool = False,
+    center: bool = True,
+) -> DataFrame:
+    """PCA projection to the top `out_dim` principal axes, optionally
+    whitened (unit variance per component — the usual prep before
+    product quantization or cosine bucketing). The covariance is a
+    single tree-aggregated pass (``covariance_stats``); the dim×dim
+    eigendecomposition runs driver-side (microseconds at embedding
+    dims) and the projection applies as broadcast literals, identical
+    plan shape to ``random_projection``. Component sign is fixed so
+    the largest-|loading| coordinate is positive — eigh's sign is
+    otherwise arbitrary and would make runs non-reproducible."""
+    import numpy as np
+
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    n, mean, cov = covariance_stats(df, vec_col)
+    d = mean.shape[0]
+    if out_dim > d:
+        raise ValueError(f"out_dim {out_dim} exceeds input dim {d}")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:out_dim]
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(out_dim):  # deterministic sign
+        i = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    if whiten:
+        vecs = vecs / np.sqrt(np.maximum(vals, 1e-12))
+    mat = vecs.tolist()  # d × out_dim
+    projected = _project_col(vec_col, mat, 1.0)
+    if center:
+        # y = (x − μ)ᵀV  ≡  xᵀV − μᵀV: fold the centering into a
+        # constant offset so the per-row fold stays a single pass
+        off = (mean @ np.asarray(mat)).tolist()
+        offsets = F.array(*[F.lit(float(v)) for v in off])
+        projected = F.zip_with(projected, offsets, lambda y, o: y - o)
+    return df.withColumn(out_col, projected)

@@ -468,39 +468,69 @@ def dsir_weights(
     tokenizer's explode. No shuffle touches full document text.
     llr rounds to 1e-6, above cross-engine float-summation noise at
     document magnitudes."""
-    from vicinity_spark.operators.dedup import tokens
     from vicinity_spark.operators.textops import fit_unigram_lm
 
     lm_t = fit_unigram_lm(target, text_col=text_col, id_col=id_col, alpha=alpha)
     lm_r = fit_unigram_lm(raw, text_col=text_col, id_col=id_col, alpha=alpha)
-    unk_t = lm_t.where(F.col("tok") == "__unk__").select(
-        F.col("logp").alias("__unk_t")
+    return dsir_weights_from_lms(
+        raw, lm_r, lm_t, text_col=text_col, id_col=id_col
+    )
+
+
+def dsir_weights_from_lms(
+    docs: DataFrame,
+    lm_raw: DataFrame,
+    lm_target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``dsir_weights`` against PRECOMPUTED (tok, logp) LM tables (fit
+    with ``fit_unigram_lm``, or swap in any externally-trained unigram
+    table carrying an ``__unk__`` floor row) — the production shape:
+    fit both LMs once in the daily batch job, score any number of
+    corpora / micro-batches against them without refitting. Tokens
+    absent from EITHER table score at that table's ``__unk__`` floor
+    (a doc scored against a stale raw LM can contain genuinely new
+    tokens — both sides degrade symmetrically)."""
+    from vicinity_spark.operators.dedup import tokens
+
+    unk = (
+        lm_target.where(F.col("tok") == "__unk__")
+        .select(F.col("logp").alias("__unk_t"))
+        .crossJoin(
+            lm_raw.where(F.col("tok") == "__unk__").select(
+                F.col("logp").alias("__unk_r")
+            )
+        )
     )
     combined = (
-        lm_t.where(F.col("tok") != "__unk__")
+        lm_target.where(F.col("tok") != "__unk__")
         .select("tok", F.col("logp").alias("__lp_t"))
         .join(
-            lm_r.where(F.col("tok") != "__unk__").select(
+            lm_raw.where(F.col("tok") != "__unk__").select(
                 "tok", F.col("logp").alias("__lp_r")
             ),
             "tok",
-            "right",
+            "full",
         )
     )
-    t = tokens(raw, text_col, id_col)
+    t = tokens(docs, text_col, id_col)
     scored = (
         t.join(combined, "tok", "left")
-        .crossJoin(F.broadcast(unk_t))
+        .crossJoin(F.broadcast(unk))
         .select(
             "doc_id",
-            (F.coalesce("__lp_t", F.col("__unk_t")) - F.col("__lp_r")).alias("__d"),
+            (
+                F.coalesce("__lp_t", F.col("__unk_t"))
+                - F.coalesce("__lp_r", F.col("__unk_r"))
+            ).alias("__d"),
         )
     )
     per = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("__d").alias("__s")
     )
     return (
-        raw.select(F.col(id_col).alias("doc_id"))
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(per, "doc_id", "left")
         .select(
             "doc_id",

@@ -4232,6 +4232,51 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(d, d.where(F.col("source") == "src0"), k=100)
 
 
+# ---- JL random projection (r8) ---------------------------------------
+
+_RANDOM_PROJECTION_SQL = """
+WITH r AS (
+  SELECT i, j, CASE
+      WHEN substr(md5('rp:' || i || ':' || j), 1, 1) IN ('0','1','2') THEN 1.0
+      WHEN substr(md5('rp:' || i || ':' || j), 1, 1) IN ('3','4','5') THEN -1.0
+      ELSE 0.0 END AS rij
+  FROM range(64) t1(i), range(16) t2(j)
+),
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS xi
+  FROM embeddings
+),
+y AS (
+  SELECT vec_id, j, round(sum(xi * rij) / sqrt(16 * (6.0/16.0)), 6) AS y
+  FROM x JOIN r USING (i) GROUP BY vec_id, j
+)
+SELECT vec_id, CAST(j AS INT) AS j, y FROM y
+"""
+
+
+@register("emb_random_projection", _RANDOM_PROJECTION_SQL)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ embedding pipeline): Johnson–Lindenstrauss sparse random
+    projection 64-d → 16-d (operators/embedding.py) — the "shrink the
+    embeddings before ANN indexing / near-dup mining" step. The ±1/0
+    sign matrix derives entry-by-entry from the first hex digit of
+    md5("rp:i:j") (+1 on 0-2, −1 on 3-5, density 6/16), so Spark and
+    the DuckDB oracle rebuild the IDENTICAL matrix from the seed
+    string with no hex→int cast (the non-portable step across SQL
+    dialects). Spark plan: the matrix folds in as Catalyst literals —
+    per-row zip_with/aggregate dot products in whole-stage codegen,
+    zero shuffles, zero Python; the oracle replays the exploded
+    join/groupBy form. Output long-form (vec_id, j, y) rounded 1e-6."""
+    from vicinity_spark.operators.embedding import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = random_projection(e, out_dim=16, vec_col="embedding", seed="rp", in_dim=64)
+    return p.select(
+        "vec_id", F.posexplode("projected").alias("j", "y")
+    ).select("vec_id", "j", F.round("y", 6).alias("y"))
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4273,6 +4318,7 @@ _CHECK_FIRST = [
     "docs_line_dedup",
     "docs_unigram_xent",
     "docs_dsir_select",
+    "emb_random_projection",
     # (b) r7 tail, last green r6:
     "vector_norms",
     "text_token_stats",
@@ -4316,7 +4362,6 @@ _CHECK_FIRST = [
     "knn_all_metrics",
     "text_repetition",
     "threshold_grid_routing",
-    "knn_filtered_label",
     "ann_recall_summary",
     "ann_graph_knn",
 ]
@@ -4332,6 +4377,10 @@ _ROTATE_OUT: "list[str]" = [
     "events_asof_join",
     "skew_salted_agg",
     "skew_salted_join",
+    # knn_filtered_label: r7-green, knn.py untouched in r8 — rotated to
+    # fit emb_random_projection (new); knn_all_metrics keeps the window
+    # slot for the family (covers all 7 metric branches)
+    "knn_filtered_label",
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",

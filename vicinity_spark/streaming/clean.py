@@ -76,3 +76,46 @@ def stream_clean(
 
         cleaned = cleaned.withColumn("text", redact_col("text"))
     return cleaned
+
+
+def stream_lm_scores(
+    doc_stream: DataFrame,
+    lm: DataFrame,
+    sink,
+    *,
+    target_lm: "DataFrame | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming twin of the LM quality layer: score each arriving
+    micro-batch of documents against a PRECOMPUTED unigram LM table —
+    per-doc cross-entropy (the CCNet perplexity filter), plus the DSIR
+    log importance ratio when a target-domain ``target_lm`` is also
+    given. This is the production split the batch operators assume:
+    fit the LM(s) once a day in batch (textops.fit_unigram_lm /
+    sampling.dsir_weights), score the live crawl as it lands.
+
+    Stateless by construction — scoring is a token join + per-doc sum
+    WITHIN one micro-batch, so it runs under foreachBatch (each
+    trigger batch-planned: AQE sizes the token join, and a small LM
+    broadcasts) and needs no watermark or state store; per-doc
+    aggregation over a stream would otherwise be an unbounded-state
+    groupBy the append planner rightly rejects. `sink(scored_df,
+    batch_id)` receives (doc_id, n_tokens, xent[, llr]) per trigger.
+
+    Returns the DataStreamWriter — call `.trigger(...).start()`."""
+    from vicinity_spark.operators.sampling import dsir_weights_from_lms
+    from vicinity_spark.operators.textops import unigram_logprob
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = unigram_logprob(batch_df, text_col=text_col, id_col=id_col, lm=lm)
+        if target_lm is not None:
+            w = dsir_weights_from_lms(
+                batch_df, lm, target_lm, text_col=text_col, id_col=id_col
+            )
+            out = out.join(w.select("doc_id", "llr"), "doc_id", "left")
+        sink(out, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_process).outputMode("append")
