@@ -126,3 +126,30 @@ def test_pca_whiten_unit_variance_and_errors(spark):
         pca_projection(df, 7)
     with pytest.raises(ValueError):
         covariance_stats(df.where(F.lit(False)))
+
+
+def test_random_projection_preserves_cluster_topk(spark):
+    """The intended use: shrink embeddings before ANN / semantic dedup.
+    Exact top-k IDENTITY under 4× compression is not the claim (JL
+    distorts pairwise distances by ~1/√out_dim, which scrambles
+    within-cluster rank order on isotropic noise); what must survive
+    is the CLUSTER structure — a query's projected top-10 stays inside
+    its own cluster. Deterministic: fixed data seed + fixed RP seed."""
+    from vicinity_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(20, 64)) * 3.0
+    X = np.vstack([c + rng.normal(size=(30, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    p = random_projection(df, 16, vec_col="embedding", seed="rp")
+    cp = p.select(F.col("vec_id").alias("id"), F.col("projected").alias("vector"))
+    qp = cp.where(F.col("id") % 30 == 0).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    rows = knn_join(cp, qp, k=10, metric="cosine").collect()
+    assert len(rows) == 20 * 10
+    hits = sum(int(r["id"] // 30 == r["query_id"] // 30) for r in rows)
+    assert hits / len(rows) >= 0.95  # measured 1.000 at both 16 and 32 dims
