@@ -416,3 +416,68 @@ def test_dsir_sample_tracks_weights(spark):
     # doc 4 (most target-like, llr >> others) must dominate inclusion
     assert hits[4] >= hits[2] and hits[4] >= hits[5]
     assert hits[4] >= 9  # included in nearly every draw at k=2 of 4
+
+
+def test_hashed_gram_stream_and_dsir_hashed_features(spark):
+    """hashed_gram_stream = md5-hex-prefix buckets of every uni+bigram
+    (non-distinct, order-seen counts), and dsir_weights over it matches
+    a closed-form numpy replay. Also pins the F.transform arity trap:
+    a two-arg lambda would have bound the index column over the gram
+    length (caught live — bigram hashes silently equaled unigrams)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from vicinity_spark.operators.sampling import dsir_weights, hashed_gram_stream
+
+    docs = _dsir_docs(spark)
+
+    def py_feats(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        g = [hashlib.md5(t.encode()).hexdigest()[:3] for t in toks]
+        g += [
+            hashlib.md5((toks[i] + " " + toks[i + 1]).encode()).hexdigest()[:3]
+            for i in range(len(toks) - 1)
+        ]
+        return g
+
+    got = {}
+    for r in hashed_gram_stream(docs.drop("grp")).collect():
+        got.setdefault(r["doc_id"], []).append(r["tok"])
+    for i, t, _g in docs.collect():
+        want = py_feats(t) if t else []
+        assert sorted(got.get(i, [])) == sorted(want), f"doc {i}"
+
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+
+    def lm(rows, alpha=1.0):
+        c = Counter(g for _, t in rows for g in py_feats(t))
+        n, v = sum(c.values()), len(c)
+        lp = {k: math.log((x + alpha) / (n + alpha * (v + 1))) for k, x in c.items()}
+        return lp, math.log(alpha / (n + alpha * (v + 1)))
+
+    raw_rows = [(i, t) for i, t, g in docs.collect() if g == "r" and t]
+    tgt_rows = [(i, t) for i, t, g in docs.collect() if g == "t"]
+    lp_t, unk_t = lm(tgt_rows)
+    lp_r, _ = lm(raw_rows)
+    expect = {
+        i: round(sum(lp_t.get(g, unk_t) - lp_r[g] for g in py_feats(t)), 6)
+        for i, t in raw_rows
+    }
+    w = {
+        r["doc_id"]: r["llr"]
+        for r in dsir_weights(raw, target, features="hashed_ngram").collect()
+        if r["llr"] is not None
+    }
+    assert w == pytest.approx(expect, abs=2e-6)
+    # n_tokens counts FEATURES: 2L-1 for an L-token doc
+    nt = {
+        r["doc_id"]: r["n_tokens"]
+        for r in dsir_weights(raw, target, features="hashed_ngram").collect()
+    }
+    assert nt[2] == 2 * 5 - 1 and nt[6] == 0 and nt[7] == 0
+    with pytest.raises(ValueError):
+        dsir_weights(raw, target, features="trigram-soup")
+    with pytest.raises(ValueError):
+        hashed_gram_stream(docs, max_n=0)

@@ -438,12 +438,69 @@ def quality_tiers(
     )
 
 
+def hashed_gram_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_n: int = 2,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """(doc_id, tok) — the DSIR paper's hashed n-gram FEATURE stream:
+    every word k-gram for k = 1..max_n (non-distinct, in-row slices)
+    mapped to one of 16^hex_digits buckets by taking the first
+    `hex_digits` hex chars of its md5. The bucket key stays a STRING
+    (a hex prefix is one substring call in any engine — no hex→int
+    cast, the same portability trick as the random-projection matrix),
+    so the stream drops straight into ``fit_unigram_lm(token_stream=)``
+    and the LM vocabulary is hard-capped at 16^hex_digits regardless
+    of corpus size. Pure projection + one Generate — zero shuffles."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+    def _gram_hash(k):
+        # a dedicated single-arg closure per k: F.transform reads a
+        # TWO-arg lambda as (element, index) and would silently bind
+        # the index column over a `_k=k` default argument
+        def f(i):
+            return F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, hex_digits
+            )
+
+        return f
+
+    parts = []
+    for k in range(1, max_n + 1):
+        grams = F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), _gram_hash(k)),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(grams)
+    allg = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(allg).alias("tok")
+    )
+
+
+def _dsir_stream_fn(features: str, text_col: str, id_col: str):
+    if features == "unigram":
+        from vicinity_spark.operators.dedup import tokens
+
+        return lambda df: tokens(df, text_col, id_col)
+    if features == "hashed_ngram":
+        return lambda df: hashed_gram_stream(df, text_col, id_col)
+    raise ValueError(
+        f"features must be 'unigram' or 'hashed_ngram', got {features!r}"
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    features: str = "unigram",
 ) -> DataFrame:
     """(doc_id, n_tokens, llr) — per-doc LOG IMPORTANCE RATIO for
     DSIR-style data selection (Xie et al., "Data Selection for
@@ -467,13 +524,21 @@ def dsir_weights(
     the per-doc sum is one groupBy on doc_id, pre-partitioned by the
     tokenizer's explode. No shuffle touches full document text.
     llr rounds to 1e-6, above cross-engine float-summation noise at
-    document magnitudes."""
+    document magnitudes.
+
+    ``features="hashed_ngram"`` switches the event stream to the
+    paper's actual feature model — hashed uni+bigram buckets
+    (``hashed_gram_stream``): the LM vocabulary is then hard-capped
+    at the bucket count (4096 at the default 3 hex digits), which is
+    the property that lets the fitted tables BROADCAST at any corpus
+    size, and bigrams see word order that bag-of-words misses."""
     from vicinity_spark.operators.textops import fit_unigram_lm
 
-    lm_t = fit_unigram_lm(target, text_col=text_col, id_col=id_col, alpha=alpha)
-    lm_r = fit_unigram_lm(raw, text_col=text_col, id_col=id_col, alpha=alpha)
+    stream = _dsir_stream_fn(features, text_col, id_col)
+    lm_t = fit_unigram_lm(target, alpha=alpha, token_stream=stream(target))
+    lm_r = fit_unigram_lm(raw, alpha=alpha, token_stream=stream(raw))
     return dsir_weights_from_lms(
-        raw, lm_r, lm_t, text_col=text_col, id_col=id_col
+        raw, lm_r, lm_t, text_col=text_col, id_col=id_col, features=features
     )
 
 
@@ -483,6 +548,7 @@ def dsir_weights_from_lms(
     lm_target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: str = "unigram",
 ) -> DataFrame:
     """``dsir_weights`` against PRECOMPUTED (tok, logp) LM tables (fit
     with ``fit_unigram_lm``, or swap in any externally-trained unigram
@@ -491,8 +557,8 @@ def dsir_weights_from_lms(
     corpora / micro-batches against them without refitting. Tokens
     absent from EITHER table score at that table's ``__unk__`` floor
     (a doc scored against a stale raw LM can contain genuinely new
-    tokens — both sides degrade symmetrically)."""
-    from vicinity_spark.operators.dedup import tokens
+    tokens — both sides degrade symmetrically). `features` must match
+    what the LM tables were fit over."""
 
     unk = (
         lm_target.where(F.col("tok") == "__unk__")
@@ -514,7 +580,7 @@ def dsir_weights_from_lms(
             "full",
         )
     )
-    t = tokens(docs, text_col, id_col)
+    t = _dsir_stream_fn(features, text_col, id_col)(docs)
     scored = (
         t.join(combined, "tok", "left")
         .crossJoin(F.broadcast(unk))
@@ -547,6 +613,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    features: str = "unigram",
 ) -> DataFrame:
     """Top-k raw docs by DSIR log importance ratio (deterministic
     head selection — ties broken by doc_id, so the selected SET is
@@ -556,7 +623,9 @@ def dsir_select(
     per-partition top-k + driver merge, no global sort shuffle."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = dsir_weights(raw, target, text_col=text_col, id_col=id_col, alpha=alpha)
+    w = dsir_weights(
+        raw, target, text_col=text_col, id_col=id_col, alpha=alpha, features=features
+    )
     return w.where(F.col("llr").isNotNull()).orderBy(
         F.col("llr").desc(), F.col("doc_id").asc()
     ).limit(k)
@@ -570,6 +639,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     salt: str = "dsir",
+    features: str = "unigram",
 ) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING: k raw docs sampled without
     replacement ∝ exp(llr), the paper's actual selection rule. The
@@ -583,7 +653,9 @@ def dsir_sample(
     Same TakeOrdered plan as weighted_sample: no global sort."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = dsir_weights(raw, target, text_col=text_col, id_col=id_col, alpha=alpha)
+    w = dsir_weights(
+        raw, target, text_col=text_col, id_col=id_col, alpha=alpha, features=features
+    )
     h = F.conv(
         F.substring(
             F.md5(

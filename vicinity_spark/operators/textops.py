@@ -401,14 +401,22 @@ def fit_unigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    token_stream: "DataFrame | None" = None,
 ) -> DataFrame:
     """(tok, logp) add-α unigram LM over `docs`, plus an ``__unk__``
     row carrying the unseen-token floor log(α / (N + α·(V+1))) — the
     +1 reserves the unk type itself. Pure aggregation: one groupBy
-    (vocab-bounded, map-side combined) and a broadcast one-row total."""
+    (vocab-bounded, map-side combined) and a broadcast one-row total.
+
+    ``token_stream``: fit over a prebuilt (doc_id, tok) frame instead
+    of the default whitespace tokenization — the hook DSIR's hashed
+    n-gram feature buckets plug into (sampling.hashed_gram_stream);
+    "unigram" then means one LM event per stream row."""
     from vicinity_spark.operators.dedup import tokens
 
-    tf = tokens(docs, text_col, id_col).groupBy("tok").agg(
+    if token_stream is None:
+        token_stream = tokens(docs, text_col, id_col)
+    tf = token_stream.groupBy("tok").agg(
         F.count(F.lit(1)).alias("__c")
     )
     tot = tf.agg(

@@ -4232,6 +4232,71 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(d, d.where(F.col("source") == "src0"), k=100)
 
 
+# ---- DSIR with hashed n-gram features (r8) ---------------------------
+
+_DSIR_HASHED_SQL = """
+WITH tka AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+tkf AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(ts, t -> substr(md5(t), 1, 3)),
+    list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                   i -> substr(md5(ts[i] || ' ' || ts[i+1]), 1, 3))
+  )) AS tok
+  FROM tka
+),
+tta AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents WHERE source = 'src0'
+),
+ttk AS (
+  SELECT unnest(list_concat(
+    list_transform(ts, t -> substr(md5(t), 1, 3)),
+    list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                   i -> substr(md5(ts[i] || ' ' || ts[i+1]), 1, 3))
+  )) AS tok
+  FROM tta
+),
+tf_r AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tkf GROUP BY tok),
+tot_r AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf_r),
+lp_r AS (SELECT tok, ln((c + 1.0) / (tot_r.n + (tot_r.v + 1.0))) AS lpr FROM tf_r, tot_r),
+tf_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ttk GROUP BY tok),
+tot_t AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf_t),
+lp_t AS (SELECT tok, ln((c + 1.0) / (tot_t.n + (tot_t.v + 1.0))) AS lpt FROM tf_t, tot_t),
+unk AS (SELECT ln(1.0 / (n + (v + 1.0))) AS fl FROM tot_t),
+per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(coalesce(lp_t.lpt, unk.fl) - lp_r.lpr), 6) AS llr
+  FROM tkf t JOIN lp_r USING (tok) LEFT JOIN lp_t USING (tok), unk
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, llr FROM per
+ORDER BY llr DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+@register("docs_dsir_hashed", _DSIR_HASHED_SQL)
+def docs_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (★ curation): DSIR with the paper's ACTUAL feature model —
+    hashed uni+bigram buckets (sampling.hashed_gram_stream: every word
+    k-gram for k ≤ 2 mapped to one of 4096 buckets by its md5 hex
+    PREFIX, a pure-substring bucketing that both engines replay
+    without a hex→int cast). The hard vocab cap is the scale property:
+    both fitted LM tables stay ≤ 4096 rows and BROADCAST at any corpus
+    size, so the only stream-sized work is the projection itself.
+    Same two-LM scoring and deterministic top-100 head as
+    docs_dsir_select; n_tokens here counts FEATURES (uni + bi)."""
+    from vicinity_spark.operators.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.where(F.col("source") == "src0"), k=100, features="hashed_ngram"
+    )
+
+
 # ---- JL random projection (r8) ---------------------------------------
 
 _RANDOM_PROJECTION_SQL = """
@@ -4318,6 +4383,7 @@ _CHECK_FIRST = [
     "docs_line_dedup",
     "docs_unigram_xent",
     "docs_dsir_select",
+    "docs_dsir_hashed",
     "emb_random_projection",
     # (b) r7 tail, last green r6:
     "vector_norms",
@@ -4361,7 +4427,6 @@ _CHECK_FIRST = [
     "multimodal_knn",
     "knn_all_metrics",
     "text_repetition",
-    "threshold_grid_routing",
     "ann_recall_summary",
     "ann_graph_knn",
 ]
@@ -4377,10 +4442,12 @@ _ROTATE_OUT: "list[str]" = [
     "events_asof_join",
     "skew_salted_agg",
     "skew_salted_join",
-    # knn_filtered_label: r7-green, knn.py untouched in r8 — rotated to
-    # fit emb_random_projection (new); knn_all_metrics keeps the window
-    # slot for the family (covers all 7 metric branches)
+    # knn_filtered_label / threshold_grid_routing: r7-green, knn.py and
+    # grid.py untouched in r8 — rotated to fit emb_random_projection /
+    # docs_dsir_hashed (new); knn_all_metrics keeps the window slot for
+    # the family (covers all 7 metric branches)
     "knn_filtered_label",
+    "threshold_grid_routing",
     "docs_pack_sequences",
     "docs_mix_sources",
     "docs_training_stream",
