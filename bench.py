@@ -592,10 +592,11 @@ def span_dedup_2m(spark, sf_dir):
     docs.count()
 
     def run(s, d):
-        # hash_keys: the tokenroll-style scale form — both gram
-        # shuffles move bigints, never gram strings (exact-string twin
-        # measured 19.6s vs 8.4s min-of-3 at this tier; equality
-        # pinned by test_strip_shared_spans_hash_keys_matches_exact)
+        # hash_keys: the 64-bit-key scale form (r9 re-key — full
+        # xxhash64 keys, no 32-bit mask) — both gram shuffles move
+        # bigints, never gram strings (exact-string twin measured
+        # 19.6s vs 8.4s min-of-3 at this tier; equality pinned by
+        # test_strip_shared_spans_hash_keys_matches_exact)
         out = strip_shared_spans(docs, n=5, min_count=2, hash_keys=True)
         # force full reconstruction: aggregate over the rebuilt text
         return out.where(F.length("text_clean") >= 0)
@@ -644,7 +645,55 @@ def dsir_2m(spark, sf_dir):
     target.count()
 
     def run(s, d):
-        return dsir_select(raw, target, k=10_000)
+        # explicit features= (r9): the production default moved to
+        # 'auto' → hashed_ngram; this entry stays the cross-round
+        # UNIGRAM anchor (dsir_hashed_2m prices the new default)
+        return dsir_select(raw, target, k=10_000, features="unigram")
+
+    # untimed warm-up on a slice (plan + codegen, not the full fit)
+    dsir_select(raw.limit(20_000), target, k=100, features="unigram").count()
+    return run
+
+
+def dsir_hashed_2m(spark, sf_dir):
+    """r9: DSIR at 2M docs under the PRODUCTION DEFAULT feature model
+    (features='auto' → hashed_ngram): every uni+bigram md5-bucketed
+    into 4096 buckets, so the feature stream is ~2× the unigram
+    anchor's token stream (2×24−1 = 47 features/doc ≈ 94M rows) while
+    BOTH LM tables are hard-capped at 4096 rows and broadcast at any
+    corpus size — the trade the default buys. Same corpus/target
+    shapes as dsir_2m; the delta over it prices the bigram half of
+    the stream plus the md5 bucketing versus raw-token join keys."""
+    from vicinity_spark.operators.sampling import dsir_select
+
+    vocab, n = 50_000, 2_000_000
+    base = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"))
+    toks = [
+        F.substring(
+            F.md5((F.abs(F.hash(F.col("doc_id"), F.lit(j))) % vocab).cast("string")),
+            1,
+            8,
+        )
+        for j in range(24)
+    ]
+    raw = base.select("doc_id", F.concat_ws(" ", *toks).alias("text")).cache()
+    raw.count()
+    tb = spark.range(0, 20_000, 1, 8).select(F.col("id").alias("doc_id"))
+    ttoks = [
+        F.substring(
+            F.md5(
+                (F.abs(F.hash(F.col("doc_id"), F.lit(j + 100))) % 5_000).cast("string")
+            ),
+            1,
+            8,
+        )
+        for j in range(24)
+    ]
+    target = tb.select("doc_id", F.concat_ws(" ", *ttoks).alias("text")).cache()
+    target.count()
+
+    def run(s, d):
+        return dsir_select(raw, target, k=10_000)  # default = 'auto'
 
     # untimed warm-up on a slice (plan + codegen, not the full fit)
     dsir_select(raw.limit(20_000), target, k=100).count()
@@ -984,6 +1033,8 @@ BENCH = {
     "rank_tiers_2m": rank_tiers_2m,
     "curation_pipeline_2m": curation_pipeline_2m,
     "dsir_2m": dsir_2m,
+    # r9 additions, appended (same rule as above)
+    "dsir_hashed_2m": dsir_hashed_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
@@ -1023,6 +1074,7 @@ def main():
     import gc
 
     timings = {}
+    reps_out = {}
     failed = {}
     for name, fn in BENCH.items():
         try:
@@ -1030,34 +1082,46 @@ def main():
                 fn = fn(spark, sf_dir)  # untimed index build + cache
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            t1 = time.perf_counter() - t0
-            # min-of-2 (r5): single-shot recordings on a shared host
+            rep_times = [time.perf_counter() - t0]
+            # min-of-N (r5/r9): single-shot recordings on a shared host
             # swing 0.4-5x run-to-run with zero code change (BENCHNOTES
             # r5 methodology notes; dedup_e2e_200k once recorded 49.7s
-            # in-suite vs 7.4-10.0s isolated n=3). A second rep and
-            # min() is the standard steady-state estimator; only a
+            # in-suite vs 7.4-10.0s isolated n=3). min() over repeated
+            # reps is the standard steady-state estimator; only a
             # runaway first rep (>=90s) stays single-shot to bound
-            # suite wall-clock. Between reps, drop rep-1's py4j refs
-            # and force a JVM GC so the ContextCleaner releases rep-1's
-            # localCheckpoint blocks BEFORE rep 2 allocates its own —
-            # without this the checkpoint-heavy 2M entries carry two
-            # reps of blocks at once (measured OOM at 8g).
-            # r8: the two entries the r7 verdict flagged for driver-vs-
-            # clean spread get a third rep — their residual variance is
-            # transient host stalls (a 43s outlier was observed amid a
-            # 12.7s plateau), which min-of-N absorbs but min-of-2 can
-            # lose to twice in a row
-            extra_reps = 2 if name in ("lsh_neardup_2m", "ann_graph_batch") else 1
-            for _ in range(extra_reps):
-                if t1 >= 90.0:
-                    break
+            # suite wall-clock. Between reps, drop the prior rep's py4j
+            # refs and force a JVM GC so the ContextCleaner releases
+            # its localCheckpoint blocks BEFORE the next rep allocates
+            # its own — without this the checkpoint-heavy 2M entries
+            # carry two reps of blocks at once (measured OOM at 8g).
+            # r9 (VERDICT item 1, round three of the heavy-tail
+            # spread): EVERY entry whose first pass lands >=5s gets the
+            # full lsh_neardup_2m treatment — the first timed pass
+            # doubles as a full-size warm-up (it drives the C2 compile
+            # thresholds a slice warm-up cannot; several heavy
+            # factories additionally warm untimed) and THREE further
+            # timed reps give a true min-of-3 past the JIT knee.
+            # Per-rep times are emitted in the artifact ("reps") so a
+            # hot first rep is diagnosable from the driver record alone.
+            if rep_times[0] >= 90.0:
+                n_more = 0
+            elif rep_times[0] >= 5.0:
+                n_more = 3
+            else:
+                n_more = 1
+            for _ in range(n_more):
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                t1 = min(t1, time.perf_counter() - t0)
-            timings[name] = round(t1, 3)
-            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+                rep_times.append(time.perf_counter() - t0)
+            timings[name] = round(min(rep_times), 3)
+            reps_out[name] = [round(t, 3) for t in rep_times]
+            print(
+                f"# {name}: {timings[name]}s ({n} rows; reps "
+                f"{reps_out[name]})",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 — one entry must not zero the suite
             # record the failure in its own map, NOT as a sentinel mixed
             # into the seconds (r5 ADVICE: a -1.0 in `queries` silently
@@ -1078,6 +1142,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps_out,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failed:

@@ -338,7 +338,7 @@ def test_dsir_weights_ranks_target_like_docs_higher(spark):
     docs = _dsir_docs(spark)
     raw = docs.where(F.col("grp") == "r").drop("grp")
     target = docs.where(F.col("grp") == "t").drop("grp")
-    w = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    w = {r["doc_id"]: r for r in dsir_weights(raw, target, features="unigram").collect()}
     assert set(w) == {2, 3, 4, 5, 6, 7}
     # empty/NULL docs: n_tokens 0, llr NULL
     assert w[6]["n_tokens"] == 0 and w[6]["llr"] is None
@@ -373,7 +373,7 @@ def test_dsir_weights_matches_numpy_reference(spark):
     }
     raw = docs.where(F.col("grp") == "r").drop("grp")
     target = docs.where(F.col("grp") == "t").drop("grp")
-    got = {r["doc_id"]: r["llr"] for r in dsir_weights(raw, target).collect() if r["llr"] is not None}
+    got = {r["doc_id"]: r["llr"] for r in dsir_weights(raw, target, features="unigram").collect() if r["llr"] is not None}
     assert got == pytest.approx(expect, abs=2e-6)
 
 
@@ -384,9 +384,13 @@ def test_dsir_select_and_sample(spark):
     raw = docs.where(F.col("grp") == "r").drop("grp")
     target = docs.where(F.col("grp") == "t").drop("grp")
     # head selection: k=2 takes the two most target-like docs
-    head = [r["doc_id"] for r in dsir_select(raw, target, k=2).collect()]
+    head = [
+        r["doc_id"]
+        for r in dsir_select(raw, target, k=2, features="unigram").collect()
+    ]
     assert head == [4, 3]
-    # k > n returns all scored (non-NULL-llr) docs
+    # k > n returns all scored (non-NULL-llr) docs — on the 'auto'
+    # (hashed_ngram) production default: count is feature-model-stable
     assert dsir_select(raw, target, k=100).count() == 4
     # sampled variant: deterministic for a fixed salt, k rows, scored docs only
     s1 = sorted(r["doc_id"] for r in dsir_sample(raw, target, k=3, salt="a").collect())
@@ -411,7 +415,7 @@ def test_dsir_sample_tracks_weights(spark):
     target = docs.where(F.col("grp") == "t").drop("grp")
     hits = Counter()
     for i in range(12):
-        for r in dsir_sample(raw, target, k=2, salt=f"s{i}").collect():
+        for r in dsir_sample(raw, target, k=2, salt=f"s{i}", features="unigram").collect():
             hits[r["doc_id"]] += 1
     # doc 4 (most target-like, llr >> others) must dominate inclusion
     assert hits[4] >= hits[2] and hits[4] >= hits[5]
@@ -481,3 +485,46 @@ def test_hashed_gram_stream_and_dsir_hashed_features(spark):
         dsir_weights(raw, target, features="trigram-soup")
     with pytest.raises(ValueError):
         hashed_gram_stream(docs, max_n=0)
+
+
+def test_dsir_auto_default_is_hashed_ngram(spark):
+    """r9 (VERDICT item 4): features='auto' — the production default —
+    resolves to the paper's hashed uni+bigram model (the only one whose
+    LM tables provably broadcast at any corpus size); explicit names
+    pass through, and the default-call result is value-identical to an
+    explicit features='hashed_ngram' call."""
+    from vicinity_spark.operators.sampling import dsir_weights, resolve_dsir_features
+
+    assert resolve_dsir_features("auto") == "hashed_ngram"
+    assert resolve_dsir_features("unigram") == "unigram"
+    assert resolve_dsir_features("hashed_ngram") == "hashed_ngram"
+    docs = _dsir_docs(spark)
+    raw = docs.where(F.col("grp") == "r").drop("grp")
+    target = docs.where(F.col("grp") == "t").drop("grp")
+    auto = {tuple(r) for r in dsir_weights(raw, target).collect()}
+    hashed = {
+        tuple(r)
+        for r in dsir_weights(raw, target, features="hashed_ngram").collect()
+    }
+    assert auto == hashed
+
+
+def test_dsir_from_lms_requires_unk_floor(spark):
+    """ADVICE r8: an LM table without (or with a duplicated) '__unk__'
+    floor row raises at call time instead of silently zeroing every
+    scored doc via the empty unk crossJoin."""
+    from vicinity_spark.operators.sampling import dsir_weights_from_lms
+    from vicinity_spark.operators.textops import fit_unigram_lm
+
+    docs = _dsir_docs(spark).where(F.col("text").isNotNull()).drop("grp")
+    lm = fit_unigram_lm(docs).cache()
+    no_unk = lm.where(F.col("tok") != "__unk__")
+    with pytest.raises(ValueError, match="lm_raw.*__unk__"):
+        dsir_weights_from_lms(docs, no_unk, lm, features="unigram")
+    with pytest.raises(ValueError, match="lm_target.*__unk__"):
+        dsir_weights_from_lms(docs, lm, no_unk, features="unigram")
+    doubled = lm.unionAll(lm.where(F.col("tok") == "__unk__"))
+    with pytest.raises(ValueError, match="more than one"):
+        dsir_weights_from_lms(docs, doubled, lm, features="unigram")
+    # validate=False skips the eager check (per-micro-batch callers)
+    dsir_weights_from_lms(docs, lm, lm, features="unigram", validate=False)

@@ -1103,11 +1103,13 @@ def test_stream_lm_scores_matches_batch(spark, tmp_path):
     # precomputed-vs-fit parity on the full corpus
     got_w = {
         r["doc_id"]: (r["n_tokens"], r["llr"])
-        for r in dsir_weights_from_lms(docs, lm_raw, lm_t).collect()
+        for r in dsir_weights_from_lms(
+            docs, lm_raw, lm_t, features="unigram"
+        ).collect()
     }
     want_w = {
         r["doc_id"]: (r["n_tokens"], r["llr"])
-        for r in dsir_weights(docs, target).collect()
+        for r in dsir_weights(docs, target, features="unigram").collect()
     }
     assert got_w == want_w
 

@@ -305,11 +305,13 @@ class GraphStrategy(IndexStrategy):
     def _searched(
         self, corpus: DataFrame, queries: DataFrame, metric: Metric, k: int,
         collect_visited: bool = False,
-    ) -> DataFrame:
+    ) -> "DataFrame | tuple[DataFrame, DataFrame]":
         """(query_id, id, distance) — the per-query top-max(beam, k)
         pool after beam search (sufficient for any final top-k ≤ k:
         a row outside the pool was beaten by ≥ max(beam, k) rows the
-        round it was scored, and the pool only improves).
+        round it was scored, and the pool only improves); with
+        ``collect_visited=True`` the return is the ``(pool, visited)``
+        tuple described below instead of the single pool frame.
 
         ``collect_visited=True`` (r8, the ann_recall_summary graph
         branch) returns ``(pool, visited)`` where visited is every

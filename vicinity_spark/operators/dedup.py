@@ -69,6 +69,20 @@ def cap_hot_buckets(
     and WARN-log the drop (tests / interactive audits).
     """
     keys = list(keys)
+    # plan-build-time breadcrumb (ADVICE r8): the composed entry points
+    # arm the cap by default, so the drop must never be silent — say
+    # once, lazily-cheap, that it is armed and where the drop metrics
+    # land (eager_stats=True upgrades this to a measured WARN).
+    _log.info(
+        "%s: hot-bucket cap armed (max_bucket=%d) — dropped-bucket "
+        "metrics observable as %r / %r (pyspark observe(); read via "
+        "QueryExecutionListener/StreamingQueryListener), or pass "
+        "eager_stats=True for an eager WARN with counts",
+        what,
+        int(max_bucket),
+        f"{what}_hot_buckets",
+        f"{what}_hot_max",
+    )
     counts = buckets.groupBy(*keys).agg(F.count("*").alias("__bsz"))
     hot = counts.where(F.col("__bsz") > int(max_bucket))
     if eager_stats:
@@ -1494,25 +1508,41 @@ def strip_shared_spans(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks_lc = F.split(F.lower(F.col(text_col)), " ")
     if hash_keys:
-        # scale form (r8): positioned gram keys as tokenroll Rabin–Karp
-        # combinations of per-token 32-bit hashes — no gram STRING is
-        # ever built, and both shuffles below move narrow bigints
-        # instead of ~n-token strings (the same constant-killer the
-        # MinHash miners measured at 16× their signature phase). The
-        # trade, stated: a 32-bit-masked key collision between two
-        # DISTINCT grams (≈1e-10 per pair at 33M grams) marks a unique
-        # span as duplicated — a lost-recall-free FALSE REMOVAL risk
-        # the exact-string form (default, oracle-checked) does not
-        # have. Use for corpus-scale runs; keep exact keys where every
-        # byte must be attributable.
+        # scale form (r8, re-keyed 64-bit in r9): positioned gram keys
+        # as hashes of per-token hashes — no gram STRING is ever built,
+        # and both shuffles below move narrow bigints instead of
+        # ~n-token strings (the same constant-killer the MinHash miners
+        # measured at 16× their signature phase). Unlike the MinHash
+        # miners there is NO exact-verify stage here — a key collision
+        # between two DISTINCT grams directly deletes unique text — so
+        # this path uses FULL 64-bit keys end to end (r9 ADVICE fix; the
+        # r8 form masked to 32 bits, where 33M grams birthday to ~1.3e5
+        # colliding pairs — materially lossy): tokens hash to unmasked
+        # xxhash64 and a gram key is xxhash64 over its n consecutive
+        # token hashes. Expected colliding distinct-gram PAIRS
+        # corpus-wide ≈ G²/2^65: ~3e-5 at 33M grams, ~0.03 at 1e9 grams
+        # (plus a negligible V²/2^65 token-level term) — i.e. expect
+        # ZERO false removals below ~10^9 grams and a handful of
+        # n-token spans at extreme scale. Keep exact string keys
+        # (default, oracle-checked) where every byte must be
+        # attributable.
+        tok64 = F.transform(toks_lc, lambda t: F.xxhash64(t))
+        # materialize token hashes behind a Generate barrier before the
+        # gram lambda indexes into them (same O(tokens²) re-evaluation
+        # hazard as _tokenroll_token_hashes — see its docstring)
         staged = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("__t"),
-            F.explode(
-                F.array(_tokenroll_token_hashes(F.col(text_col), "tokenroll"))
-            ).alias("__th"),
+            F.explode(F.array(tok64)).alias("__th"),
         )
-        gh = _tokenroll_gram_hashes(n, "__th")
+        th = F.col("__th")
+        n_toks = F.size(th)
+        gh = F.when(
+            n_toks >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_toks - (n - 1)),
+                lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
         grams = staged.select(
             "doc_id", F.posexplode(gh).alias("pos0", "gram")
         ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gram")

@@ -482,7 +482,38 @@ def hashed_gram_stream(
     )
 
 
+def resolve_dsir_features(features: str) -> str:
+    """The ONE documented production default for the DSIR feature model
+    (r9; same policy as dedup.resolve_hash_fn): ``features='auto'``
+    resolves to ``hashed_ngram`` — the paper's actual feature model
+    (hashed uni+bigram buckets) and the only one whose fitted LM tables
+    are hard-capped (16^hex_digits rows) and therefore provably
+    BROADCAST at ANY corpus size; a raw-vocabulary unigram LM grows
+    with the crawl and eventually stops broadcasting. Explicit names
+    pass through untouched: ``unigram`` remains available for callers
+    who want interpretable per-token ratios, and PRECOMPUTED LM tables
+    must keep the feature model they were fit over — unigram tokens and
+    hashed buckets never share a vocabulary."""
+    return "hashed_ngram" if features == "auto" else features
+
+
+def _require_unk(lm: DataFrame, name: str) -> None:
+    """ADVICE r8: a supplied LM table missing its '__unk__' floor row
+    empties the unk crossJoin and silently zeroes every scored doc —
+    fail loudly instead. take(2) on the filtered frame is bounded by
+    the (vocab-sized, typically broadcastable) LM table."""
+    rows = lm.where(F.col("tok") == "__unk__").take(2)
+    if len(rows) != 1:
+        raise ValueError(
+            f"{name} must carry exactly one '__unk__' floor row "
+            f"(found {'none' if not rows else 'more than one'}); fit LM "
+            "tables with fit_unigram_lm or include the smoothed unknown "
+            "floor log(alpha / (N + alpha*(V+1))) as tok='__unk__'"
+        )
+
+
 def _dsir_stream_fn(features: str, text_col: str, id_col: str):
+    features = resolve_dsir_features(features)
     if features == "unigram":
         from vicinity_spark.operators.dedup import tokens
 
@@ -490,7 +521,7 @@ def _dsir_stream_fn(features: str, text_col: str, id_col: str):
     if features == "hashed_ngram":
         return lambda df: hashed_gram_stream(df, text_col, id_col)
     raise ValueError(
-        f"features must be 'unigram' or 'hashed_ngram', got {features!r}"
+        f"features must be 'auto', 'unigram' or 'hashed_ngram', got {features!r}"
     )
 
 
@@ -500,7 +531,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
-    features: str = "unigram",
+    features: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_tokens, llr) — per-doc LOG IMPORTANCE RATIO for
     DSIR-style data selection (Xie et al., "Data Selection for
@@ -526,12 +557,16 @@ def dsir_weights(
     llr rounds to 1e-6, above cross-engine float-summation noise at
     document magnitudes.
 
-    ``features="hashed_ngram"`` switches the event stream to the
-    paper's actual feature model — hashed uni+bigram buckets
-    (``hashed_gram_stream``): the LM vocabulary is then hard-capped
-    at the bucket count (4096 at the default 3 hex digits), which is
-    the property that lets the fitted tables BROADCAST at any corpus
-    size, and bigrams see word order that bag-of-words misses."""
+    ``features``: ``'auto'`` (the default) resolves to
+    ``hashed_ngram`` — the paper's actual feature model, hashed
+    uni+bigram buckets (``hashed_gram_stream``): the LM vocabulary is
+    hard-capped at the bucket count (4096 at the default 3 hex
+    digits), which is the property that lets the fitted tables
+    BROADCAST at any corpus size, and bigrams see word order that
+    bag-of-words misses (resolve_dsir_features; r9 — the scale-safe
+    model is the production default). Pass ``'unigram'`` explicitly
+    for interpretable raw-vocabulary per-token ratios; its LM tables
+    grow with the crawl."""
     from vicinity_spark.operators.textops import fit_unigram_lm
 
     stream = _dsir_stream_fn(features, text_col, id_col)
@@ -548,7 +583,8 @@ def dsir_weights_from_lms(
     lm_target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    features: str = "unigram",
+    features: str = "auto",
+    validate: bool = True,
 ) -> DataFrame:
     """``dsir_weights`` against PRECOMPUTED (tok, logp) LM tables (fit
     with ``fit_unigram_lm``, or swap in any externally-trained unigram
@@ -558,8 +594,17 @@ def dsir_weights_from_lms(
     absent from EITHER table score at that table's ``__unk__`` floor
     (a doc scored against a stale raw LM can contain genuinely new
     tokens — both sides degrade symmetrically). `features` must match
-    what the LM tables were fit over."""
+    what the LM tables were fit over ('auto' → hashed_ngram,
+    resolve_dsir_features).
 
+    ``validate`` (default True) eagerly checks both tables carry
+    exactly one '__unk__' floor row — a missing floor empties the unk
+    crossJoin and silently zeroes every scored doc (ADVICE r8). The
+    check is one take(2) per vocab-bounded table; per-micro-batch
+    callers that validated at build time pass validate=False."""
+    if validate:
+        _require_unk(lm_raw, "lm_raw")
+        _require_unk(lm_target, "lm_target")
     unk = (
         lm_target.where(F.col("tok") == "__unk__")
         .select(F.col("logp").alias("__unk_t"))
@@ -613,7 +658,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
-    features: str = "unigram",
+    features: str = "auto",
 ) -> DataFrame:
     """Top-k raw docs by DSIR log importance ratio (deterministic
     head selection — ties broken by doc_id, so the selected SET is
@@ -639,7 +684,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     salt: str = "dsir",
-    features: str = "unigram",
+    features: str = "auto",
 ) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING: k raw docs sampled without
     replacement ∝ exp(llr), the paper's actual selection rule. The

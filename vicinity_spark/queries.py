@@ -4229,7 +4229,12 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vicinity_spark.operators.sampling import dsir_select
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_select(d, d.where(F.col("source") == "src0"), k=100)
+    # explicit features= (r9): the production default is now
+    # 'auto' → hashed_ngram (resolve_dsir_features); this row pins the
+    # interpretable unigram model the oracle SQL replays
+    return dsir_select(
+        d, d.where(F.col("source") == "src0"), k=100, features="unigram"
+    )
 
 
 # ---- DSIR with hashed n-gram features (r8) ---------------------------
@@ -4367,10 +4372,11 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_FIRST = [
     # --- r8 rotation (VERDICT r7 item 6) -----------------------------
-    # Window design: (a) the 3 new r8 rows need their first green;
+    # Window design (8 + 22 + 20 = 50): (a) the 8 new r8 rows need
+    # their first green;
     # (b) the 22 rows that sat in the r7 tail (last green r6) come
     # back — the rotation policy promises at most ONE round unchecked;
-    # (c) the remaining 25 slots go to r7-green rows whose code r8
+    # (c) the remaining 20 slots go to r7-green rows whose code r8
     # TOUCHED (resolve_hash_fn in every miner, the lazy cap rewrite in
     # all four pair miners + lsh.py, the incremental miner's snapshot
     # join keys, the JPEG fill-byte fix) or that compose the touched

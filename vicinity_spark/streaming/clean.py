@@ -104,8 +104,18 @@ def stream_lm_scores(
     batch_id)` receives (doc_id, n_tokens, xent[, llr]) per trigger.
 
     Returns the DataStreamWriter — call `.trigger(...).start()`."""
-    from vicinity_spark.operators.sampling import dsir_weights_from_lms
+    from vicinity_spark.operators.sampling import _require_unk, dsir_weights_from_lms
     from vicinity_spark.operators.textops import unigram_logprob
+
+    # validate the floor rows ONCE at build time (ADVICE r8 — a table
+    # missing '__unk__' silently zeroes every scored doc), then skip
+    # the per-micro-batch re-check; the LM here is a plain-token
+    # unigram fit (unigram_logprob shares it), so the DSIR feature
+    # model is pinned to 'unigram' — the 'auto' → hashed_ngram default
+    # would mismatch the vocabulary these tables were fit over
+    _require_unk(lm, "lm")
+    if target_lm is not None:
+        _require_unk(target_lm, "target_lm")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -113,7 +123,8 @@ def stream_lm_scores(
         out = unigram_logprob(batch_df, text_col=text_col, id_col=id_col, lm=lm)
         if target_lm is not None:
             w = dsir_weights_from_lms(
-                batch_df, lm, target_lm, text_col=text_col, id_col=id_col
+                batch_df, lm, target_lm, text_col=text_col, id_col=id_col,
+                features="unigram", validate=False,
             )
             out = out.join(w.select("doc_id", "llr"), "doc_id", "left")
         sink(out, batch_id)
