@@ -700,6 +700,35 @@ def dsir_hashed_2m(spark, sf_dir):
     return run
 
 
+def emb_projection_1024(spark, sf_dir):
+    """r9 (VERDICT item 2): random projection at the docstring's own
+    production shape — 200k × 1024-d → 128-d. The literal-matrix form
+    is disqualified at this shape by measurement (131k Catalyst
+    literals: ~99s of driver-side expression build + ~101s execution —
+    the fold is O(in·out) scalar ops per row outside SIMD), so 'auto'
+    routes to the Arrow twin: the 1 MB matrix ships once per executor
+    in a Spark broadcast and each Arrow batch is one numpy matmul
+    (BENCHNOTES r9 "projection at 1024-d"). Timed work = the full
+    200k-row projection + a sum over one output coordinate (consumes
+    the projected column so the matmul genuinely runs)."""
+    from vicinity_spark.operators.embedding import random_projection
+
+    cols = F.array(*[F.rand(seed=9000 + i) for i in range(1024)])
+    corpus = (
+        spark.range(0, 200_000, 1, 32)
+        .select(F.col("id"), cols.cast("array<double>").alias("vector"))
+        .cache()
+    )
+    corpus.count()
+
+    def run(s, d):
+        proj = random_projection(corpus, 128, in_dim=1024)
+        return proj.select(F.sum(F.element_at("projected", 1)).alias("s"))
+
+    run(spark, sf_dir).collect()  # untimed warm-up (Arrow workers + plan)
+    return run
+
+
 def minhash_snapshot_2m(spark, sf_dir):
     """r8 (VERDICT r7 item 3): the same 20k-batch-vs-2M-corpus probe as
     minhash_incremental_2m, but the corpus bucket table is READ FROM
@@ -1035,6 +1064,7 @@ BENCH = {
     "dsir_2m": dsir_2m,
     # r9 additions, appended (same rule as above)
     "dsir_hashed_2m": dsir_hashed_2m,
+    "emb_projection_1024": emb_projection_1024,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
@@ -1078,7 +1108,7 @@ def main():
     failed = {}
     for name, fn in BENCH.items():
         try:
-            if name.startswith("ann_") or name.endswith(("_200k", "_2m", "_5m")):
+            if name.startswith("ann_") or name.endswith(("_200k", "_2m", "_5m", "_1024")):
                 fn = fn(spark, sf_dir)  # untimed index build + cache
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

@@ -2,11 +2,25 @@
 (Johnson–Lindenstrauss) and one-pass PCA / whitening.
 
 Both produce a dense projection matrix that is TINY (in_dim × out_dim
-doubles — a few KB) next to the corpus, so the 100 TB plan is the same
-for each: broadcast the matrix as Catalyst literals and run the
-projection as a per-row whole-stage-codegen fold — zero shuffles, zero
-Python in the hot path. The two differ only in where the matrix comes
-from: the random projection derives it from md5 bits (engine-portable,
+doubles — ≤1 MB at any realistic shape) next to the corpus, so the
+100 TB plan is per-row projection — zero shuffles at any corpus size.
+Two physical forms, routed by matrix size (``method='auto'``):
+
+- **literal** (small matrices, ≤ ``_LITERAL_MAX_CELLS`` entries): the
+  matrix folds in as Catalyst literals, per-output-dim
+  zip_with/aggregate dot products in whole-stage codegen — zero
+  Python, and the arithmetic is the engine-portable sequential fold
+  the DuckDB oracle replays digit-for-digit.
+- **arrow** (production dims): the matrix ships ONCE per executor in a
+  Spark broadcast and the projection is one numpy matmul per Arrow
+  batch inside a scalar pandas_udf. Measured at 200k × 1024-d → 128:
+  the literal form costs ~99s of driver-side expression build plus
+  ~101s of execution (131k literal nodes; the fold is O(in·out) scalar
+  ops per row with no SIMD), the arrow form runs the same projection
+  in a few seconds (BENCHNOTES r9 "projection at 1024-d").
+
+The two constructors differ only in where the matrix comes from: the
+random projection derives it from md5 bits (engine-portable,
 reproducible anywhere, no training pass), PCA estimates it with ONE
 tree-aggregated pass over the data (per-batch X^T X partials, dim²
 doubles each, combined driver-side — the covariance is an aggregate,
@@ -23,6 +37,11 @@ from __future__ import annotations
 import hashlib
 import math
 
+# module-level (not lazy like the numpy imports below): pandas_udf
+# resolves the kernel's string type hints against MODULE globals —
+# with `from __future__ import annotations` in force, a function-local
+# `import pandas as pd` leaves 'pd.Series' unresolvable
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +90,85 @@ def _project_col(vec_col: str, mat: "list[list[float]]", scale: float) -> Column
     return F.array(*outs)
 
 
+# crossover between the literal fold and the Arrow matmul, in matrix
+# CELLS (in_dim × out_dim). The literal form's cost is ~1 ms/cell of
+# driver-side Column construction PLUS a scalar (non-SIMD) fold at
+# execution — measured 15s build / 97s exec for 16,384 cells at
+# 200k × 1024-d, versus seconds for the same shape through the Arrow
+# matmul. 2,048 keeps the oracle shape (64 × 16 = 1,024 cells) on the
+# engine-portable literal path and routes everything larger to Arrow.
+_LITERAL_MAX_CELLS = 2048
+
+
+def _project_arrow(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    mat: "list[list[float]]",
+    scale: float,
+    offsets: "list[float] | None" = None,
+) -> DataFrame:
+    """The Arrow twin of ``_project_col`` at production dims: the
+    in_dim × out_dim matrix ships ONCE per executor in a Spark
+    broadcast (≤1 MB at 1024 × 128 doubles — never in the plan, never
+    per task), and each Arrow batch computes y = (X @ M)·scale − off
+    as one numpy matmul. Null / empty vectors project to null, matching
+    the literal form's null propagation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray(mat, dtype=np.float64)
+    off = None if offsets is None else np.asarray(offsets, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((M, float(scale), off))
+
+    @pandas_udf("array<double>")
+    def _proj(s: pd.Series) -> pd.Series:
+        M, scale, off = bc.value
+        mask = s.notna().to_numpy()
+        vals = np.empty(len(s), dtype=object)
+        if mask.any():
+            X = np.vstack(s[mask].to_numpy()).astype(np.float64)
+            Y = (X @ M) * scale
+            if off is not None:
+                Y = Y - off
+            vals[np.flatnonzero(mask)] = Y.tolist()
+        return pd.Series(vals, index=s.index)
+
+    return df.withColumn(out_col, _proj(F.col(vec_col).cast("array<double>")))
+
+
+def _apply_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    mat: "list[list[float]]",
+    scale: float,
+    offsets: "list[float] | None" = None,
+    method: str = "auto",
+) -> DataFrame:
+    """Route the projection to its physical form. ``'auto'`` picks
+    literal at ≤ ``_LITERAL_MAX_CELLS`` matrix entries (the oracle
+    dims — bit-compatible with the DuckDB replay) and Arrow above
+    (production dims — the literal plan's build+exec cost grows with
+    every matrix cell; see module docstring for the 1024-d numbers)."""
+    if method == "auto":
+        method = (
+            "literal" if len(mat) * len(mat[0]) <= _LITERAL_MAX_CELLS else "arrow"
+        )
+    if method == "arrow":
+        return _project_arrow(df, vec_col, out_col, mat, scale, offsets)
+    if method != "literal":
+        raise ValueError(f"unknown projection method {method!r}")
+    projected = _project_col(vec_col, mat, scale)
+    if offsets is not None:
+        offs = F.array(*[F.lit(float(v)) for v in offsets])
+        projected = F.zip_with(projected, offs, lambda y, o: y - o)
+    # NULL vector → NULL projection (not an array of NULL elements),
+    # so both physical forms agree on null propagation
+    projected = F.when(F.col(vec_col).isNotNull(), projected)
+    return df.withColumn(out_col, projected)
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,
@@ -78,6 +176,7 @@ def random_projection(
     out_col: str = "projected",
     seed: str = "rp",
     in_dim: "int | None" = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Johnson–Lindenstrauss sparse random projection (Achlioptas-style
     signed sparse matrix at density 6/16): adds `out_col` =
@@ -87,7 +186,10 @@ def random_projection(
     1/√(out_dim · Var(r)). Per-row projection only — the plan is a
     projection over the scan, pushdown-friendly, shuffle-free at any
     corpus size. `in_dim` is read from the first row when not given
-    (one bounded driver lookup)."""
+    (one bounded driver lookup). ``method`` picks the physical form:
+    ``'auto'`` (literal fold at oracle dims, broadcast-matrix Arrow
+    matmul at production dims), or ``'literal'`` / ``'arrow'``
+    explicitly — see ``_apply_projection``."""
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive, got {out_dim}")
     if in_dim is None:
@@ -97,7 +199,7 @@ def random_projection(
         in_dim = int(first["d"])
     mat = random_projection_matrix(in_dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim * _DENSITY)
-    return df.withColumn(out_col, _project_col(vec_col, mat, scale))
+    return _apply_projection(df, vec_col, out_col, mat, scale, method=method)
 
 
 def covariance_stats(df: DataFrame, vec_col: str = "vector") -> "tuple":
@@ -144,14 +246,16 @@ def pca_projection(
     out_col: str = "projected",
     whiten: bool = False,
     center: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """PCA projection to the top `out_dim` principal axes, optionally
     whitened (unit variance per component — the usual prep before
     product quantization or cosine bucketing). The covariance is a
     single tree-aggregated pass (``covariance_stats``); the dim×dim
     eigendecomposition runs driver-side (microseconds at embedding
-    dims) and the projection applies as broadcast literals, identical
-    plan shape to ``random_projection``. Component sign is fixed so
+    dims) and the projection applies through the same
+    literal-vs-Arrow routing as ``random_projection`` (``method``,
+    see ``_apply_projection``). Component sign is fixed so
     the largest-|loading| coordinate is positive — eigh's sign is
     otherwise arbitrary and would make runs non-reproducible."""
     import numpy as np
@@ -172,11 +276,7 @@ def pca_projection(
     if whiten:
         vecs = vecs / np.sqrt(np.maximum(vals, 1e-12))
     mat = vecs.tolist()  # d × out_dim
-    projected = _project_col(vec_col, mat, 1.0)
-    if center:
-        # y = (x − μ)ᵀV  ≡  xᵀV − μᵀV: fold the centering into a
-        # constant offset so the per-row fold stays a single pass
-        off = (mean @ np.asarray(mat)).tolist()
-        offsets = F.array(*[F.lit(float(v)) for v in off])
-        projected = F.zip_with(projected, offsets, lambda y, o: y - o)
-    return df.withColumn(out_col, projected)
+    # y = (x − μ)ᵀV  ≡  xᵀV − μᵀV: fold the centering into a constant
+    # offset so the per-row projection stays a single pass
+    off = (mean @ np.asarray(mat)).tolist() if center else None
+    return _apply_projection(df, vec_col, out_col, mat, 1.0, offsets=off, method=method)
