@@ -1827,3 +1827,77 @@ def append_corpus_buckets(docs: DataFrame, path: str) -> None:
         .partitionBy("band", "bpart")
         .parquet(path)
     )
+
+
+def compact_corpus_buckets(
+    spark, path: str, max_files_per_dir: int = 4
+) -> int:
+    """Small-file maintenance for a bucket snapshot (r9, VERDICT item
+    3): every ``append_corpus_buckets`` batch adds a file set to each
+    (band, bpart) directory, so after ~100 daily appends the probe's
+    DPP-pruned scan degrades to hundreds of tiny files per pruned
+    directory — exactly the hazard ``write_corpus_layout`` documents
+    (sources/files.py). This rewrites ONLY the directories whose
+    non-hidden file count exceeds ``max_files_per_dir``, back to one
+    bkey-sorted file each, and returns how many it rewrote.
+
+    Plan: the oversized directories are read as one Spark job (a
+    ``basePath`` read of just those directories — untouched
+    directories are never scanned), repartitioned on (band, bpart) so
+    each directory's rows converge on one task, re-sorted on bkey
+    (preserving row-group pruning on the probe key), and written back
+    through DYNAMIC partition overwrite — only the rewritten
+    (band, bpart) partitions are replaced; everything else, including
+    the `_params` sidecar, is untouched. A ``localCheckpoint``
+    materializes the rows first: Spark refuses to overwrite a path a
+    live plan still reads, and the checkpoint also pins the
+    partitioning+order so the write job is move-free. Like any
+    compaction (Delta OPTIMIZE, Iceberg rewrite_data_files) this is an
+    offline maintenance op: run it between ingest batches, not
+    concurrently with a probe of the same snapshot."""
+    if max_files_per_dir < 1:
+        raise ValueError(
+            f"max_files_per_dir must be >= 1, got {max_files_per_dir}"
+        )
+    _read_sidecar(spark, _params_path(path))  # refuse non-snapshot dirs
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    to_compact = []
+    for band_st in fs.listStatus(jpath):
+        if not band_st.isDirectory() or not band_st.getPath().getName().startswith(
+            "band="
+        ):
+            continue
+        for bp_st in fs.listStatus(band_st.getPath()):
+            if not bp_st.isDirectory() or not bp_st.getPath().getName().startswith(
+                "bpart="
+            ):
+                continue
+            n_files = sum(
+                1
+                for f in fs.listStatus(bp_st.getPath())
+                if f.isFile()
+                and not f.getPath().getName().startswith(("_", "."))
+            )
+            if n_files > max_files_per_dir:
+                to_compact.append(bp_st.getPath().toString())
+    if not to_compact:
+        return 0
+    sub = (
+        spark.read.option("basePath", path)
+        .parquet(*to_compact)
+        .repartition(F.col("band"), F.col("bpart"))
+        .sortWithinPartitions("bkey")
+        .localCheckpoint(eager=True)
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        sub.write.mode("overwrite").partitionBy("band", "bpart").parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return len(to_compact)
