@@ -793,6 +793,104 @@ def minhash_snapshot_2m(spark, sf_dir):
     return run
 
 
+def stream_ingest_200k(spark, sf_dir):
+    """r9 (VERDICT item 6): the COMPOSED streaming daily-ingest loop
+    (streaming/neardup.py stream_daily_ingest) priced end-to-end at
+    the 200k tier — two daily micro-batches of 10k docs against a
+    200k-doc persisted bucket snapshot. Day 1 = 5k near-copies of
+    corpus docs + 5k novel; day 2 = exact copies of day 1 under new
+    ids, so day-2's outcome (zero survivors) depends on day-1's
+    appends being visible — the same cross-day property the
+    integration test pins. Per trigger: DPP-pruned snapshot probe →
+    survivor anti-join → bucket + text append → LM scoring (xent +
+    DSIR llr against precomputed 50k-row broadcast LM tables).
+    Corpus uses the bounded-vocab recipe (dsir_2m) — an LM fit over
+    _synth_docs' unique-per-doc vocabulary would be corpus-sized, the
+    wrong asymptote. Each rep restores the snapshot + text table from
+    a pristine copy (~0.2s of the measurement, documented) so appends
+    never compound across reps."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vicinity_spark.operators.dedup import save_corpus_buckets
+    from vicinity_spark.operators.textops import fit_unigram_lm
+    from vicinity_spark.streaming.neardup import stream_daily_ingest
+
+    vocab, n, tokens = 50_000, 200_000, 24
+
+    def _docs(n_rows, id_offset, src_offset, parts=32, mutate_last=False):
+        base = spark.range(0, n_rows, 1, parts)
+        src = F.col("id") + src_offset
+        toks = [
+            F.substring(
+                F.md5((F.abs(F.hash(src, F.lit(j))) % vocab).cast("string")), 1, 8
+            )
+            for j in range(tokens)
+        ]
+        if mutate_last:
+            toks[-1] = F.concat(F.lit("zz"), (F.col("id") + id_offset).cast("string"))
+        return base.select(
+            (F.col("id") + id_offset).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+
+    corpus = _docs(n, 0, 0).cache()
+    corpus.count()
+    tmp = tempfile.mkdtemp(prefix="vspark_bench_ingest_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    snap0, ctext0 = tmp + "/snap0", tmp + "/ctext0"
+    save_corpus_buckets(
+        corpus, snap0, n_hashes=16, rows_per_band=2, hash_fn="tokenroll", n_bpart=16
+    )
+    corpus.write.parquet(ctext0)
+    # day 1: 5k near-dups of corpus docs 0..4999 (23/24 tokens shared,
+    # Jaccard ≈ 0.87) + 5k novel (disjoint src range); day 2: exact
+    # copies of day 1 under new ids
+    day1 = _docs(5_000, 1_000_000, 0, parts=8, mutate_last=True).unionByName(
+        _docs(5_000, 1_005_000, 10_000_000, parts=8)
+    )
+    day2 = day1.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    src_dir = tmp + "/stream_src"
+    for i, d in enumerate([day1, day2]):
+        d.withColumn("ts", F.to_timestamp(F.lit(f"2024-01-0{i + 1}"))).coalesce(
+            1
+        ).write.parquet(f"{src_dir}/b{i}")
+    lm = fit_unigram_lm(corpus).localCheckpoint(eager=True)
+    lm_t = fit_unigram_lm(
+        corpus.where(F.col("doc_id") % 40 == 0)
+    ).localCheckpoint(eager=True)
+
+    counts = {}
+
+    def run(s, d):
+        snap, ctext = tmp + "/snap", tmp + "/ctext"
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(ctext, ignore_errors=True)
+        shutil.copytree(snap0, snap)
+        shutil.copytree(ctext0, ctext)
+        counts.clear()
+        stream = (
+            s.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/b*")
+        )
+        w = stream_daily_ingest(
+            stream, snap, ctext,
+            sink=lambda df, bid: counts.__setitem__(bid, df.count()),
+            lm=lm, target_lm=lm_t, min_jaccard=0.5,
+        )
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return s.createDataFrame(
+            [(int(b), int(c)) for b, c in sorted(counts.items())],
+            "batch_id int, n_survivors int",
+        )
+
+    run(spark, sf_dir).count()  # untimed warm-up (plan + codegen + workers)
+    return run
+
+
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
     store, insert 1% (2,000) new rows — which invalidates the persisted
@@ -1065,6 +1163,7 @@ BENCH = {
     # r9 additions, appended (same rule as above)
     "dsir_hashed_2m": dsir_hashed_2m,
     "emb_projection_1024": emb_projection_1024,
+    "stream_ingest_200k": stream_ingest_200k,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

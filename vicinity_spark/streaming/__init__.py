@@ -9,9 +9,12 @@ from vicinity_spark.streaming.ingest import (
     stream_vector_ingest,
     windowed_event_counts,
 )
+from vicinity_spark.streaming.clean import stream_lm_scores
 from vicinity_spark.streaming.neardup import (
     stateless_minhash,
+    stream_daily_ingest,
     stream_neardup_candidates,
+    stream_neardup_vs_snapshot,
 )
 from vicinity_spark.streaming.query import (
     stream_knn,
@@ -28,10 +31,13 @@ __all__ = [
     "stateless_minhash",
     "stream_events",
     "stream_clean",
+    "stream_daily_ingest",
     "stream_exact_dedup",
     "stream_knn",
     "stream_knn_foreachbatch",
+    "stream_lm_scores",
     "stream_neardup_candidates",
+    "stream_neardup_vs_snapshot",
     "stream_threshold",
     "stream_vector_ingest",
     "unpersist_serving_cache",

@@ -289,3 +289,114 @@ def stream_neardup_vs_snapshot(
         sink(pairs, batch_id)
 
     return doc_stream.writeStream.foreachBatch(_process).outputMode("append")
+
+
+def stream_daily_ingest(
+    doc_stream: DataFrame,
+    snapshot_path: str,
+    corpus_text_path: str,
+    sink,
+    *,
+    lm: "DataFrame | None" = None,
+    target_lm: "DataFrame | None" = None,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: "int | None" = None,
+    _plan_observer=None,
+):
+    """The FULL daily-ingest loop as one exercised path (r9, VERDICT
+    item 6), composing the pieces the r8 surfaces left separate: per
+    micro-batch —
+
+      1. **probe** the arriving docs against the persisted bucket
+         snapshot (``minhash_lsh_pairs_vs_snapshot`` — batch-planned
+         under foreachBatch, so the scan is DPP-pruned to the files
+         the batch's own band keys hash into);
+      2. **filter** to survivors (docs with no pair ≥ min_jaccard,
+         one anti-join);
+      3. **append** the survivors' buckets to the snapshot AND their
+         text to the corpus text table, so TOMORROW'S probe sees
+         today's accepted docs — the property the integration test
+         pins (a day-2 copy of a day-1 survivor is flagged against
+         the day-1 id, which only the append can explain);
+      4. **score** the survivors against precomputed LM tables when
+         given (per-doc cross-entropy, + the DSIR log importance
+         ratio when ``target_lm`` is also given — same split as
+         ``stream_lm_scores``: fit daily in batch, score the crawl).
+
+    ``corpus_text_path`` is a plain parquet dir of (doc_id, text) for
+    the snapshot's full history — read fresh each trigger for
+    candidate verification text, appended with each trigger's
+    survivors. Both growing artifacts are restart-safe on-disk state,
+    not driver memory. After ~100 batches run
+    ``compact_corpus_buckets(spark, snapshot_path)`` between triggers
+    — the probe's pruned scan degrades to many small files otherwise.
+
+    ``sink(scored_df, batch_id)`` receives the survivors
+    (id, text[, n_tokens, xent[, llr]]) per trigger. Returns the
+    DataStreamWriter — call ``.trigger(...).start()``."""
+    from vicinity_spark.operators.dedup import (
+        append_corpus_buckets,
+        minhash_lsh_pairs_vs_snapshot,
+    )
+
+    if lm is not None:
+        from vicinity_spark.operators.sampling import _require_unk
+
+        _require_unk(lm, "lm")
+        if target_lm is not None:
+            _require_unk(target_lm, "target_lm")
+    elif target_lm is not None:
+        raise ValueError("target_lm requires lm (the raw-corpus LM)")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        corpus = spark.read.parquet(corpus_text_path)
+        # same DPP-arming null filter as stream_neardup_vs_snapshot
+        batch = batch_df.where(
+            F.col(text_col).isNotNull() & (F.length(text_col) >= 0)
+        )
+        pairs = minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, batch, snapshot_path,
+            min_jaccard=min_jaccard, text_col=text_col, id_col=id_col,
+            max_bucket=max_bucket, _plan_observer=_plan_observer,
+        )
+        dup_ids = pairs.select(F.col("id_new").alias(id_col)).distinct()
+        # materialize ONCE: the survivors feed two writes + the scoring
+        # sink, and the bucket append writes into the very snapshot the
+        # probe plan reads — the checkpoint severs that lineage
+        survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        canon = survivors.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if canon.take(1):
+            append_corpus_buckets(canon, snapshot_path)
+            canon.write.mode("append").parquet(corpus_text_path)
+        out = survivors
+        if lm is not None:
+            from vicinity_spark.operators.textops import unigram_logprob
+
+            # both scorers emit their id as literal "doc_id" — realias
+            # to the caller's id_col before joining back
+            scores = unigram_logprob(
+                survivors, text_col=text_col, id_col=id_col, lm=lm
+            ).select(F.col("doc_id").alias(id_col), "n_tokens", "xent")
+            out = survivors.join(scores, id_col, "left")
+            if target_lm is not None:
+                from vicinity_spark.operators.sampling import dsir_weights_from_lms
+
+                w = dsir_weights_from_lms(
+                    survivors, lm, target_lm, text_col=text_col,
+                    id_col=id_col, features="unigram", validate=False,
+                )
+                out = out.join(
+                    w.select(F.col("doc_id").alias(id_col), "llr"), id_col, "left"
+                )
+        sink(out, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_process).outputMode("append")
