@@ -365,9 +365,12 @@ def test_push_to_hub_uploads_artifacts_with_mocked_client(spark, data, monkeypat
         def create_repo(self, repo_id, repo_type=None, private=False, exist_ok=False):
             calls["create"] = (repo_id, repo_type, private)
 
-        def upload_folder(self, repo_id=None, repo_type=None, folder_path=None):
+        def upload_folder(
+            self, repo_id=None, repo_type=None, folder_path=None, delete_patterns=None
+        ):
             calls["upload"] = repo_id
             calls["files"] = sorted(os.listdir(folder_path))
+            calls["delete_patterns"] = delete_patterns
 
     fake = types.SimpleNamespace(HfApi=FakeApi)
     monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
@@ -378,6 +381,50 @@ def test_push_to_hub_uploads_artifacts_with_mocked_client(spark, data, monkeypat
     assert calls["upload"] == "acct/repo"
     assert "config.json" in calls["files"] and "README.md" in calls["files"]
     assert "_vicinity_meta.json" in calls["files"] and "store.parquet" in calls["files"]
+    assert calls["delete_patterns"] == ["*"]  # re-push replaces stale shards
+
+
+@pytest.mark.parametrize("backend", ["basic", "ivf", "lsh"])
+def test_hub_roundtrip_local_client(spark, data, tmp_path, backend):
+    """r9 (VERDICT item 8): full push → load roundtrip through the
+    filesystem-backed LocalHubClient — no network, no huggingface_hub
+    install. The downloaded repo is a complete store (parquet +
+    sidecar + strategy extras like IVF partition dirs / LSH postings)
+    plus the config.json/README the reference generates; the loaded
+    store answers queries identically to the original."""
+    import json
+    import os
+
+    from vicinity_spark.sources.hub import LocalHubClient, load_from_hub
+
+    _, _, qvec = data
+    client = LocalHubClient(str(tmp_path / "hub"))
+    store = make_store(spark, data, backend)
+    store.metadata["source"] = "roundtrip-test"
+    url = store.push_to_hub(f"acct/{backend}-store", client=client)
+    assert url == f"https://huggingface.co/datasets/acct/{backend}-store"
+
+    repo = client.snapshot_download(f"acct/{backend}-store")
+    with open(os.path.join(repo, "config.json")) as f:
+        config = json.load(f)
+    assert config["backend_type"] == backend
+    assert config["metadata"]["source"] == "roundtrip-test"
+    assert os.path.exists(os.path.join(repo, "README.md"))
+
+    loaded = load_from_hub(f"acct/{backend}-store", spark, client=client)
+    assert len(loaded) == len(store) and loaded.dim == store.dim
+    assert loaded.metric == store.metric
+    assert loaded.metadata["source"] == "roundtrip-test"
+    assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
+    # classmethod facade + double-push idempotence (exist_ok)
+    store.push_to_hub(f"acct/{backend}-store", client=client)
+    again = VectorStore.load_from_hub(f"acct/{backend}-store", spark, client=client)
+    assert again.query(qvec, k=3) == store.query(qvec, k=3)
+    # client error paths
+    with pytest.raises(FileNotFoundError):
+        client.snapshot_download("acct/missing")
+    with pytest.raises(ValueError):
+        client.snapshot_download("../escape")
 
 
 @pytest.mark.parametrize("backend", ["basic", "ivf", "lsh"])

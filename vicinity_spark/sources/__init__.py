@@ -1,3 +1,3 @@
-from vicinity_spark.sources.hub import load_from_hub, push_to_hub
+from vicinity_spark.sources.hub import LocalHubClient, load_from_hub, push_to_hub
 
-__all__ = ["load_from_hub", "push_to_hub"]
+__all__ = ["LocalHubClient", "load_from_hub", "push_to_hub"]

@@ -103,26 +103,130 @@ def write_hub_artifacts(store, folder: str, repo_id: str) -> None:
         f.write(build_dataset_card(repo_id, len(store), config))
 
 
-def push_to_hub(store, repo_id: str, token: Optional[str] = None, private: bool = False):
+class LocalHubClient:
+    """Filesystem-backed hub client (r9): the exact three-call surface
+    `push_to_hub` / `load_from_hub` use (`create_repo`,
+    `upload_folder`, `snapshot_download`), backed by a directory tree
+    ``root/<repo_type>/<repo_id>``. Lets the full push → load
+    roundtrip run hermetically — no network, no `huggingface_hub`
+    install — and doubles as a real "shared-filesystem hub" for teams
+    publishing stores to NFS/object-store mounts."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _repo_path(self, repo_id: str, repo_type: str) -> str:
+        import os
+
+        if not repo_id or repo_id.startswith(("/", ".")) or ".." in repo_id:
+            raise ValueError(f"invalid repo_id {repo_id!r}")
+        return os.path.join(self.root, repo_type, *repo_id.split("/"))
+
+    def create_repo(
+        self,
+        repo_id: str,
+        repo_type: str = "dataset",
+        private: bool = False,
+        exist_ok: bool = False,
+    ) -> None:
+        import os
+
+        path = self._repo_path(repo_id, repo_type)
+        if os.path.exists(path) and not exist_ok:
+            raise FileExistsError(f"repo {repo_id!r} already exists")
+        os.makedirs(path, exist_ok=True)
+
+    def upload_folder(
+        self, repo_id: str, repo_type: str = "dataset", folder_path: str = ""
+    ) -> None:
+        """REPLACE semantics: parquet part-file names are random per
+        save, so a merge-copy of a re-push would union old and new
+        shards — duplicated store rows. The real-client adapter gets
+        the same behavior via delete_patterns."""
+        import shutil
+
+        target = self._repo_path(repo_id, repo_type)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.copytree(folder_path, target)
+
+    def snapshot_download(
+        self,
+        repo_id: str,
+        repo_type: str = "dataset",
+        token: Optional[str] = None,
+    ) -> str:
+        import os
+
+        path = self._repo_path(repo_id, repo_type)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"repo {repo_id!r} not found under {self.root!r}")
+        return path
+
+
+class _RealHubClient:
+    """Adapter mapping the three-call client surface onto the real
+    `huggingface_hub` package (HfApi + module-level snapshot_download)."""
+
+    def __init__(self, hub, token: Optional[str]):
+        self._hub = hub
+        self._api = hub.HfApi(token=token)
+        self._token = token
+
+    def create_repo(self, repo_id, repo_type="dataset", private=False, exist_ok=False):
+        self._api.create_repo(
+            repo_id, repo_type=repo_type, private=private, exist_ok=exist_ok
+        )
+
+    def upload_folder(self, repo_id, repo_type="dataset", folder_path=""):
+        # delete_patterns: a re-push must REPLACE the repo's files —
+        # parquet shard names are random per save, so without it stale
+        # shards from the previous push stay in the repo and a
+        # snapshot_download loads duplicated store rows
+        self._api.upload_folder(
+            repo_id=repo_id,
+            repo_type=repo_type,
+            folder_path=folder_path,
+            delete_patterns=["*"],
+        )
+
+    def snapshot_download(self, repo_id, repo_type="dataset", token=None):
+        return self._hub.snapshot_download(
+            repo_id=repo_id, repo_type=repo_type, token=token or self._token
+        )
+
+
+def push_to_hub(
+    store,
+    repo_id: str,
+    token: Optional[str] = None,
+    private: bool = False,
+    client=None,
+):
     """Publish a saved VectorStore folder as a Hub dataset repo, with
     the dataset card + config.json the reference generates
-    (integrations/huggingface.py:66-101)."""
+    (integrations/huggingface.py:66-101). ``client`` defaults to the
+    real `huggingface_hub` (env-gated); pass a ``LocalHubClient`` for
+    a hermetic / shared-filesystem hub."""
     import tempfile
 
-    hub = _require_hub()
-    api = hub.HfApi(token=token)
-    api.create_repo(repo_id, repo_type="dataset", private=private, exist_ok=True)
+    if client is None:
+        client = _RealHubClient(_require_hub(), token)
+    client.create_repo(repo_id, repo_type="dataset", private=private, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         store.save(tmp, overwrite=True)
         write_hub_artifacts(store, tmp, repo_id)
-        api.upload_folder(repo_id=repo_id, repo_type="dataset", folder_path=tmp)
+        client.upload_folder(repo_id=repo_id, repo_type="dataset", folder_path=tmp)
     return f"https://huggingface.co/datasets/{repo_id}"
 
 
-def load_from_hub(repo_id: str, spark: SparkSession, token: Optional[str] = None):
-    """Download a Hub dataset repo and load it as a VectorStore."""
+def load_from_hub(
+    repo_id: str, spark: SparkSession, token: Optional[str] = None, client=None
+):
+    """Download a Hub dataset repo and load it as a VectorStore.
+    ``client`` as in ``push_to_hub``."""
     from vicinity_spark.store import VectorStore
 
-    hub = _require_hub()
-    path = hub.snapshot_download(repo_id=repo_id, repo_type="dataset", token=token)
+    if client is None:
+        client = _RealHubClient(_require_hub(), token)
+    path = client.snapshot_download(repo_id=repo_id, repo_type="dataset", token=token)
     return VectorStore.load(path, spark)

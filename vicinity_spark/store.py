@@ -458,6 +458,25 @@ class VectorStore:
             metadata=meta.get("metadata"),
         )
 
+    # ---- hub integration (F13/F14) ---------------------------------
+    def push_to_hub(
+        self, repo_id: str, token=None, private: bool = False, client=None
+    ) -> str:
+        """Publish this store as a Hub dataset repo — the reference's
+        `Vicinity.push_to_hub` (vicinity/vicinity.py:285-306). Pass a
+        `sources.hub.LocalHubClient` for a filesystem-backed hub."""
+        from vicinity_spark.sources.hub import push_to_hub as _push
+
+        return _push(self, repo_id, token=token, private=private, client=client)
+
+    @classmethod
+    def load_from_hub(cls, repo_id: str, spark: SparkSession, token=None, client=None):
+        """Load a store from a Hub dataset repo — the reference's
+        `Vicinity.load_from_hub` (vicinity/vicinity.py:308-326)."""
+        from vicinity_spark.sources.hub import load_from_hub as _load
+
+        return _load(repo_id, spark, token=token, client=client)
+
     # ---- evaluation (F15) ------------------------------------------
     def evaluate(
         self, query_vectors, k: int = 10, epsilon: float = 1e-3
