@@ -3960,6 +3960,44 @@ def dedup_minhash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_minhash_compacted", _MINHASH_INCR_SQL)
+def dedup_minhash_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the snapshot MAINTENANCE lifecycle — save one third of the
+    corpus, append the other two thirds as two daily batches (each
+    append adds a file set per (band, bpart) directory), COMPACT the
+    fragmented directories back to one bkey-sorted file each
+    (operators/dedup.py compact_corpus_buckets — dynamic partition
+    overwrite, sidecar untouched), then probe. Same role split,
+    banding params, and oracle SQL as dedup_minhash_incremental: a
+    green hash certifies that append × N → compact is value-invisible
+    to the probe — the property that makes compaction a safe standing
+    maintenance job at 100 TB (without it the DPP-pruned ingest probe
+    degrades to many small files; sources/files.py documents the
+    hazard)."""
+    import tempfile
+
+    from vicinity_spark.operators.dedup import (
+        append_corpus_buckets,
+        compact_corpus_buckets,
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 5 == 0)
+    snap = tempfile.mkdtemp(prefix="vspark_compact_") + "/buckets"
+    save_corpus_buckets(
+        corpus.where(F.col("doc_id") % 3 == 0), snap,
+        n_hashes=16, rows_per_band=4, n_bpart=4,
+    )
+    for m in (1, 2):
+        append_corpus_buckets(corpus.where(F.col("doc_id") % 3 == m), snap)
+    compact_corpus_buckets(spark, snap, max_files_per_dir=1)
+    j = minhash_lsh_pairs_vs_snapshot(spark, corpus, new, snap, min_jaccard=0.5)
+    return j.select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---- exact-substring span dedup (r8 ★) -------------------------------
 
 _STRIP_SPANS_SQL = """
@@ -4347,6 +4385,29 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "j", F.round("y", 6).alias("y"))
 
 
+@register("emb_projection_arrow", _RANDOM_PROJECTION_SQL)
+def emb_projection_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the ARROW physical form of the same projection
+    (operators/embedding.py _project_arrow — matrix in one
+    SparkContext.broadcast, one numpy matmul per Arrow batch), checked
+    against the identical DuckDB replay as the literal form. This is
+    the path method='auto' routes production dims to (the literal plan
+    is measured unusable at 1024-d — BENCHNOTES r9); the green hash
+    certifies the two physical forms agree with the engine-portable
+    oracle to the 1e-6 output rounding. Matmul summation order differs
+    from the sequential fold (pairwise vs left fold), so agreement is
+    at the rounded output, exactly what the contract promises."""
+    from vicinity_spark.operators.embedding import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = random_projection(
+        e, out_dim=16, vec_col="embedding", seed="rp", in_dim=64, method="arrow"
+    )
+    return p.select(
+        "vec_id", F.posexplode("projected").alias("j", "y")
+    ).select("vec_id", "j", F.round("y", 6).alias("y"))
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4371,27 +4432,79 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r8 rotation (VERDICT r7 item 6) -----------------------------
-    # Window design (8 + 22 + 20 = 50): (a) the 8 new r8 rows need
-    # their first green;
-    # (b) the 22 rows that sat in the r7 tail (last green r6) come
-    # back — the rotation policy promises at most ONE round unchecked;
-    # (c) the remaining 20 slots go to r7-green rows whose code r8
-    # TOUCHED (resolve_hash_fn in every miner, the lazy cap rewrite in
-    # all four pair miners + lsh.py, the incremental miner's snapshot
-    # join keys, the JPEG fill-byte fix) or that compose the touched
-    # operators. Everything in _ROTATE_OUT below is r7-green AND
-    # r8-untouched.
-    # (a) new in r8:
-    "dedup_minhash_snapshot",
+    # --- r9 rotation (VERDICT r8 item 5) -----------------------------
+    # Window design (2 + 30 + 18 = 50): (a) the 2 new r9 rows need
+    # their first green; (b) ALL 30 rows that sat in the r8 tail (last
+    # green r7) come back — the rotation policy promises at most ONE
+    # round unchecked; (c) the remaining 18 slots go to r8-green rows
+    # whose code r9 TOUCHED: embedding.py (Arrow twin + auto routing +
+    # NULL unification), the dedup.py snapshot/miner surface
+    # (compaction, the span-dedup 64-bit re-key, the cap breadcrumb),
+    # sampling.py (DSIR 'auto' default + __unk__ validation), and
+    # backends/graph.py (annotation). Everything in _ROTATE_OUT below
+    # is r8-green with its specific operator code untouched in r9
+    # (dedup.py's r9 changes are additive — the tail's dedup rows call
+    # functions no r9 commit edited).
+    # (a) new in r9:
+    "dedup_minhash_compacted",
+    "emb_projection_arrow",
+    # (b) r8 tail, last green r7:
+    "events_asof_join",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "knn_filtered_label",
+    "threshold_grid_routing",
+    "docs_pack_sequences",
+    "docs_mix_sources",
+    "docs_training_stream",
+    "docs_pii_redact",
+    "docs_source_cap",
+    "docs_token_budget",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_quality_tiers",
+    "docs_splits",
+    "threshold_radius",
+    "rollup_revenue",
+    "part_string_functions",
+    "events_json_extract",
+    "orders_by_month",
+    "customers_without_orders",
+    "lineitem_stats",
+    "supplier_stats_by_nation",
+    "ann_lsh_knn",
+    "ann_ivf_knn",
+    "ann_sq_knn",
+    "ann_pq_knn",
+    "ann_ivfpq_knn",
+    "ann_ivfsq_knn",
+    "ann_ivfpqr_knn",
+    # (c) r8-green, r9-touched code paths:
+    "emb_random_projection",
     "docs_strip_shared_spans",
-    "dedup_neardup_e2e",
-    "docs_line_dedup",
-    "docs_unigram_xent",
+    "dedup_minhash_snapshot",
+    "dedup_minhash_incremental",
     "docs_dsir_select",
     "docs_dsir_hashed",
-    "emb_random_projection",
-    # (b) r7 tail, last green r6:
+    "dedup_neardup_e2e",
+    "dedup_minhash_onepass",
+    "dedup_minhash_capped",
+    "dedup_minhash_affine",
+    "dedup_minhash_tokenroll",
+    "ann_graph_knn",
+    "ann_recall_summary",
+    "docs_line_dedup",
+    "docs_unigram_xent",
+    "dedup_keep_best",
+    "dedup_connected_components",
+    "dedup_shared_grams",
+]
+
+# r9 tail: 32 rows, every one green in CORRECTNESS_r08.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip).
+_ROTATE_OUT: "list[str]" = [
     "vector_norms",
     "text_token_stats",
     "text_quality",
@@ -4414,73 +4527,16 @@ _CHECK_FIRST = [
     "text_pmi_bigrams",
     "lineitem_quantiles",
     "orders_running_revenue",
-    # (c) r7-green, r8-touched code paths:
-    "dedup_minhash_onepass",
-    "dedup_minhash_capped",
-    "dedup_minhash_affine",
-    "dedup_minhash_tokenroll",
-    "dedup_minhash_incremental",
     "dedup_simhash_exploded",
     "dedup_simhash_pairs",
     "neardup_pairs",
     "dedup_jaccard_variants",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "dedup_shared_grams",
-    "semantic_dedup",
     "docs_curation_pipeline",
     "docs_decontaminate",
     "multimodal_knn",
     "knn_all_metrics",
     "text_repetition",
-    "ann_recall_summary",
-    "ann_graph_knn",
-]
-
-# r8 tail: 25 rows, every one green in CORRECTNESS_r07.json with its
-# code untouched this round (scripts/verified_ledger.py enforces that
-# nothing never-green sits here; VERIFIED.md records the skip).
-_ROTATE_OUT: "list[str]" = [
-    # events_asof_join / skew_salted_agg / skew_salted_join: r7-green,
-    # their code (skew.py, asof) untouched in r8 — take the tail so
-    # docs_line_dedup / docs_unigram_xent / docs_dsir_select (new) fit
-    # the window
-    "events_asof_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    # knn_filtered_label / threshold_grid_routing: r7-green, knn.py and
-    # grid.py untouched in r8 — rotated to fit emb_random_projection /
-    # docs_dsir_hashed (new); knn_all_metrics keeps the window slot for
-    # the family (covers all 7 metric branches)
-    "knn_filtered_label",
-    "threshold_grid_routing",
-    "docs_pack_sequences",
-    "docs_mix_sources",
-    "docs_training_stream",
-    "docs_pii_redact",
-    "docs_source_cap",
-    "docs_token_budget",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
-    "docs_quality_tiers",
-    "docs_splits",
-    # threshold_radius: knn/metrics code untouched in r8; text_repetition
-    # moved INTO the window because textops.py gained code this round
-    "threshold_radius",
-    "rollup_revenue",
-    "part_string_functions",
-    "events_json_extract",
-    "orders_by_month",
-    "customers_without_orders",
-    "lineitem_stats",
-    "supplier_stats_by_nation",
-    "ann_lsh_knn",
-    "ann_ivf_knn",
-    "ann_sq_knn",
-    "ann_pq_knn",
-    "ann_ivfpq_knn",
-    "ann_ivfsq_knn",
-    "ann_ivfpqr_knn",
+    "semantic_dedup",
 ]
 
 def _reorder_registry() -> None:
