@@ -658,12 +658,19 @@ def dsir_2m(spark, sf_dir):
 def dsir_hashed_2m(spark, sf_dir):
     """r9: DSIR at 2M docs under the PRODUCTION DEFAULT feature model
     (features='auto' → hashed_ngram): every uni+bigram md5-bucketed
-    into 4096 buckets, so the feature stream is ~2× the unigram
-    anchor's token stream (2×24−1 = 47 features/doc ≈ 94M rows) while
-    BOTH LM tables are hard-capped at 4096 rows and broadcast at any
-    corpus size — the trade the default buys. Same corpus/target
-    shapes as dsir_2m; the delta over it prices the bigram half of
-    the stream plus the md5 bucketing versus raw-token join keys."""
+    into 4096 buckets — 2×24−1 = 47 features/doc ≈ 94M stream rows —
+    while BOTH LM tables are hard-capped at 4096 rows and broadcast at
+    any corpus size, the trade the default buys. Same corpus/target
+    shapes as dsir_2m. First in-suite recording (457s) exposed TWO
+    repeated-evaluation bugs this entry exists to catch: the lm /
+    totals / __unk__ branches of fit_unigram_lm re-ran the full
+    feature stream 3× per fit (fixed: the vocab-bounded frequency
+    table is checkpointed once), and hashed_gram_stream re-evaluated
+    the split() per gram position (fixed: Generate barrier). Now
+    exactly two stream passes — one fit, one scoring — ≈81s isolated
+    min-of-3; md5 is NOT the bottleneck (xxhash64 buckets measured
+    within 5%: the explode + gram-string volume dominates), so the
+    engine-portable md5-hex bucketing stays (BENCHNOTES r9)."""
     from vicinity_spark.operators.sampling import dsir_select
 
     vocab, n = 50_000, 2_000_000
@@ -1234,6 +1241,12 @@ def main():
             # hot first rep is diagnosable from the driver record alone.
             if rep_times[0] >= 90.0:
                 n_more = 0
+            elif rep_times[0] >= 30.0:
+                # r9: min-of-2 for the heaviest tier — min-of-3 on a
+                # 40-80s entry adds minutes of suite wall-clock for a
+                # second confirmation the per-rep artifact already
+                # makes diagnosable
+                n_more = 1
             elif rep_times[0] >= 5.0:
                 n_more = 3
             else:

@@ -457,6 +457,15 @@ def hashed_gram_stream(
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    # Generate barrier (r9): materialize the token array ONCE per row
+    # before the per-position transforms — referencing the split/filter
+    # expression inside F.transform re-evaluates it per gram position,
+    # the O(tokens²)-class trap stateless_minhash_tokenroll documents
+    # (measured 7.1s → 4.5s for the 200k × 24-token stream)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("__tk")
+    )
+    tk = F.col("__tk")
 
     def _gram_hash(k):
         # a dedicated single-arg closure per k: F.transform reads a
@@ -464,7 +473,7 @@ def hashed_gram_stream(
         # the index column over a `_k=k` default argument
         def f(i):
             return F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, hex_digits
+                F.md5(F.concat_ws(" ", F.slice(tk, i, k))), 1, hex_digits
             )
 
         return f
@@ -472,14 +481,12 @@ def hashed_gram_stream(
     parts = []
     for k in range(1, max_n + 1):
         grams = F.when(
-            F.size(toks) >= k,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), _gram_hash(k)),
+            F.size(tk) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - k + 1), _gram_hash(k)),
         ).otherwise(F.array().cast("array<string>"))
         parts.append(grams)
     allg = F.concat(*parts) if len(parts) > 1 else parts[0]
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(allg).alias("tok")
-    )
+    return staged.select("doc_id", F.explode(allg).alias("tok"))
 
 
 def resolve_dsir_features(features: str) -> str:
@@ -570,10 +577,20 @@ def dsir_weights(
     from vicinity_spark.operators.textops import fit_unigram_lm
 
     stream = _dsir_stream_fn(features, text_col, id_col)
+    # each fit is ONE pass over its feature stream (fit_unigram_lm
+    # materializes the vocab-bounded frequency table, r9 — without
+    # that, the lm/totals/unk branches and the downstream unk/combined
+    # joins re-ran the FULL corpus stream per read: dsir_hashed_2m
+    # measured 457s at 2M vs ~38s for a single stream pass), so the
+    # whole dsir_weights call touches the raw corpus exactly twice:
+    # one fit pass + one scoring pass — the 100 TB-correct shape (a
+    # cached 94M-row feature stream would save the second pass only
+    # while it fits in memory; two projections always scale)
     lm_t = fit_unigram_lm(target, alpha=alpha, token_stream=stream(target))
     lm_r = fit_unigram_lm(raw, alpha=alpha, token_stream=stream(raw))
     return dsir_weights_from_lms(
-        raw, lm_r, lm_t, text_col=text_col, id_col=id_col, features=features
+        raw, lm_r, lm_t, text_col=text_col, id_col=id_col, features=features,
+        validate=False,  # both tables carry __unk__ by construction
     )
 
 

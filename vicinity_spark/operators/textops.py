@@ -416,8 +416,17 @@ def fit_unigram_lm(
 
     if token_stream is None:
         token_stream = tokens(docs, text_col, id_col)
-    tf = token_stream.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("__c")
+    # materialize the vocab-bounded frequency table ONCE (r9): the lm
+    # rows, the totals, and the __unk__ row all read `tf`, and Spark
+    # does not reuse the groupBy exchange across those branches — one
+    # fit action was measured running the FULL corpus feature stream
+    # 3× at the 2M tier (~34s/pass for the hashed-gram model;
+    # BENCHNOTES r9 "dsir_hashed pricing"). The checkpoint is ≤ vocab
+    # rows (4096 for hashed buckets) and makes the fit one stream pass.
+    tf = (
+        token_stream.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
     tot = tf.agg(
         F.sum("__c").cast("double").alias("__n"),
