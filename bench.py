@@ -1239,13 +1239,18 @@ def main():
             # timed reps give a true min-of-3 past the JIT knee.
             # Per-rep times are emitted in the artifact ("reps") so a
             # hot first rep is diagnosable from the driver record alone.
-            if rep_times[0] >= 90.0:
+            # r9 rep policy, learned the hard way across two same-code
+            # full runs hours apart (BENCHNOTES "r9 drift"): the heavy
+            # shuffle entries' reps are NOISY and non-monotonic
+            # ([42,23,40,92] one run, [80,42] the next) — an
+            # interim min-of-2 tier recorded mid-decay values 2× the
+            # entry's real floor, so everything ≥5s keeps min-of-4
+            # sampling unless a single rep is so large that repeating
+            # it would dominate the suite (≥150s single-shot, ≥90s
+            # min-of-2).
+            if rep_times[0] >= 150.0:
                 n_more = 0
-            elif rep_times[0] >= 30.0:
-                # r9: min-of-2 for the heaviest tier — min-of-3 on a
-                # 40-80s entry adds minutes of suite wall-clock for a
-                # second confirmation the per-rep artifact already
-                # makes diagnosable
+            elif rep_times[0] >= 90.0:
                 n_more = 1
             elif rep_times[0] >= 5.0:
                 n_more = 3

@@ -107,6 +107,15 @@ def stream_lm_scores(
     from vicinity_spark.operators.sampling import _require_unk, dsir_weights_from_lms
     from vicinity_spark.operators.textops import unigram_logprob
 
+    # pin the (vocab-bounded) LM tables ONCE at build time (r9): a
+    # caller-supplied table that is still a lazy plan over its fit
+    # corpus would re-run that corpus on EVERY micro-batch — and up to
+    # 4× per batch, since the unk/combined joins read each table
+    # several times (the repeated-evaluation cost measured in the
+    # batch path, BENCHNOTES r9 "dsir_hashed pricing")
+    lm = lm.localCheckpoint(eager=True)
+    if target_lm is not None:
+        target_lm = target_lm.localCheckpoint(eager=True)
     # validate the floor rows ONCE at build time (ADVICE r8 — a table
     # missing '__unk__' silently zeroes every scored doc), then skip
     # the per-micro-batch re-check; the LM here is a plain-token

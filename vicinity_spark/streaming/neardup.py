@@ -344,8 +344,13 @@ def stream_daily_ingest(
     if lm is not None:
         from vicinity_spark.operators.sampling import _require_unk
 
+        # pin + validate ONCE at build time (same rationale as
+        # stream_lm_scores: a lazy LM table would re-run its fit
+        # corpus several times per micro-batch)
+        lm = lm.localCheckpoint(eager=True)
         _require_unk(lm, "lm")
         if target_lm is not None:
+            target_lm = target_lm.localCheckpoint(eager=True)
             _require_unk(target_lm, "target_lm")
     elif target_lm is not None:
         raise ValueError("target_lm requires lm (the raw-corpus LM)")
