@@ -736,6 +736,37 @@ def emb_projection_1024(spark, sf_dir):
     return run
 
 
+def pca_projection_1024(spark, sf_dir):
+    """r10 (VERDICT r9 item 1): PCA at the module's production shape —
+    fit + apply over 200k × 1024-d → 128-d. Timed work = the full
+    covariance ESTIMATION pass (one folded dim² partial per task,
+    reduced through the executor-side combine stage — 32 partitions >
+    combine_width 16, so 'auto' engages it, exactly the 100 TB path),
+    the 1024×1024 driver-side eigh, and the Arrow-matmul APPLY over
+    all 200k rows (consumed via a sum over one output coordinate).
+    Distinct from emb_projection_1024, which prices apply-only with a
+    training-free matrix."""
+    from vicinity_spark.operators.embedding import pca_projection
+
+    cols = F.array(*[F.rand(seed=9100 + i) for i in range(1024)])
+    corpus = (
+        spark.range(0, 200_000, 1, 32)
+        .select(F.col("id"), cols.cast("array<double>").alias("vector"))
+        .cache()
+    )
+    corpus.count()
+
+    def run(s, d):
+        proj = pca_projection(corpus, 128)
+        return proj.select(F.sum(F.element_at("projected", 1)).alias("s"))
+
+    # untimed warm-up on a slice (Arrow workers + plan, not the full fit)
+    pca_projection(corpus.limit(5_000), 8).select(
+        F.sum(F.element_at("projected", 1))
+    ).collect()
+    return run
+
+
 def minhash_snapshot_2m(spark, sf_dir):
     """r8 (VERDICT r7 item 3): the same 20k-batch-vs-2M-corpus probe as
     minhash_incremental_2m, but the corpus bucket table is READ FROM
@@ -1171,6 +1202,8 @@ BENCH = {
     "dsir_hashed_2m": dsir_hashed_2m,
     "emb_projection_1024": emb_projection_1024,
     "stream_ingest_200k": stream_ingest_200k,
+    # r10 additions, appended (same rule as above)
+    "pca_projection_1024": pca_projection_1024,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
@@ -1178,6 +1211,19 @@ BENCH = {
 # "long-doc tier at 2M" records the measured point)
 if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
     BENCH["minhash_longdoc_2m"] = minhash_longdoc_2m
+
+# r10: isolated-measurement support for the BENCHNOTES methodology —
+# SPARK_GRAFT_BENCH_ONLY=a,b runs only those entries on an otherwise
+# identical harness (same warm-up, rep policy, GC hygiene). The
+# driver's per-round run never sets this, so the recorded suite shape
+# is unchanged.
+_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _only:
+    _keep = {k.strip() for k in _only.split(",") if k.strip()}
+    _unknown = _keep - set(BENCH)
+    if _unknown:
+        raise SystemExit(f"unknown bench entries: {sorted(_unknown)}")
+    BENCH = {k: v for k, v in BENCH.items() if k in _keep}
 
 
 def main():

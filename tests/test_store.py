@@ -285,7 +285,10 @@ def test_lsh_save_partitions_posting_lists(spark, data, tmp_path):
     """LSH stores persist an exploded posting-list layout partitioned
     by a bounded bucket-group key; reloaded probing joins it with
     dynamic partition pruning (whole __pg= dirs skipped), and results
-    are unchanged. insert() invalidates the stale postings."""
+    are unchanged. insert() bucket-assigns ONLY the new rows into a
+    side postings branch (r10 — the r9 postings=None fallback
+    re-exploded the full corpus per post-insert query), so the
+    persisted layout keeps pruning and the inserted row is found."""
     import os
 
     from vicinity_spark.datatypes import Metric
@@ -309,12 +312,23 @@ def test_lsh_save_partitions_posting_lists(spark, data, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "dynamicpruning" in pf[1][:200], plan[:2000]
-    # appended rows are not in the persisted postings: insert must fall
-    # back to the corpus-explode path and still find the new row
+    # appended rows get their own postings branch: the persisted
+    # layout stays live (and keeps its DPP subquery), the side branch
+    # carries only the insert batch, and the new row is still found
     loaded.insert(["fresh"], qvec)
-    assert loaded.strategy._postings is None
+    assert loaded.strategy._postings is not None
+    assert loaded.strategy._extra_postings is not None
     res = loaded.query(qvec, k=3)
     assert "fresh" in [it for it, _ in res[0]]
+    cand2 = loaded.strategy._candidates(loaded.df, qdf, Metric.COSINE)
+    plan2 = cand2._jdf.queryExecution().executedPlan().toString()
+    pf2 = plan2.split("PartitionFilters", 1)
+    assert len(pf2) == 2 and "dynamicpruning" in pf2[1][:200], plan2[:2000]
+    # a second insert accumulates; both inserted rows stay findable
+    loaded.insert(["fresh2"], qvec)
+    res2 = loaded.query(qvec, k=4)
+    items2 = [it for it, _ in res2[0]]
+    assert "fresh" in items2 and "fresh2" in items2
 
 
 def test_hub_card_and_config_artifacts(spark, data, tmp_path):

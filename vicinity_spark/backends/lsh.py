@@ -230,6 +230,11 @@ class LSHStrategy(IndexStrategy):
         #: present, candidate generation probes it with file-level
         #: dynamic partition pruning instead of exploding the corpus
         self._postings: "DataFrame | None" = None
+        #: postings of rows inserted AFTER the persisted layout was
+        #: written (on_insert): probed as a separate small branch so
+        #: the parquet branch keeps its DPP file pruning — a union
+        #: under the join would defeat the PartitionPruning rule
+        self._extra_postings: "DataFrame | None" = None
 
     # ---- hashing (delegates to module-level kernels so UDF closures
     # capture only the plain params dict, never the strategy object —
@@ -272,10 +277,26 @@ class LSHStrategy(IndexStrategy):
         return df.withColumn(BUCKETS_COL, bucketize(F.col("vector")))
 
     def on_insert(self, new_df: DataFrame, metric: Metric, dim: int) -> DataFrame:
-        # appended rows are not in the persisted posting lists — drop
-        # back to the corpus-explode path so candidates are never lost
-        self._postings = None
-        return self.build(new_df, metric, dim)
+        """Hash the appended rows and, when a persisted posting layout
+        is live, bucket-assign ONLY the inserted rows into a side
+        postings frame instead of invalidating the whole layout (r9
+        regression `lsh_mutate_200k`: the old postings=None fallback
+        re-exploded the full corpus on every post-insert query — at
+        100 TB that turns a 1%-batch insert into a full-index rebuild
+        per probe). The side frame stays a lazy plan over the (small)
+        insert batch; repeated inserts union incrementally, and a
+        re-save rewrites the full layout."""
+        built = self.build(new_df, metric, dim)
+        if self._postings is not None:
+            posts = built.select(
+                "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
+            ).withColumn("__pg", _pgroup_col())
+            self._extra_postings = (
+                posts
+                if self._extra_postings is None
+                else self._extra_postings.unionByName(posts)
+            )
+        return built
 
     # ---- persistence -------------------------------------------------
     def save_extra(self, path: str, df: Optional[DataFrame] = None) -> None:
@@ -300,6 +321,8 @@ class LSHStrategy(IndexStrategy):
         p = os.path.join(path, POSTINGS_DIR)
         if os.path.isdir(p):
             self._postings = spark.read.parquet(p)
+            # a fresh layout supersedes any accumulated insert postings
+            self._extra_postings = None
 
     # ---- query plans ------------------------------------------------
     def _probe_df(
@@ -343,19 +366,29 @@ class LSHStrategy(IndexStrategy):
             # pruning) — at 100 TB the probe reads ~probed/64 of the
             # postings files instead of re-exploding the corpus.
             # Postings may be stale w.r.t. delete() (extra ids are
-            # dropped by the downstream corpus join); insert()
-            # invalidates them (on_insert) so candidates are never lost.
-            # the (true-by-construction) range predicate on the probe
-            # side is what lets Catalyst's PartitionPruning rule judge
-            # the broadcast side selective and insert the DPP subquery
+            # dropped by the downstream corpus join); insert() appends
+            # the new rows' postings to a side frame (on_insert) so
+            # candidates are never lost and the persisted layout keeps
+            # pruning. The (true-by-construction) range predicate on
+            # the probe side is what lets Catalyst's PartitionPruning
+            # rule judge the broadcast side selective and insert the
+            # DPP subquery.
             probe = probe.withColumn("__pg", _pgroup_col()).where(
                 (F.col("table") >= 0) & (F.col("table") < F.lit(self.params["n_tables"]))
             )
-            return (
-                self._postings.join(F.broadcast(probe), ["__pg", "table", "bucket"])
-                .select("query_id", "id")
-                .distinct()
-            )
+            hits = self._postings.join(
+                F.broadcast(probe), ["__pg", "table", "bucket"]
+            ).select("query_id", "id")
+            if self._extra_postings is not None:
+                # separate join per branch (NOT a union under the join):
+                # the parquet branch keeps its DPP subquery, and the
+                # insert-batch branch is a small in-memory equi-join
+                hits = hits.unionByName(
+                    self._extra_postings.join(
+                        F.broadcast(probe), ["__pg", "table", "bucket"]
+                    ).select("query_id", "id")
+                )
+            return hits.distinct()
         exploded = corpus.select(
             "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         )

@@ -1854,7 +1854,15 @@ def compact_corpus_buckets(
     partitioning+order so the write job is move-free. Like any
     compaction (Delta OPTIMIZE, Iceberg rewrite_data_files) this is an
     offline maintenance op: run it between ingest batches, not
-    concurrently with a probe of the same snapshot."""
+    concurrently with a probe of the same snapshot.
+
+    Reliability caveat (r9 ADVICE): localCheckpoint blocks live on
+    executors — under executor loss / dynamic deallocation the
+    overwrite job fails with missing-block errors (not data-corrupting:
+    dynamic overwrite commits at job end, so a failed run leaves the
+    snapshot untouched; just re-run). On clusters with executor churn,
+    disable dynamic allocation for the maintenance job or use a
+    reliable checkpoint dir."""
     if max_files_per_dir < 1:
         raise ValueError(
             f"max_files_per_dir must be >= 1, got {max_files_per_dir}"

@@ -22,9 +22,11 @@ Two physical forms, routed by matrix size (``method='auto'``):
 The two constructors differ only in where the matrix comes from: the
 random projection derives it from md5 bits (engine-portable,
 reproducible anywhere, no training pass), PCA estimates it with ONE
-tree-aggregated pass over the data (per-batch X^T X partials, dim²
-doubles each, combined driver-side — the covariance is an aggregate,
-never a shuffle of vectors).
+tree-aggregated pass over the data (one folded X^T X partial per TASK
+— dim² doubles each — reduced through an executor-side combine stage
+when the scan is wide, so the driver collects a bounded handful of
+rows at any corpus size; the covariance is an aggregate, never a
+shuffle of vectors).
 
 Reference parity: the reference stores raw vectors and offers no
 dimensionality reduction (vicinity/backends/*.py); these are
@@ -112,8 +114,10 @@ def _project_arrow(
     in_dim × out_dim matrix ships ONCE per executor in a Spark
     broadcast (≤1 MB at 1024 × 128 doubles — never in the plan, never
     per task), and each Arrow batch computes y = (X @ M)·scale − off
-    as one numpy matmul. Null / empty vectors project to null, matching
-    the literal form's null propagation."""
+    as one numpy matmul. Null / empty / wrong-length vectors project
+    to null — the length guard keeps ragged input out of np.vstack
+    (which would fail the task) and matches the literal form, which
+    carries the same size guard in ``_apply_projection``."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -124,7 +128,7 @@ def _project_arrow(
     @pandas_udf("array<double>")
     def _proj(s: pd.Series) -> pd.Series:
         M, scale, off = bc.value
-        mask = s.notna().to_numpy()
+        mask = (s.notna() & (s.str.len() == M.shape[0])).to_numpy()
         vals = np.empty(len(s), dtype=object)
         if mask.any():
             X = np.vstack(s[mask].to_numpy()).astype(np.float64)
@@ -163,9 +167,12 @@ def _apply_projection(
     if offsets is not None:
         offs = F.array(*[F.lit(float(v)) for v in offsets])
         projected = F.zip_with(projected, offs, lambda y, o: y - o)
-    # NULL vector → NULL projection (not an array of NULL elements),
-    # so both physical forms agree on null propagation
-    projected = F.when(F.col(vec_col).isNotNull(), projected)
+    # NULL / wrong-length vector → NULL projection (not an array of
+    # NULL elements from zip_with padding), so both physical forms
+    # agree on malformed input
+    projected = F.when(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == len(mat)), projected
+    )
     return df.withColumn(out_col, projected)
 
 
@@ -202,32 +209,90 @@ def random_projection(
     return _apply_projection(df, vec_col, out_col, mat, scale, method=method)
 
 
-def covariance_stats(df: DataFrame, vec_col: str = "vector") -> "tuple":
-    """(n, mean, cov) of the vector column via ONE Arrow-batched pass:
-    each batch emits (n, Σx, flattened ΣxxT) — dim + dim² doubles — and
-    the driver folds the bounded per-batch partials. This is the
-    tree-aggregate covariance pattern: at 100 TB the collected frame
-    has one row per Arrow batch, never per input row."""
-    import numpy as np
-    import pandas as pd
+_COV_PARTIAL_SCHEMA = "n long, s array<double>, ss array<double>"
 
-    def _partials(it):
+# driver collect bound for covariance partials: when more tasks than
+# this produce partials, an executor-side combine stage folds them
+# first, so the driver never receives more than this many dim²-sized
+# rows regardless of corpus size
+_COV_COMBINE_WIDTH = 16
+
+
+def _covariance_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One (n, Σx, flattened ΣxᵀX) row per TASK: the fold runs across
+    the mapInPandas iterator (all Arrow batches of the partition), so a
+    task's output is a single dim+dim² payload no matter how many rows
+    it scanned. Empty partitions yield nothing."""
+    import numpy as np
+
+    def _fold(it):
+        n, s, ss = 0, None, None
         for pdf in it:
             arrs = pdf[vec_col].dropna()
             if len(arrs) == 0:
                 continue
-            X = np.vstack(arrs.to_numpy())
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "ss": [(X.T @ X).ravel().tolist()],
-                }
-            )
+            X = np.vstack(arrs.to_numpy()).astype(np.float64)
+            n += len(X)
+            bs, bss = X.sum(axis=0), (X.T @ X).ravel()
+            s = bs if s is None else s + bs
+            ss = bss if ss is None else ss + bss
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
 
-    parts = df.select(vec_col).mapInPandas(
-        _partials, "n long, s array<double>, ss array<double>"
-    ).collect()
+    return df.select(vec_col).mapInPandas(_fold, _COV_PARTIAL_SCHEMA)
+
+
+def _combine_partials_fold(it):
+    """Executor-side reduce of covariance partials: each combine task
+    folds every partial routed to it into one row of the same schema."""
+    import numpy as np
+
+    n, s, ss = 0, None, None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        n += int(pdf["n"].sum())
+        bs = np.vstack(pdf["s"].to_numpy()).astype(np.float64).sum(axis=0)
+        bss = np.vstack(pdf["ss"].to_numpy()).astype(np.float64).sum(axis=0)
+        s = bs if s is None else s + bs
+        ss = bss if ss is None else ss + bss
+    if n:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
+
+
+def covariance_stats(
+    df: DataFrame,
+    vec_col: str = "vector",
+    combine: "bool | str" = "auto",
+    combine_width: int = _COV_COMBINE_WIDTH,
+) -> "tuple":
+    """(n, mean, cov) of the vector column via ONE Arrow-batched pass:
+    each TASK folds its batches into a single (n, Σx, flattened ΣxᵀX)
+    partial — dim + dim² doubles per task regardless of row count —
+    which is the tree-aggregate covariance pattern (the covariance is
+    an aggregate, never a shuffle of vectors).
+
+    At production dims the dim² payload is ~8 MB per partial (1024-d),
+    so a 100 TB scan with tens of thousands of tasks would still ship
+    hundreds of GB to the driver if every per-task partial were
+    collected. ``combine='auto'`` inserts an executor-side combine
+    stage whenever the scan has more partitions than
+    ``combine_width``: the partials round-robin across
+    ``combine_width`` tasks and fold there, so the driver collects at
+    most ``combine_width`` rows (~130 MB at 1024-d) at any scale. The
+    combine shuffle moves one small row per upstream task — trivial
+    next to the scan. ``combine=True`` / ``False`` force the stage for
+    testing."""
+    import numpy as np
+
+    partials = _covariance_partials(df, vec_col)
+    if combine == "auto":
+        combine = df.rdd.getNumPartitions() > combine_width
+    if combine:
+        partials = partials.repartition(combine_width).mapInPandas(
+            _combine_partials_fold, _COV_PARTIAL_SCHEMA
+        )
+    parts = partials.collect()
     if not parts:
         raise ValueError("cannot compute covariance of an empty frame")
     n = sum(p["n"] for p in parts)

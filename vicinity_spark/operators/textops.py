@@ -423,6 +423,9 @@ def fit_unigram_lm(
     # 3× at the 2M tier (~34s/pass for the hashed-gram model;
     # BENCHNOTES r9 "dsir_hashed pricing"). The checkpoint is ≤ vocab
     # rows (4096 for hashed buckets) and makes the fit one stream pass.
+    # (localCheckpoint blocks live on executors: under executor churn /
+    # dynamic deallocation a consumer can hit missing-block errors —
+    # re-run the fit, or persist(DISK_ONLY) on such clusters.)
     tf = (
         token_stream.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))

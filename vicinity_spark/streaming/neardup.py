@@ -291,6 +291,30 @@ def stream_neardup_vs_snapshot(
     return doc_stream.writeStream.foreachBatch(_process).outputMode("append")
 
 
+_INGEST_MARKER = "_ingest_committed.json"
+
+
+def _read_ingest_committed(spark, snapshot_path: str) -> dict:
+    """Last committed batch_id per growing artifact (``-1`` = none).
+    Underscore-prefixed sidecar under the snapshot, so Spark's file
+    listing skips it when reading the bucket table."""
+    from vicinity_spark.operators.dedup import _read_sidecar
+
+    try:
+        got = _read_sidecar(spark, snapshot_path.rstrip("/") + "/" + _INGEST_MARKER)
+    except ValueError:
+        got = {}
+    return {"buckets": int(got.get("buckets", -1)), "text": int(got.get("text", -1))}
+
+
+def _write_ingest_committed(spark, snapshot_path: str, committed: dict) -> None:
+    from vicinity_spark.operators.dedup import _write_sidecar
+
+    _write_sidecar(
+        spark, snapshot_path.rstrip("/") + "/" + _INGEST_MARKER, committed
+    )
+
+
 def stream_daily_ingest(
     doc_stream: DataFrame,
     snapshot_path: str,
@@ -303,24 +327,52 @@ def stream_daily_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: "int | None" = None,
+    within_batch: bool = True,
+    compact_every_n_batches: "int | None" = None,
+    compact_max_files_per_dir: int = 4,
     _plan_observer=None,
 ):
     """The FULL daily-ingest loop as one exercised path (r9, VERDICT
     item 6), composing the pieces the r8 surfaces left separate: per
     micro-batch —
 
-      1. **probe** the arriving docs against the persisted bucket
+      1. **within-batch dedup** (``within_batch``, default on — r9
+         ADVICE): mine the micro-batch against ITSELF with the
+         snapshot's own banding params (``minhash_lsh_pairs``) and
+         keep, of every flagged pair, the smaller id — without this,
+         two near-duplicate docs arriving in the same trigger would
+         both survive the snapshot probe and both enter the corpus
+         forever;
+      2. **probe** the arriving docs against the persisted bucket
          snapshot (``minhash_lsh_pairs_vs_snapshot`` — batch-planned
          under foreachBatch, so the scan is DPP-pruned to the files
-         the batch's own band keys hash into);
-      2. **filter** to survivors (docs with no pair ≥ min_jaccard,
+         the batch's own band keys hash into). Pairs whose corpus id
+         belongs to the batch itself are discarded: doc ids are unique
+         across the snapshot's history (append_corpus_buckets
+         contract), so such a pair can only be the batch's OWN buckets
+         from a partially-committed earlier attempt — filtering them
+         makes the survivor set identical on replay;
+      3. **filter** to survivors (docs with no pair ≥ min_jaccard,
          one anti-join);
-      3. **append** the survivors' buckets to the snapshot AND their
+      4. **append** the survivors' buckets to the snapshot AND their
          text to the corpus text table, so TOMORROW'S probe sees
          today's accepted docs — the property the integration test
          pins (a day-2 copy of a day-1 survivor is flagged against
-         the day-1 id, which only the append can explain);
-      4. **score** the survivors against precomputed LM tables when
+         the day-1 id, which only the append can explain). Each append
+         is guarded by a per-artifact last-committed-batch_id sidecar
+         (``_ingest_committed.json``): structured streaming replays a
+         micro-batch after a mid-trigger failure (at-least-once), and
+         an unguarded replay would re-append the same survivors into
+         both growing artifacts. Parquet appends commit atomically at
+         job end, so each artifact is exactly-once; the sidecar
+         assumes a single writer per snapshot;
+      5. **maintain**: when ``compact_every_n_batches`` is set, every
+         n-th batch_id runs ``compact_corpus_buckets`` after the
+         appends (batch_id-keyed, so the cadence survives restarts;
+         compaction is idempotent, so a replayed trigger re-running it
+         is harmless) — without this the probe's DPP-pruned scan
+         degrades to hundreds of tiny files per directory;
+      6. **score** the survivors against precomputed LM tables when
          given (per-doc cross-entropy, + the DSIR log importance
          ratio when ``target_lm`` is also given — same split as
          ``stream_lm_scores``: fit daily in batch, score the crawl).
@@ -329,17 +381,27 @@ def stream_daily_ingest(
     the snapshot's full history — read fresh each trigger for
     candidate verification text, appended with each trigger's
     survivors. Both growing artifacts are restart-safe on-disk state,
-    not driver memory. After ~100 batches run
-    ``compact_corpus_buckets(spark, snapshot_path)`` between triggers
-    — the probe's pruned scan degrades to many small files otherwise.
+    not driver memory — including across replayed triggers (step 4's
+    sidecar). The sink is the CALLER'S side of the contract: it
+    receives each batch at-least-once and must be idempotent in
+    batch_id, like any foreachBatch sink.
 
     ``sink(scored_df, batch_id)`` receives the survivors
     (id, text[, n_tokens, xent[, llr]]) per trigger. Returns the
     DataStreamWriter — call ``.trigger(...).start()``."""
     from vicinity_spark.operators.dedup import (
+        _params_path,
+        _read_sidecar,
         append_corpus_buckets,
+        compact_corpus_buckets,
+        minhash_lsh_pairs,
         minhash_lsh_pairs_vs_snapshot,
     )
+
+    if compact_every_n_batches is not None and compact_every_n_batches < 1:
+        raise ValueError(
+            f"compact_every_n_batches must be >= 1, got {compact_every_n_batches}"
+        )
 
     if lm is not None:
         from vicinity_spark.operators.sampling import _require_unk
@@ -364,15 +426,44 @@ def stream_daily_ingest(
         batch = batch_df.where(
             F.col(text_col).isNotNull() & (F.length(text_col) >= 0)
         )
+        if within_batch:
+            # mine the batch against ITSELF with the snapshot's own
+            # banding params (identical LSH sensitivity); of each
+            # flagged pair keep the smaller id — deterministic, and a
+            # chain a~b~c keeps exactly its minimum
+            params = _read_sidecar(spark, _params_path(snapshot_path))
+            wb = minhash_lsh_pairs(
+                batch,
+                n_hashes=int(params["n_hashes"]),
+                rows_per_band=int(params["rows_per_band"]),
+                shingle_n=int(params["shingle_n"]),
+                min_jaccard=min_jaccard,
+                text_col=text_col,
+                id_col=id_col,
+                hash_fn=params["hash_fn"],
+                max_bucket=max_bucket,
+            )
+            wb_dups = wb.select(F.col("id_b").alias(id_col)).distinct()
+            batch = batch.join(wb_dups, id_col, "left_anti")
         pairs = minhash_lsh_pairs_vs_snapshot(
             spark, corpus, batch, snapshot_path,
             min_jaccard=min_jaccard, text_col=text_col, id_col=id_col,
             max_bucket=max_bucket, _plan_observer=_plan_observer,
         )
+        # replay determinism: ids are unique across the snapshot's
+        # history, so a pair against the batch's OWN ids can only be
+        # this batch's buckets from a partially-committed earlier
+        # attempt — never a legitimate prior doc
+        pairs = pairs.join(
+            batch.select(F.col(id_col).alias("id_corpus")), "id_corpus", "left_anti"
+        )
         dup_ids = pairs.select(F.col("id_new").alias(id_col)).distinct()
         # materialize ONCE: the survivors feed two writes + the scoring
         # sink, and the bucket append writes into the very snapshot the
-        # probe plan reads — the checkpoint severs that lineage
+        # probe plan reads — the checkpoint severs that lineage.
+        # (localCheckpoint blocks live on executors: on a cluster with
+        # executor churn / dynamic deallocation, configure a reliable
+        # checkpoint dir or persist(DISK_ONLY) instead)
         survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
@@ -380,8 +471,26 @@ def stream_daily_ingest(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         if canon.take(1):
-            append_corpus_buckets(canon, snapshot_path)
-            canon.write.mode("append").parquet(corpus_text_path)
+            # per-artifact exactly-once: each parquet append commits
+            # atomically at job end; the sidecar records the last
+            # batch_id whose append committed, so a replayed trigger
+            # skips the artifacts it already wrote
+            committed = _read_ingest_committed(spark, snapshot_path)
+            if committed["buckets"] < batch_id:
+                append_corpus_buckets(canon, snapshot_path)
+                committed["buckets"] = batch_id
+                _write_ingest_committed(spark, snapshot_path, committed)
+            if committed["text"] < batch_id:
+                canon.write.mode("append").parquet(corpus_text_path)
+                committed["text"] = batch_id
+                _write_ingest_committed(spark, snapshot_path, committed)
+        if (
+            compact_every_n_batches is not None
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ):
+            compact_corpus_buckets(
+                spark, snapshot_path, max_files_per_dir=compact_max_files_per_dir
+            )
         out = survivors
         if lm is not None:
             from vicinity_spark.operators.textops import unigram_logprob
