@@ -655,25 +655,27 @@ def dsir_2m(spark, sf_dir):
     return run
 
 
-def dsir_hashed_2m(spark, sf_dir):
-    """r9: DSIR at 2M docs under the PRODUCTION DEFAULT feature model
-    (features='auto' → hashed_ngram): every uni+bigram md5-bucketed
-    into 4096 buckets — 2×24−1 = 47 features/doc ≈ 94M stream rows —
-    while BOTH LM tables are hard-capped at 4096 rows and broadcast at
-    any corpus size, the trade the default buys. Same corpus/target
-    shapes as dsir_2m. First in-suite recording (457s) exposed TWO
-    repeated-evaluation bugs this entry exists to catch: the lm /
-    totals / __unk__ branches of fit_unigram_lm re-ran the full
-    feature stream 3× per fit (fixed: the vocab-bounded frequency
-    table is checkpointed once), and hashed_gram_stream re-evaluated
-    the split() per gram position (fixed: Generate barrier). Now
-    exactly two stream passes — one fit, one scoring — ≈81s isolated
-    min-of-3; md5 is NOT the bottleneck (xxhash64 buckets measured
-    within 5%: the explode + gram-string volume dominates), so the
-    engine-portable md5-hex bucketing stays (BENCHNOTES r9)."""
+def dsir_hashed_1m(spark, sf_dir):
+    """r9 (as dsir_hashed_2m), RIGHT-SIZED in r10 (VERDICT r9 item 6):
+    DSIR under the PRODUCTION DEFAULT feature model (features='auto' →
+    hashed_ngram): every uni+bigram md5-bucketed into 4096 buckets —
+    2×24−1 = 47 features/doc ≈ 47M stream rows at 1M docs — while BOTH
+    LM tables are hard-capped at 4096 rows and broadcast at any corpus
+    size, the trade the default buys. The r9 2M tier was the suite's
+    heaviest entry and recorded 1.6-2.4× its own isolated floor
+    (reps [127, 194] vs 81.5s min-of-3) — memory-pressure variance,
+    not plan variance; the plan (exactly two stream passes: one fit,
+    one scoring) is shape-independent, so 1M docs at the identical
+    24-token/47-feature shape prices the same asymptote inside the
+    stable 5-90s min-of-4 rep tier (BENCHNOTES r10 "dsir_hashed
+    right-sizing"). History: the 2M tier's first recording (457s)
+    exposed two repeated-evaluation bugs (fit re-ran the stream 3×;
+    hashed_gram_stream re-split per gram position), both fixed in r9;
+    md5 is NOT the bottleneck (xxhash64 within 5%), so the
+    engine-portable md5-hex bucketing stays."""
     from vicinity_spark.operators.sampling import dsir_select
 
-    vocab, n = 50_000, 2_000_000
+    vocab, n = 50_000, 1_000_000
     base = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"))
     toks = [
         F.substring(
@@ -846,7 +848,12 @@ def stream_ingest_200k(spark, sf_dir):
     _synth_docs' unique-per-doc vocabulary would be corpus-sized, the
     wrong asymptote. Each rep restores the snapshot + text table from
     a pristine copy (~0.2s of the measurement, documented) so appends
-    never compound across reps."""
+    never compound across reps (the restore also clears the r10
+    replay-idempotency sidecar). Since r10 the loop's defaults add a
+    within-batch self-mining pass per trigger (finds nothing in this
+    fixture — day batches copy DISTINCT docs — but its cost is the
+    production default's price) and the per-artifact committed-batch
+    sidecar writes."""
     import atexit
     import shutil
     import tempfile
@@ -931,15 +938,19 @@ def stream_ingest_200k(spark, sf_dir):
 
 def lsh_mutate_200k(spark, sf_dir):
     """Mutation at scale (r5 VERDICT item 5): reload a SAVED 200k LSH
-    store, insert 1% (2,000) new rows — which invalidates the persisted
-    posting lists (backends/lsh.py on_insert) so candidates are never
-    lost — then run the 100-query batch against the mutated store.
-    Times the full mutate-and-serve path: reload + insert + the
-    degraded post-mutation query plan (corpus explode + equi-join
-    instead of the DPP-pruned postings read). BENCHNOTES.md "mutation
-    at scale" has the clean posting-path twin measurement and the
-    re-save guidance the pair implies. Build+save are untimed setup;
-    each rep reloads fresh so the insert never compounds."""
+    store, insert 1% (2,000) new rows, run the 100-query batch against
+    the mutated store. Since r10 the insert bucket-assigns ONLY the
+    new rows into a side postings branch (backends/lsh.py on_insert) —
+    the persisted layout keeps its DPP-pruned probe and candidates are
+    never lost — so this times the full mutate-and-serve path: reload
+    + insert + the pruned-postings query UNIONED with the insert-batch
+    branch. At this local tier the incremental plan measures ~0.7s
+    over the old full-corpus-explode fallback (everything in page
+    cache); at scale the fallback re-shuffles corpus×L rows per query
+    batch — see BENCHNOTES r10 "lsh_mutate root-cause" for the
+    same-day A/B and the expected ~4.5-6s floor. Build+save are
+    untimed setup; each rep reloads fresh so the insert never
+    compounds."""
     import atexit
     import shutil
     import tempfile
@@ -1198,8 +1209,10 @@ BENCH = {
     "rank_tiers_2m": rank_tiers_2m,
     "curation_pipeline_2m": curation_pipeline_2m,
     "dsir_2m": dsir_2m,
-    # r9 additions, appended (same rule as above)
-    "dsir_hashed_2m": dsir_hashed_2m,
+    # r9 additions, appended (same rule as above); dsir_hashed_2m was
+    # right-sized to dsir_hashed_1m in r10 (VERDICT r9 item 6 — same
+    # feature shape, stable rep tier)
+    "dsir_hashed_1m": dsir_hashed_1m,
     "emb_projection_1024": emb_projection_1024,
     "stream_ingest_200k": stream_ingest_200k,
     # r10 additions, appended (same rule as above)
@@ -1260,7 +1273,9 @@ def main():
     failed = {}
     for name, fn in BENCH.items():
         try:
-            if name.startswith("ann_") or name.endswith(("_200k", "_2m", "_5m", "_1024")):
+            if name.startswith("ann_") or name.endswith(
+                ("_200k", "_1m", "_2m", "_5m", "_1024")
+            ):
                 fn = fn(spark, sf_dir)  # untimed index build + cache
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

@@ -1098,6 +1098,58 @@ def test_neardup_dedup_defaults_and_giant_cluster(spark):
     assert len(ids) == 1 + 1 + 20
 
 
+def test_neardup_dedup_cap_observation(spark, caplog):
+    """r10 (VERDICT r9 item 7): the composed entry point reports its
+    cap drops by DEFAULT — a planted cluster of >cap NEAR-identical
+    (not exact-identical, so the pre-pass cannot collapse it) docs
+    must surface in the attached Observation and in a WARN log, not
+    vanish silently. A caller-supplied Observation reads the same
+    counts programmatically, and a corpus with no hot bucket reports
+    zero."""
+    import logging
+
+    from pyspark.sql import Observation
+
+    from vicinity_spark.operators.dedup import neardup_dedup
+
+    def sent(base, extra):
+        return " ".join(f"{base}t{i}" for i in range(20)) + f" {extra}"
+
+    # 10 near-identical docs (one varying token) >> max_bucket=5
+    rows = [(i, sent("hot", f"v{i}")) for i in range(10)]
+    rows += [(100 + i, sent(f"u{i}", "x")) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation()
+    with caplog.at_level(logging.WARNING, logger="vicinity_spark.operators.dedup"):
+        out = neardup_dedup(
+            docs, max_bucket=5, min_jaccard=0.5, cap_observation=obs
+        )
+    got = obs.get
+    assert got["hot_buckets"] > 0
+    assert got["hot_max"] == 10  # the planted cluster fills its buckets
+    assert any(
+        "cap dropped" in r.message and "max_bucket=5" in r.message
+        for r in caplog.records
+    )
+    out.count()  # the capped plan still executes end to end
+
+    # no caller observation → the entry point still reads+logs its own
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="vicinity_spark.operators.dedup"):
+        neardup_dedup(docs, max_bucket=5, min_jaccard=0.5)
+    assert any("cap dropped" in r.message for r in caplog.records)
+
+    # clean corpus: observation reports zero, no WARN
+    caplog.clear()
+    clean = spark.createDataFrame(rows[-5:], "doc_id long, text string")
+    obs2 = Observation()
+    with caplog.at_level(logging.WARNING, logger="vicinity_spark.operators.dedup"):
+        neardup_dedup(clean, max_bucket=5, min_jaccard=0.5, cap_observation=obs2)
+    assert obs2.get == {"hot_buckets": 0, "hot_max": 0}
+    assert not any("cap dropped" in r.message for r in caplog.records)
+
+
 def test_neardup_dedup_quality_survivors(spark):
     """quality_col keeps each cluster's argmax instead of min id."""
     from vicinity_spark.operators.dedup import neardup_dedup

@@ -35,7 +35,12 @@ _log = logging.getLogger("vicinity_spark.dedup")
 
 
 def cap_hot_buckets(
-    buckets: DataFrame, keys, max_bucket: int, what: str, eager_stats: bool = False
+    buckets: DataFrame,
+    keys,
+    max_bucket: int,
+    what: str,
+    eager_stats: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Hot-BUCKET skew guard for the pair miners (r7): drop every
     blocking bucket whose row count exceeds ``max_bucket`` BEFORE the
@@ -67,6 +72,13 @@ def cap_hot_buckets(
     QueryExecutionListener or Observation without a second pass; pass
     ``eager_stats=True`` to additionally pay one bounded driver action
     and WARN-log the drop (tests / interactive audits).
+
+    ``observation``: a ``pyspark.sql.Observation`` to attach instead
+    of the string-named observe — its ``.get`` yields
+    ``{"hot_buckets": n, "hot_max": m}`` once any action evaluates
+    the capped plan (r10: the composed ``neardup_dedup`` passes one
+    so the drop count is read and logged from inside the entry point,
+    not left to a listener the caller never registered).
     """
     keys = list(keys)
     # plan-build-time breadcrumb (ADVICE r8): the composed entry points
@@ -101,6 +113,23 @@ def cap_hot_buckets(
                 stats["mx"],
                 int(max_bucket),
             )
+    if observation is not None:
+        hot = hot.observe(
+            observation,
+            F.count("*").alias("hot_buckets"),
+            F.coalesce(F.max("__bsz"), F.lit(0)).alias("hot_max"),
+        )
+        # CollectMetrics must evaluate exactly ONCE before .get: the
+        # miners reference the capped frame on BOTH sides of their
+        # self-join, and a duplicated CollectMetrics node corrupts the
+        # observation row (measured: Observation.get dies in toPyRow).
+        # The eager checkpoint runs the (tiny-by-construction) hot
+        # aggregation once — callers pass an observation only when the
+        # input is already materialized (the rowwise miner checkpoints
+        # its bucket table first), so this is one bounded narrow job,
+        # and metrics are readable the moment this function returns.
+        hot_keys = hot.select(*keys).localCheckpoint(eager=True)
+        return buckets.join(F.broadcast(hot_keys), keys, "left_anti")
     hot = hot.observe(
         f"{what}_hot_buckets_cap",
         F.count("*").alias(f"{what}_hot_buckets"),
@@ -631,6 +660,7 @@ def minhash_lsh_pairs_rowwise(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     max_bucket: Optional[int] = None,
+    cap_observation=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with CANDIDATE-BOUNDED verification
     (r6) — same output as minhash_lsh_pairs (row-identical by test),
@@ -673,7 +703,11 @@ def minhash_lsh_pairs_rowwise(
     buckets = buckets.localCheckpoint(eager=True)
     if max_bucket is not None:
         buckets = cap_hot_buckets(
-            buckets, ("band", "bkey"), max_bucket, "minhash_lsh_pairs_rowwise"
+            buckets,
+            ("band", "bkey"),
+            max_bucket,
+            "minhash_lsh_pairs_rowwise",
+            observation=cap_observation,
         )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
@@ -1677,6 +1711,7 @@ def neardup_dedup(
     hash_fn: str = "tokenroll",
     max_bucket="auto",
     quality_col: Optional[str] = None,
+    cap_observation=None,
 ) -> DataFrame:
     """Near-duplicate-deduplicate a corpus END TO END: MinHash-LSH
     pair mining → connected components → one survivor per cluster —
@@ -1707,8 +1742,18 @@ def neardup_dedup(
     enforce, not hope for — the cap default is safe BECAUSE the
     pre-pass is unconditional. (Residual: >max_bucket docs that are
     near- but not exact-identical — the documented cap_hot_buckets
-    trade, observable via its observe() metrics.)"""
+    trade, REPORTED from inside this entry point: r10 attaches a
+    pyspark Observation to the capped plan, reads it once the miner's
+    internal materialization has run, and WARN-logs any non-zero drop
+    — the cap-on-by-default path no longer drops silently. Pass your
+    own ``cap_observation`` (a pyspark.sql.Observation) to read
+    ``{"hot_buckets": n, "hot_max": m}`` programmatically.)"""
     mb = DEFAULT_MAX_BUCKET if max_bucket == "auto" else max_bucket
+    obs = cap_observation
+    if mb is not None and obs is None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
     canon = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("canonical_id").alias(id_col)
     )
@@ -1723,7 +1768,24 @@ def neardup_dedup(
         id_col=id_col,
         hash_fn=hash_fn,
         max_bucket=mb,
+        cap_observation=obs,
     )
+    if mb is not None:
+        # cap_hot_buckets evaluated the observed hot table eagerly, so
+        # .get returns without blocking; a planted >cap cluster of
+        # NEAR-identical docs (the one shape the exact pre-pass cannot
+        # collapse) surfaces here instead of vanishing silently
+        stats = obs.get
+        if stats["hot_buckets"]:
+            _log.warning(
+                "neardup_dedup: cap dropped %d hot bucket(s) (largest "
+                "%d rows > max_bucket=%d) — pairs co-bucketed ONLY "
+                "there are lost (near- but not exact-identical "
+                "clusters larger than the cap)",
+                stats["hot_buckets"],
+                stats["hot_max"],
+                int(mb),
+            )
     if quality_col is not None:
         best = keep_best(
             canon_docs, pairs, [F.col(quality_col).desc()], id_col=id_col

@@ -4408,6 +4408,58 @@ def emb_projection_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "j", F.round("y", 6).alias("y"))
 
 
+_COVARIANCE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS xi
+  FROM embeddings
+),
+m AS (SELECT i, avg(xi) AS mu, count(*) AS n FROM x GROUP BY i),
+xx AS (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx
+  FROM x a JOIN x b USING (vec_id)
+  GROUP BY a.i, b.i
+)
+SELECT CAST(xx.i AS INT) AS i, CAST(xx.j AS INT) AS j,
+       round(sxx / mi.n - mi.mu * mj.mu, 6) AS cov,
+       round(mi.mu, 6) AS mean_i,
+       CAST(mi.n AS BIGINT) AS n
+FROM xx JOIN m mi ON xx.i = mi.i JOIN m mj ON xx.j = mj.i
+"""
+
+
+@register("emb_covariance", _COVARIANCE_SQL)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (VERDICT r9 item 1): the covariance ESTIMATION pass behind
+    pca_projection, oracle-certified THROUGH the new scale path — one
+    folded (n, Σx, ΣxᵀX) partial per task, reduced by the
+    executor-side combine stage (forced on here with combine_width=4
+    so the gate exercises exactly the 100 TB plan, not the small-scan
+    shortcut; operators/embedding.py covariance_stats). PCA itself
+    has no SQL oracle (eigh is not SQL-expressible — the eigenbasis
+    is certified against numpy in tests), but everything DISTRIBUTED
+    about it is this pass, replayed by DuckDB as the naive
+    per-dim-pair aggregate. Output long-form (i, j, cov, mean_i, n)
+    rounded 1e-6: numpy's blocked matmul and SQL's sequential sum
+    differ in summation order, so agreement is at the rounded output
+    — the same contract as the projection rows."""
+    from vicinity_spark.operators.embedding import covariance_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    n, mean, cov = covariance_stats(
+        e, vec_col="embedding", combine=True, combine_width=4
+    )
+    d = mean.shape[0]
+    rows = [
+        (i, j, round(float(cov[i, j]), 6), round(float(mean[i]), 6), int(n))
+        for i in range(d)
+        for j in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "i int, j int, cov double, mean_i double, n bigint"
+    )
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4432,79 +4484,19 @@ def emb_projection_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r9 rotation (VERDICT r8 item 5) -----------------------------
-    # Window design (2 + 30 + 18 = 50): (a) the 2 new r9 rows need
-    # their first green; (b) ALL 30 rows that sat in the r8 tail (last
-    # green r7) come back — the rotation policy promises at most ONE
-    # round unchecked; (c) the remaining 18 slots go to r8-green rows
-    # whose code r9 TOUCHED: embedding.py (Arrow twin + auto routing +
-    # NULL unification), the dedup.py snapshot/miner surface
-    # (compaction, the span-dedup 64-bit re-key, the cap breadcrumb),
-    # sampling.py (DSIR 'auto' default + __unk__ validation), and
-    # backends/graph.py (annotation). Everything in _ROTATE_OUT below
-    # is r8-green with its specific operator code untouched in r9
-    # (dedup.py's r9 changes are additive — the tail's dedup rows call
-    # functions no r9 commit edited).
-    # (a) new in r9:
-    "dedup_minhash_compacted",
-    "emb_projection_arrow",
-    # (b) r8 tail, last green r7:
-    "events_asof_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "knn_filtered_label",
-    "threshold_grid_routing",
-    "docs_pack_sequences",
-    "docs_mix_sources",
-    "docs_training_stream",
-    "docs_pii_redact",
-    "docs_source_cap",
-    "docs_token_budget",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
-    "docs_quality_tiers",
-    "docs_splits",
-    "threshold_radius",
-    "rollup_revenue",
-    "part_string_functions",
-    "events_json_extract",
-    "orders_by_month",
-    "customers_without_orders",
-    "lineitem_stats",
-    "supplier_stats_by_nation",
-    "ann_lsh_knn",
-    "ann_ivf_knn",
-    "ann_sq_knn",
-    "ann_pq_knn",
-    "ann_ivfpq_knn",
-    "ann_ivfsq_knn",
-    "ann_ivfpqr_knn",
-    # (c) r8-green, r9-touched code paths:
-    "emb_random_projection",
-    "docs_strip_shared_spans",
-    "dedup_minhash_snapshot",
-    "dedup_minhash_incremental",
-    "docs_dsir_select",
-    "docs_dsir_hashed",
-    "dedup_neardup_e2e",
-    "dedup_minhash_onepass",
-    "dedup_minhash_capped",
-    "dedup_minhash_affine",
-    "dedup_minhash_tokenroll",
-    "ann_graph_knn",
-    "ann_recall_summary",
-    "docs_line_dedup",
-    "docs_unigram_xent",
-    "dedup_keep_best",
-    "dedup_connected_components",
-    "dedup_shared_grams",
-]
-
-# r9 tail: 32 rows, every one green in CORRECTNESS_r08.json with its
-# specific operator code untouched this round (scripts/verified_ledger
-# enforces that nothing never-green sits here; VERIFIED.md records the
-# skip).
-_ROTATE_OUT: "list[str]" = [
+    # --- r10 rotation (VERDICT r9 item 5) ----------------------------
+    # Window design (32 + 1 + 17 = 50): (a) ALL 32 rows that sat in the r9
+    # tail (last green r8) come back — the rotation policy promises at
+    # most ONE round unchecked; (b) the remaining 18 slots go to
+    # r9-green rows whose code r10 TOUCHED: embedding.py (per-task
+    # covariance fold + combine stage, wrong-length null guard in BOTH
+    # projection forms), backends/lsh.py (incremental insert postings),
+    # and the dedup/DSIR/LM surfaces the hardened ingest loop composes
+    # (within-batch mining, snapshot probe, compaction, neardup_dedup's
+    # r10 Observation counters, hashed DSIR). Everything in _ROTATE_OUT
+    # below is r9-green with its specific operator code untouched in
+    # r10.
+    # (a) r9 tail, last green r8:
     "vector_norms",
     "text_token_stats",
     "text_quality",
@@ -4537,6 +4529,67 @@ _ROTATE_OUT: "list[str]" = [
     "knn_all_metrics",
     "text_repetition",
     "semantic_dedup",
+    # (b) new in r10 (needs its first green):
+    "emb_covariance",
+    # (c) r9-green, r10-touched code paths (17 — docs_unigram_xent
+    # yields its slot to the new row; it is r9-green, so one round in
+    # the mid-section keeps the rotation invariant):
+    "emb_projection_arrow",
+    "emb_random_projection",
+    "ann_lsh_knn",
+    "ann_recall_summary",
+    "ann_graph_knn",
+    "knn_filtered_label",
+    "dedup_minhash_compacted",
+    "dedup_minhash_snapshot",
+    "dedup_minhash_incremental",
+    "dedup_minhash_onepass",
+    "dedup_minhash_capped",
+    "dedup_minhash_affine",
+    "dedup_minhash_tokenroll",
+    "dedup_neardup_e2e",
+    "docs_strip_shared_spans",
+    "docs_dsir_select",
+    "docs_dsir_hashed",
+]
+
+# r10 tail: 32 rows, every one green in CORRECTNESS_r09.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip).
+_ROTATE_OUT: "list[str]" = [
+    "events_asof_join",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "threshold_grid_routing",
+    "threshold_radius",
+    "docs_pack_sequences",
+    "docs_mix_sources",
+    "docs_training_stream",
+    "docs_pii_redact",
+    "docs_source_cap",
+    "docs_token_budget",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_quality_tiers",
+    "docs_splits",
+    "docs_line_dedup",
+    "rollup_revenue",
+    "part_string_functions",
+    "events_json_extract",
+    "orders_by_month",
+    "customers_without_orders",
+    "lineitem_stats",
+    "supplier_stats_by_nation",
+    "ann_ivf_knn",
+    "ann_sq_knn",
+    "ann_pq_knn",
+    "ann_ivfpq_knn",
+    "ann_ivfsq_knn",
+    "ann_ivfpqr_knn",
+    "dedup_keep_best",
+    "dedup_connected_components",
+    "dedup_shared_grams",
 ]
 
 def _reorder_registry() -> None:
