@@ -1257,7 +1257,7 @@ def test_stream_daily_ingest_loop(spark, tmp_path):
         )
 
 
-def _ingest_fixture(spark, tmp_path, tag):
+def _ingest_fixture(spark, tmp_path, tag, hash_fn="md5"):
     """Controlled corpus + snapshot + text table for the ingest-loop
     hardening tests: 8 corpus docs of disjoint vocabulary, so batch
     dup/survivor outcomes are exact by construction."""
@@ -1270,7 +1270,9 @@ def _ingest_fixture(spark, tmp_path, tag):
         [(i, sentence(f"c{i}")) for i in range(8)], "doc_id long, text string"
     )
     snap = str(tmp_path / f"snap_{tag}")
-    save_corpus_buckets(corpus, snap, n_hashes=16, rows_per_band=4, n_bpart=8)
+    save_corpus_buckets(
+        corpus, snap, n_hashes=16, rows_per_band=4, n_bpart=8, hash_fn=hash_fn
+    )
     ctext = str(tmp_path / f"ctext_{tag}")
     corpus.write.parquet(ctext)
     # batch: U1/U2 unique, D1 copies corpus doc 1, W1<W2 copy each other
@@ -1321,13 +1323,21 @@ def test_stream_daily_ingest_within_batch_replay_compaction(spark, tmp_path):
        compact_every_n_batches set, the loop itself runs
        compact_corpus_buckets — every (band, bpart) dir is back to one
        file after the trigger, and the snapshot still probes
-       pair-identically."""
+       pair-identically.
+
+    The snapshot is built with hash_fn='tokenroll' — the production
+    family — which pins that the within-batch pass runs through the
+    rowwise miner: the r10 bench caught the onepass miner rejecting
+    tokenroll snapshots ('unknown minhash family') that the md5-family
+    test fixture had missed."""
     import datetime as dt
     import glob as pyglob
 
     from vicinity_spark.operators.dedup import minhash_lsh_pairs_vs_snapshot
 
-    corpus, snap, ctext, batch_rows = _ingest_fixture(spark, tmp_path, "wb")
+    corpus, snap, ctext, batch_rows = _ingest_fixture(
+        spark, tmp_path, "wb", hash_fn="tokenroll"
+    )
     day1 = spark.createDataFrame(batch_rows, "doc_id long, text string")
     src = str(tmp_path / "src_wb")
     day1.withColumn(

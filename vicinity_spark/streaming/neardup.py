@@ -338,7 +338,9 @@ def stream_daily_ingest(
 
       1. **within-batch dedup** (``within_batch``, default on — r9
          ADVICE): mine the micro-batch against ITSELF with the
-         snapshot's own banding params (``minhash_lsh_pairs``) and
+         snapshot's own banding params (``minhash_lsh_pairs_rowwise``
+         — the candidate-bounded miner, which supports every hash
+         family a snapshot can be built with, tokenroll included) and
          keep, of every flagged pair, the smaller id — without this,
          two near-duplicate docs arriving in the same trigger would
          both survive the snapshot probe and both enter the corpus
@@ -394,7 +396,7 @@ def stream_daily_ingest(
         _read_sidecar,
         append_corpus_buckets,
         compact_corpus_buckets,
-        minhash_lsh_pairs,
+        minhash_lsh_pairs_rowwise,
         minhash_lsh_pairs_vs_snapshot,
     )
 
@@ -432,7 +434,7 @@ def stream_daily_ingest(
             # flagged pair keep the smaller id — deterministic, and a
             # chain a~b~c keeps exactly its minimum
             params = _read_sidecar(spark, _params_path(snapshot_path))
-            wb = minhash_lsh_pairs(
+            wb = minhash_lsh_pairs_rowwise(
                 batch,
                 n_hashes=int(params["n_hashes"]),
                 rows_per_band=int(params["rows_per_band"]),
