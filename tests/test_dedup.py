@@ -1340,3 +1340,89 @@ def test_compact_corpus_buckets(spark, tmp_path):
         compact_corpus_buckets(spark, snap, max_files_per_dir=0)
     with pytest.raises(ValueError, match="_params"):
         compact_corpus_buckets(spark, str(tmp_path / "not_a_snapshot"))
+
+
+def test_rowwise_precomputed_buckets_identical(spark):
+    """r11 (VERDICT item 1): a caller-supplied, pre-materialized bucket
+    table must yield pair-identical output to the internal signature
+    pass — this is the injection point that lets the streaming ingest
+    loop sign each micro-batch exactly once."""
+    from vicinity_spark.operators.dedup import (
+        band_buckets_rowwise,
+        minhash_lsh_pairs_rowwise,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(n_hashes=16, rows_per_band=4, shingle_n=3, hash_fn="tokenroll")
+    pre = band_buckets_rowwise(docs, 16, 4, shingle_n=3, hash_fn="tokenroll")
+    pre = pre.localCheckpoint(eager=True)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_rowwise(docs, min_jaccard=0.3, **kw).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_rowwise(
+            docs, min_jaccard=0.3, buckets=pre, **kw
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_precomputed_new_buckets_identical(spark, tmp_path):
+    """r11: the `new_buckets` injection (symmetric to corpus_buckets)
+    must be pair-identical to the internal new-side signature pass, in
+    snapshot mode (bpart derivation + DPP keys applied on top of the
+    injected table)."""
+    from pyspark.sql import Observation
+
+    from vicinity_spark.operators.dedup import (
+        band_buckets_rowwise,
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_vs_snapshot,
+        save_corpus_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    snap = str(tmp_path / "snap")
+    save_corpus_buckets(corpus, snap, n_hashes=16, rows_per_band=4, n_bpart=4)
+    pre = band_buckets_rowwise(new, 16, 4, shingle_n=3, hash_fn="md5")
+    pre = pre.localCheckpoint(eager=True)
+    want = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, new, snap, min_jaccard=0.3
+        ).collect()
+    }
+    obs = Observation()
+    got = {
+        (r.id_new, r.id_corpus, round(r.jaccard, 6))
+        for r in minhash_lsh_pairs_vs_snapshot(
+            spark, corpus, new, snap, min_jaccard=0.3,
+            new_buckets=pre, max_bucket=64, cap_observation_new=obs,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the new-side cap observation is readable (and clean: no hot
+    # buckets in this fixture)
+    assert obs.get == {"hot_buckets": 0, "hot_max": 0}
+    # guard: an observation without a cap would never be attached
+    with pytest.raises(ValueError, match="cap_observation_new"):
+        minhash_lsh_pairs_incremental(
+            corpus, new, cap_observation_new=Observation()
+        )
+
+
+def test_neardup_dedup_observation_requires_cap(spark):
+    """r10 ADVICE: cap_observation with max_bucket=None would never be
+    attached — the caller's Observation.get would block forever —
+    so the combination raises instead."""
+    from pyspark.sql import Observation
+
+    from vicinity_spark.operators.dedup import neardup_dedup
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="cap_observation requires"):
+        neardup_dedup(docs, max_bucket=None, cap_observation=Observation())

@@ -543,3 +543,52 @@ def test_threshold_df_filtered(spark):
     assert 4 in evens  # the self row survives the filter
     odd_q = store.threshold_df(q, 0.25, where=F.col("id") % 2 == 1).collect()
     assert {r["id"] for r in odd_q} == {i for i in full if i % 2 == 1}
+
+
+def test_lsh_insert_branch_lifecycle_and_resave(spark, data, tmp_path):
+    """r11 (VERDICT item 4 + r10 ADVICE): many small inserts between
+    saves must keep the side-postings plan BOUNDED (every
+    _EXTRA_CHECKPOINT_EVERY batches the accumulated union is
+    localCheckpointed — before this, plan depth and per-query
+    re-bucketize work grew linearly with insert count), with every
+    inserted row still findable; and save(same folder, overwrite=True)
+    after inserts must refresh the live postings to the just-written
+    layout (the stale file index over deleted part files was a
+    FileNotFoundException) and clear the side branch."""
+    import numpy as np
+
+    from vicinity_spark.backends.lsh import _EXTRA_CHECKPOINT_EVERY
+
+    _, _, qvec = data
+    store = make_store(spark, data, "lsh")
+    path = str(tmp_path / "lsh_lifecycle")
+    store.save(path)
+    loaded = VectorStore.load(path, spark)
+
+    rng = np.random.default_rng(7)
+    n_inserts = 2 * _EXTRA_CHECKPOINT_EVERY + 3
+    for i in range(n_inserts):
+        v = qvec if i == 0 else rng.random(DIM)
+        loaded.insert([f"ins{i}"], v)
+    extra = loaded.strategy._extra_postings
+    assert extra is not None
+    # bounded plan: only the post-checkpoint tail unions remain (3
+    # batches since the last truncation), never the full insert history
+    plan = extra._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") < _EXTRA_CHECKPOINT_EVERY, plan[:2000]
+    assert len(loaded) == N + n_inserts
+    res = loaded.query(qvec, k=3)
+    assert "ins0" in [it for it, _ in res[0]]  # inserted rows findable
+
+    # re-save over the SAME folder: live postings must point at the
+    # fresh layout (not a stale index over deleted files) and the side
+    # branch must be cleared — then the query still finds everything
+    loaded.save(path, overwrite=True)
+    assert loaded.strategy._extra_postings is None
+    assert loaded.strategy._extra_batches == 0
+    assert loaded.strategy._postings is not None
+    res2 = loaded.query(qvec, k=3)
+    assert "ins0" in [it for it, _ in res2[0]]
+    reloaded = VectorStore.load(path, spark)
+    assert len(reloaded) == N + n_inserts
+    assert reloaded.query(qvec, k=3) == res2

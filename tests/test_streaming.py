@@ -1422,3 +1422,145 @@ def test_stream_daily_ingest_partial_commit_recovery(spark, tmp_path):
     assert text_ids == [0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 103]
     committed = _read_ingest_committed(spark, snap)
     assert committed == {"buckets": 0, "text": 0}
+
+
+def test_stream_daily_ingest_single_signature_pass(spark, tmp_path, monkeypatch, caplog):
+    """r11 (VERDICT items 1 + 6): the composed loop signs each
+    micro-batch exactly ONCE — band_buckets_rowwise (the only entry to
+    the signature phase; both miners resolve it through the dedup
+    module namespace) runs once per trigger while the outcome stays
+    identical to the two-pass r10 path — and the per-trigger cap
+    observations surface a planted hot bucket as a WARN from inside
+    the loop."""
+    import datetime as dt
+
+    from vicinity_spark.operators import dedup as dedup_mod
+
+    corpus, snap, ctext, batch_rows = _ingest_fixture(
+        spark, tmp_path, "ssp", hash_fn="tokenroll"
+    )
+    day1 = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    src = str(tmp_path / "src_ssp")
+    day1.withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(src)
+
+    calls = []
+    real = dedup_mod.band_buckets_rowwise
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup_mod, "band_buckets_rowwise", counting)
+    got = []
+    with caplog.at_level("WARNING", logger="vicinity_spark.streaming.neardup"):
+        _run_ingest_once(spark, src, snap, ctext, got, max_bucket=8)
+    assert calls == [1]  # ONE signature pass for the whole trigger
+    assert got == [(0, [100, 101, 103])]  # outcome identical to the two-pass path
+    assert not [r for r in caplog.records if "hot bucket" in r.message]
+
+    # second trigger carries a >cap cluster of NEAR-identical docs (the
+    # one shape exact dedup cannot collapse): the loop must WARN with
+    # the observed drop count instead of dropping silently
+    base = batch_rows[3][1]
+    hot = [(200 + i, base + f" zz{i}") for i in range(12)]
+    spark.createDataFrame(hot, "doc_id long, text string").withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 2)).cast("timestamp")
+    ).coalesce(1).write.parquet(str(tmp_path / "src_ssp2"))
+    caplog.clear()
+    got2 = []
+    with caplog.at_level("WARNING", logger="vicinity_spark.streaming.neardup"):
+        _run_ingest_once(spark, str(tmp_path / "src_ssp2"), snap, ctext, got2, max_bucket=8)
+    warns = [r for r in caplog.records if "hot bucket" in r.message]
+    assert warns and "within-batch self-mine" in warns[0].message
+
+
+def test_stream_daily_ingest_append_committed_sidecar_unwritten(spark, tmp_path):
+    """r11 (VERDICT item 3): the residual double-append window — the
+    trigger crashed AFTER both parquet appends committed but BEFORE
+    the sidecar write. The replay (fresh checkpoint here — harder than
+    a same-run replay, since the committed marks are also run-scoped
+    away) must recompute the same survivors and append ZERO duplicate
+    rows to either artifact: the content filters certify presence, not
+    the sidecar."""
+    import datetime as dt
+
+    corpus, snap, ctext, batch_rows = _ingest_fixture(spark, tmp_path, "acw")
+    day1 = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    src = str(tmp_path / "src_acw")
+    day1.withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(src)
+
+    got = []
+    _run_ingest_once(spark, src, snap, ctext, got)
+    assert got == [(0, [100, 101, 103])]
+    snap_rows = sorted(
+        (r.doc_id, r.band, r.bkey) for r in spark.read.parquet(snap).collect()
+    )
+    text_ids = sorted(
+        r.doc_id for r in spark.read.parquet(ctext).select("doc_id").collect()
+    )
+    assert len(set(snap_rows)) == len(snap_rows)  # baseline: no dupes
+
+    # simulate the crash: appends committed, sidecar never written
+    jp = spark._jvm.org.apache.hadoop.fs.Path(snap + "/_ingest_committed.json")
+    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    assert fs.delete(jp, False)
+
+    got2 = []
+    _run_ingest_once(spark, src, snap, ctext, got2)
+    assert got2 == [(0, [100, 101, 103])]  # identical survivors
+    assert sorted(
+        (r.doc_id, r.band, r.bkey) for r in spark.read.parquet(snap).collect()
+    ) == snap_rows  # zero duplicate bucket rows
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(ctext).select("doc_id").collect()
+    ) == text_ids  # zero duplicate text rows
+
+
+def test_stream_daily_ingest_checkpoint_reset_new_data(spark, tmp_path):
+    """r10 ADVICE (medium): a fresh checkpoint restarts batch ids at
+    0, so NEW data arrives under a batch_id the sidecar already marked
+    committed — before r11 its appends were silently skipped and its
+    near-duplicates never caught again. The run-scoped sidecar must
+    ignore the stale marks and append the new docs."""
+    import datetime as dt
+
+    from vicinity_spark.operators.dedup import minhash_lsh_pairs_vs_snapshot
+
+    corpus, snap, ctext, batch_rows = _ingest_fixture(spark, tmp_path, "ckr")
+    day1 = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    src1 = str(tmp_path / "src_ckr1")
+    day1.withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(src1)
+    got = []
+    _run_ingest_once(spark, src1, snap, ctext, got)  # commits batch 0
+    assert got == [(0, [100, 101, 103])]
+
+    # new run (fresh checkpoint), new unique docs, reused batch_id 0
+    def sentence(base, n=15):
+        return " ".join(f"{base}w{i}" for i in range(n))
+
+    day2 = spark.createDataFrame(
+        [(300, sentence("n1")), (301, sentence("n2"))], "doc_id long, text string"
+    )
+    src2 = str(tmp_path / "src_ckr2")
+    day2.withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 2)).cast("timestamp")
+    ).coalesce(1).write.parquet(src2)
+    got2 = []
+    _run_ingest_once(spark, src2, snap, ctext, got2)
+    assert got2 == [(0, [300, 301])]
+    text_ids = {r.doc_id for r in spark.read.parquet(ctext).select("doc_id").collect()}
+    assert {300, 301} <= text_ids  # text appended despite the stale mark
+    # and their buckets are live: a copy of 300's text is flagged
+    probe = spark.createDataFrame(
+        [(900, sentence("n1"))], "doc_id long, text string"
+    )
+    flagged = minhash_lsh_pairs_vs_snapshot(
+        spark, spark.read.parquet(ctext), probe, snap, min_jaccard=0.5
+    ).collect()
+    assert {(r.id_new, r.id_corpus) for r in flagged} == {(900, 300)}

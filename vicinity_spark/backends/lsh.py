@@ -37,6 +37,11 @@ from vicinity_spark.functions.metrics import clip_distance
 BUCKETS_COL = "__buckets"
 POSTINGS_DIR = "postings.parquet"
 _N_PGROUPS = 64  # bounded partition-dir count for the postings layout
+#: insert batches between lineage truncations of the side postings
+#: branch (r11, VERDICT item 4): each on_insert extends a lazy
+#: unionByName chain, so an insert-heavy session between saves would
+#: grow plan depth (and re-bucketize work) linearly without a cap
+_EXTRA_CHECKPOINT_EVERY = 8
 _MOD = (1 << 61) - 1
 _PRIME = 1_000_003
 
@@ -235,6 +240,10 @@ class LSHStrategy(IndexStrategy):
         #: the parquet branch keeps its DPP file pruning — a union
         #: under the join would defeat the PartitionPruning rule
         self._extra_postings: "DataFrame | None" = None
+        #: insert batches accumulated in the side branch since the last
+        #: layout write / lineage truncation (the _EXTRA_CHECKPOINT_EVERY
+        #: cadence counter)
+        self._extra_batches = 0
 
     # ---- hashing (delegates to module-level kernels so UDF closures
     # capture only the plain params dict, never the strategy object —
@@ -285,7 +294,17 @@ class LSHStrategy(IndexStrategy):
         100 TB that turns a 1%-batch insert into a full-index rebuild
         per probe). The side frame stays a lazy plan over the (small)
         insert batch; repeated inserts union incrementally, and a
-        re-save rewrites the full layout."""
+        re-save rewrites the full layout.
+
+        Lifecycle (r11, VERDICT item 4): every _EXTRA_CHECKPOINT_EVERY
+        insert batches the accumulated union is localCheckpointed —
+        plan depth and per-query re-bucketize work stay bounded for
+        insert-heavy sessions (before this, each probe re-hashed EVERY
+        insert batch since the last save through a linearly-growing
+        union plan). The checkpointed blocks live on executors: on a
+        cluster with executor churn / dynamic deallocation, re-save
+        the layout more often or configure a reliable checkpoint
+        dir."""
         built = self.build(new_df, metric, dim)
         if self._postings is not None:
             posts = built.select(
@@ -296,6 +315,11 @@ class LSHStrategy(IndexStrategy):
                 if self._extra_postings is None
                 else self._extra_postings.unionByName(posts)
             )
+            self._extra_batches += 1
+            if self._extra_batches % _EXTRA_CHECKPOINT_EVERY == 0:
+                self._extra_postings = self._extra_postings.localCheckpoint(
+                    eager=True
+                )
         return built
 
     # ---- persistence -------------------------------------------------
@@ -303,7 +327,14 @@ class LSHStrategy(IndexStrategy):
         """Write the exploded posting-list layout (id, table, bucket)
         partitioned by the bounded bucket-group key — the inverted-index
         twin of IVF's partitionBy(__cluster) (store.py save): reload
-        probing becomes a file prune, not a corpus explode."""
+        probing becomes a file prune, not a corpus explode.
+
+        The written layout immediately REPLACES any live postings state
+        (r10 ADVICE): `df` covers the full corpus including inserted
+        rows, and the overwrite just deleted the part files a stale
+        ``self._postings`` file index would still reference — the
+        sequence insert → save(same folder, overwrite) → query must
+        probe the fresh layout, not FileNotFoundException."""
         import os
 
         if df is None or BUCKETS_COL not in df.columns:
@@ -311,9 +342,11 @@ class LSHStrategy(IndexStrategy):
         posts = df.select(
             "id", F.posexplode(BUCKETS_COL).alias("table", "bucket")
         ).withColumn("__pg", _pgroup_col())
-        posts.write.mode("overwrite").partitionBy("__pg").parquet(
-            os.path.join(path, POSTINGS_DIR)
-        )
+        target = os.path.join(path, POSTINGS_DIR)
+        posts.write.mode("overwrite").partitionBy("__pg").parquet(target)
+        self._postings = df.sparkSession.read.parquet(target)
+        self._extra_postings = None
+        self._extra_batches = 0
 
     def load_extra(self, path: str, spark) -> None:
         import os
@@ -323,6 +356,7 @@ class LSHStrategy(IndexStrategy):
             self._postings = spark.read.parquet(p)
             # a fresh layout supersedes any accumulated insert postings
             self._extra_postings = None
+            self._extra_batches = 0
 
     # ---- query plans ------------------------------------------------
     def _probe_df(

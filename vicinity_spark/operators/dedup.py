@@ -661,6 +661,7 @@ def minhash_lsh_pairs_rowwise(
     hash_fn: str = "md5",
     max_bucket: Optional[int] = None,
     cap_observation=None,
+    buckets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with CANDIDATE-BOUNDED verification
     (r6) — same output as minhash_lsh_pairs (row-identical by test),
@@ -689,18 +690,27 @@ def minhash_lsh_pairs_rowwise(
 
     Precondition: doc_id unique per row (the universal dedup-input
     contract). Duplicate doc_id rows would bucket per-row here where
-    minhash_lsh_pairs merges them into one shingle set first."""
+    minhash_lsh_pairs merges them into one shingle set first.
+
+    ``buckets`` (r11): a PRECOMPUTED, already-materialized
+    (doc_id, band, bkey) table for `docs` — must come from
+    band_buckets_rowwise with the same banding/hash params, already
+    localCheckpointed/persisted by the caller (this function will not
+    re-materialize it). Lets a pipeline that needs the same signature
+    table twice (the streaming ingest loop's within-batch self-mine +
+    snapshot probe) pay the signature pass ONCE per trigger."""
     hash_fn = resolve_hash_fn(hash_fn)
-    buckets = band_buckets_rowwise(
-        docs, n_hashes, rows_per_band, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-    )
-    # materialize the narrow (doc_id, band, bkey) table ONCE: the
-    # bucket self-join consumes it on both sides, and a projection has
-    # no shuffle for Spark's ReusedExchange to share (unlike the
-    # onepass groupBy plan) — without this the whole signature chain
-    # runs twice (measured: the win below disappears at 2M)
-    buckets = buckets.localCheckpoint(eager=True)
+    if buckets is None:
+        buckets = band_buckets_rowwise(
+            docs, n_hashes, rows_per_band, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        )
+        # materialize the narrow (doc_id, band, bkey) table ONCE: the
+        # bucket self-join consumes it on both sides, and a projection
+        # has no shuffle for Spark's ReusedExchange to share (unlike
+        # the onepass groupBy plan) — without this the whole signature
+        # chain runs twice (measured: the win below disappears at 2M)
+        buckets = buckets.localCheckpoint(eager=True)
     if max_bucket is not None:
         buckets = cap_hot_buckets(
             buckets,
@@ -1096,8 +1106,10 @@ def minhash_lsh_pairs_incremental(
     hash_fn: str = "md5",
     max_bucket: Optional[int] = None,
     corpus_buckets: Optional[DataFrame] = None,
+    new_buckets: Optional[DataFrame] = None,
     broadcast_new: bool = False,
     n_bpart: Optional[int] = None,
+    cap_observation_new=None,
     _plan_observer=None,
 ) -> DataFrame:
     """(id_new, id_corpus, jaccard) — near-dup pairs between a NEW
@@ -1138,17 +1150,35 @@ def minhash_lsh_pairs_incremental(
     Both sides must use the same hash family and banding parameters —
     bucket keys from different families never collide, so a mismatch
     silently finds nothing (the same contract as loading a saved LSH
-    store with its persisted params)."""
+    store with its persisted params).
+
+    ``new_buckets`` (r11): a precomputed (doc_id, band, bkey) table
+    for `new_docs` (band_buckets_rowwise, same params) — the symmetric
+    twin of ``corpus_buckets``, so a caller that already computed the
+    batch's signature table (the streaming ingest loop mines the batch
+    against itself first) never pays the signature pass twice per
+    trigger. Pass it already materialized when also passing
+    ``cap_observation_new``.
+
+    ``cap_observation_new``: a pyspark Observation attached to the
+    NEW-side hot-bucket cap (``max_bucket`` must be set) — the eager
+    hot-aggregation it requires is bounded by the batch, unlike a
+    corpus-side observation (which would aggregate the full snapshot
+    bucket table per call and is deliberately NOT offered here; the
+    corpus side keeps the lazy string-named observe for listeners)."""
     hash_fn = resolve_hash_fn(hash_fn)
+    if cap_observation_new is not None and max_bucket is None:
+        raise ValueError("cap_observation_new requires max_bucket")
     if corpus_buckets is None:
         corpus_buckets = band_buckets_rowwise(
             corpus, n_hashes, rows_per_band, shingle_n=shingle_n,
             text_col=text_col, id_col=id_col, hash_fn=hash_fn,
         )
-    new_buckets = band_buckets_rowwise(
-        new_docs, n_hashes, rows_per_band, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-    )
+    if new_buckets is None:
+        new_buckets = band_buckets_rowwise(
+            new_docs, n_hashes, rows_per_band, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        )
     if max_bucket is not None:
         corpus_buckets = cap_hot_buckets(
             corpus_buckets, ("band", "bkey"), max_bucket,
@@ -1157,6 +1187,7 @@ def minhash_lsh_pairs_incremental(
         new_buckets = cap_hot_buckets(
             new_buckets, ("band", "bkey"), max_bucket,
             "minhash_lsh_pairs_incremental(new)",
+            observation=cap_observation_new,
         )
     join_keys = ["band", "bkey"]
     if "bpart" in corpus_buckets.columns:
@@ -1456,7 +1487,9 @@ def minhash_lsh_pairs_vs_snapshot(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: Optional[int] = None,
+    new_buckets: Optional[DataFrame] = None,
     broadcast_new: bool = True,
+    cap_observation_new=None,
     _plan_observer=None,
 ) -> DataFrame:
     """Ingest-vs-corpus near-dup pairs probing a PERSISTED bucket
@@ -1467,7 +1500,10 @@ def minhash_lsh_pairs_vs_snapshot(
     its bucket projection is never recomputed. broadcast_new defaults
     ON here — snapshot mode IS ingest mode, and the broadcast both
     skips the corpus-side shuffle and feeds the dynamic partition
-    pruning subquery."""
+    pruning subquery. ``new_buckets`` / ``cap_observation_new`` pass
+    through to minhash_lsh_pairs_incremental (a precomputed batch
+    bucket table MUST use the snapshot's own banding params — read
+    them from the ``_params`` sidecar)."""
     corpus_buckets, params = corpus_buckets_from(spark, snapshot_path)
     return minhash_lsh_pairs_incremental(
         corpus,
@@ -1481,8 +1517,10 @@ def minhash_lsh_pairs_vs_snapshot(
         hash_fn=params["hash_fn"],
         max_bucket=max_bucket,
         corpus_buckets=corpus_buckets,
+        new_buckets=new_buckets,
         broadcast_new=broadcast_new,
         n_bpart=params["n_bpart"],
+        cap_observation_new=cap_observation_new,
         _plan_observer=_plan_observer,
     )
 
@@ -1747,8 +1785,17 @@ def neardup_dedup(
     internal materialization has run, and WARN-logs any non-zero drop
     — the cap-on-by-default path no longer drops silently. Pass your
     own ``cap_observation`` (a pyspark.sql.Observation) to read
-    ``{"hot_buckets": n, "hot_max": m}`` programmatically.)"""
+    ``{"hot_buckets": n, "hot_max": m}`` programmatically — a FRESH
+    Observation per call (pyspark observations are single-use), and
+    only together with a cap: with ``max_bucket=None`` the miner never
+    attaches it and its ``.get`` would block forever, so that
+    combination raises.)"""
     mb = DEFAULT_MAX_BUCKET if max_bucket == "auto" else max_bucket
+    if cap_observation is not None and mb is None:
+        raise ValueError(
+            "cap_observation requires a cap: with max_bucket=None the "
+            "observation is never attached and its .get blocks forever"
+        )
     obs = cap_observation
     if mb is not None and obs is None:
         from pyspark.sql import Observation
@@ -1862,7 +1909,12 @@ def dedup_lines(
     )
 
 
-def append_corpus_buckets(docs: DataFrame, path: str) -> None:
+def append_corpus_buckets(
+    docs: DataFrame,
+    path: str,
+    buckets: Optional[DataFrame] = None,
+    skip_existing: bool = False,
+) -> None:
     """Append a new batch's bucket rows to an EXISTING snapshot — the
     daily maintenance op that closes the ingest loop: probe today's
     crawl against the snapshot (minhash_lsh_pairs_vs_snapshot), keep
@@ -1871,17 +1923,53 @@ def append_corpus_buckets(docs: DataFrame, path: str) -> None:
     would write keys that collide with nothing); the same
     (band, bpart) routing + bkey sort keeps the layout pruning-ready.
     Caller contract: doc ids are unique across the snapshot's history
-    (the same id-uniqueness every dedup input already requires)."""
+    (the same id-uniqueness every dedup input already requires).
+
+    ``buckets`` (r11): a precomputed (doc_id, band, bkey) table for
+    `docs` — MUST come from band_buckets_rowwise with the snapshot's
+    own sidecar params. The streaming ingest loop passes the trigger's
+    shared signature table so the append never re-hashes the
+    survivors.
+
+    ``skip_existing`` (r11): make the append IDEMPOTENT at row level —
+    anti-join the batch's bucket rows against the rows already in the
+    snapshot before writing, so re-running the append after a crash
+    (committed files, lost progress record) adds nothing twice, and a
+    partially-committed earlier attempt is completed exactly (only the
+    missing rows are written). The presence probe is the same
+    DPP-pruned three-key join shape as the snapshot probe — the batch
+    side is broadcast, and only the (band, bpart) directories the
+    batch hashes into are scanned — so the check costs a pruned
+    metadata-scale read, never a full snapshot scan."""
     spark = docs.sparkSession
     params = _read_sidecar(spark, _params_path(path))
     params = {k: (v if k == "hash_fn" else int(v)) for k, v in params.items()}
-    buckets = band_buckets_rowwise(
-        docs,
-        params["n_hashes"],
-        params["rows_per_band"],
-        shingle_n=params["shingle_n"],
-        hash_fn=params["hash_fn"],
-    ).withColumn("bpart", _bpart_expr(params["n_bpart"]))
+    if buckets is None:
+        buckets = band_buckets_rowwise(
+            docs,
+            params["n_hashes"],
+            params["rows_per_band"],
+            shingle_n=params["shingle_n"],
+            hash_fn=params["hash_fn"],
+        )
+    buckets = buckets.withColumn("bpart", _bpart_expr(params["n_bpart"]))
+    if skip_existing:
+        snap = spark.read.parquet(path).select(
+            "doc_id",
+            F.col("band").cast("bigint").alias("band"),
+            "bkey",
+            F.col("bpart").cast("int").alias("bpart"),
+        )
+        keys = ["doc_id", "band", "bkey", "bpart"]
+        # inner-probe then anti-join (instead of one anti-join with the
+        # snapshot on the right): an anti-join can only broadcast its
+        # RIGHT side, which would shuffle the full snapshot — this
+        # shape keeps the snapshot on the LEFT of a broadcast semi-join
+        # where dynamic partition pruning applies
+        present = snap.join(
+            F.broadcast(buckets.select(*keys)), keys, "left_semi"
+        ).select(*keys)
+        buckets = buckets.join(F.broadcast(present), keys, "left_anti")
     (
         buckets.repartition(F.col("band"), F.col("bpart"))
         .sortWithinPartitions("bkey")

