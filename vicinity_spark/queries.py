@@ -4484,80 +4484,19 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r10 rotation (VERDICT r9 item 5) ----------------------------
-    # Window design (32 + 1 + 17 = 50): (a) ALL 32 rows that sat in the r9
-    # tail (last green r8) come back — the rotation policy promises at
-    # most ONE round unchecked; (b) the remaining 18 slots go to
-    # r9-green rows whose code r10 TOUCHED: embedding.py (per-task
-    # covariance fold + combine stage, wrong-length null guard in BOTH
-    # projection forms), backends/lsh.py (incremental insert postings),
-    # and the dedup/DSIR/LM surfaces the hardened ingest loop composes
-    # (within-batch mining, snapshot probe, compaction, neardup_dedup's
-    # r10 Observation counters, hashed DSIR). Everything in _ROTATE_OUT
-    # below is r9-green with its specific operator code untouched in
-    # r10.
-    # (a) r9 tail, last green r8:
-    "vector_norms",
-    "text_token_stats",
-    "text_quality",
-    "text_fingerprint",
-    "vector_stats_by_label",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "regional_revenue",
-    "events_hourly",
-    "events_sessionize",
-    "top_parts_per_brand",
-    "docs_stats_by_lang",
-    "dedup_exact",
-    "text_subword_tokens",
-    "text_langid",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "vocab_top_tokens",
-    "docs_clean_pipeline",
-    "text_pmi_bigrams",
-    "lineitem_quantiles",
-    "orders_running_revenue",
-    "dedup_simhash_exploded",
-    "dedup_simhash_pairs",
-    "neardup_pairs",
-    "dedup_jaccard_variants",
-    "docs_curation_pipeline",
-    "docs_decontaminate",
-    "multimodal_knn",
-    "knn_all_metrics",
-    "text_repetition",
-    "semantic_dedup",
-    # (b) new in r10 (needs its first green):
-    "emb_covariance",
-    # (c) r9-green, r10-touched code paths (17 — docs_unigram_xent
-    # yields its slot to the new row; it is r9-green, so one round in
-    # the mid-section keeps the rotation invariant):
-    "emb_projection_arrow",
-    "emb_random_projection",
-    "ann_lsh_knn",
-    "ann_recall_summary",
-    "ann_graph_knn",
-    "knn_filtered_label",
-    "dedup_minhash_compacted",
-    "dedup_minhash_snapshot",
-    "dedup_minhash_incremental",
-    "dedup_minhash_onepass",
-    "dedup_minhash_capped",
-    "dedup_minhash_affine",
-    "dedup_minhash_tokenroll",
-    "dedup_neardup_e2e",
-    "docs_strip_shared_spans",
-    "docs_dsir_select",
-    "docs_dsir_hashed",
-]
-
-# r10 tail: 32 rows, every one green in CORRECTNESS_r09.json with its
-# specific operator code untouched this round (scripts/verified_ledger
-# enforces that nothing never-green sits here; VERIFIED.md records the
-# skip).
-_ROTATE_OUT: "list[str]" = [
+    # --- r11 rotation (VERDICT r10 item 5) ----------------------------
+    # Window design (33 + 17 = 50): (a) ALL 33 rows not green in r10 —
+    # the 32 r10-tail rows plus docs_unigram_xent (r10 mid-section) —
+    # come back, keeping the at-most-one-round-unchecked promise;
+    # (b) the remaining 17 slots go to r10-green rows whose code r11
+    # TOUCHED: the rowwise/incremental/vs_snapshot miners and
+    # append_corpus_buckets (precomputed-bucket injection + idempotent
+    # skip_existing append), neardup_dedup (cap-observation guard),
+    # backends/lsh.py (insert-branch lifecycle, save_extra refresh),
+    # embedding.py covariance_stats (combine='auto' now unconditional).
+    # Everything in _ROTATE_OUT below is r10-green with its specific
+    # operator code untouched in r11.
+    # (a) not green in r10 (r10 tail + the one mid-section row):
     "events_asof_join",
     "skew_salted_agg",
     "skew_salted_join",
@@ -4590,6 +4529,65 @@ _ROTATE_OUT: "list[str]" = [
     "dedup_keep_best",
     "dedup_connected_components",
     "dedup_shared_grams",
+    "docs_unigram_xent",
+    # (b) r10-green, r11-touched code paths (17):
+    "dedup_minhash_lsh",
+    "dedup_minhash_onepass",
+    "dedup_minhash_capped",
+    "dedup_minhash_affine",
+    "dedup_minhash_tokenroll",
+    "dedup_minhash_incremental",
+    "dedup_minhash_snapshot",
+    "dedup_minhash_compacted",
+    "dedup_neardup_e2e",
+    "dedup_exact",
+    "neardup_pairs",
+    "semantic_dedup",
+    "ann_lsh_knn",
+    "ann_recall_summary",
+    "emb_covariance",
+    "emb_projection_arrow",
+    "emb_random_projection",
+]
+
+# r11 tail: 33 rows, every one green in CORRECTNESS_r10.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip).
+_ROTATE_OUT: "list[str]" = [
+    "vector_norms",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "vector_stats_by_label",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "regional_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "top_parts_per_brand",
+    "docs_stats_by_lang",
+    "text_subword_tokens",
+    "text_langid",
+    "dedup_simhash",
+    "vocab_top_tokens",
+    "docs_clean_pipeline",
+    "text_pmi_bigrams",
+    "lineitem_quantiles",
+    "orders_running_revenue",
+    "dedup_simhash_exploded",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_variants",
+    "docs_curation_pipeline",
+    "docs_decontaminate",
+    "multimodal_knn",
+    "knn_all_metrics",
+    "text_repetition",
+    "ann_graph_knn",
+    "knn_filtered_label",
+    "docs_strip_shared_spans",
+    "docs_dsir_select",
+    "docs_dsir_hashed",
 ]
 
 def _reorder_registry() -> None:

@@ -452,9 +452,15 @@ def stream_daily_ingest(
     candidate verification text, appended with each trigger's
     survivors. Both growing artifacts are restart-safe on-disk state,
     not driver memory — including across replayed triggers (step 4's
-    sidecar). The sink is the CALLER'S side of the contract: it
-    receives each batch at-least-once and must be idempotent in
-    batch_id, like any foreachBatch sink.
+    sidecar). The sidecar's run scope comes from the streaming query
+    id (stable across restarts of one checkpoint, fresh when the
+    checkpoint is reset); if the loop body is ever driven outside a
+    streaming query (no query id available), the marks fall back to
+    batch_id-only scoping — the content filters still prevent
+    duplicate rows, but delete the sidecar if you re-feed data under
+    reused batch ids that way. The sink is the CALLER'S side of the
+    contract: it receives each batch at-least-once and must be
+    idempotent in batch_id, like any foreachBatch sink.
 
     ``sink(scored_df, batch_id)`` receives the survivors
     (id, text[, n_tokens, xent[, llr]]) per trigger. Returns the
