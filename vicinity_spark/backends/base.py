@@ -62,7 +62,12 @@ class IndexStrategy:
 
     # persistence of strategy state (e.g. fitted MLlib models, derived
     # index layouts such as LSH posting lists) ------------------------
-    def save_extra(self, path: str, df: Optional[DataFrame] = None) -> None:
+    def save_extra(
+        self, path: str, df: Optional[DataFrame] = None, *, adopt_layout: bool = True
+    ) -> None:
+        """``adopt_layout=False`` writes the layout without re-pointing
+        any live strategy state at it — for saves into a staging folder
+        that will not outlive the store (push_to_hub's temp dir)."""
         pass
 
     def load_extra(self, path: str, spark) -> None:

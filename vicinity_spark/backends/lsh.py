@@ -323,18 +323,25 @@ class LSHStrategy(IndexStrategy):
         return built
 
     # ---- persistence -------------------------------------------------
-    def save_extra(self, path: str, df: Optional[DataFrame] = None) -> None:
+    def save_extra(
+        self, path: str, df: Optional[DataFrame] = None, *, adopt_layout: bool = True
+    ) -> None:
         """Write the exploded posting-list layout (id, table, bucket)
         partitioned by the bounded bucket-group key — the inverted-index
         twin of IVF's partitionBy(__cluster) (store.py save): reload
         probing becomes a file prune, not a corpus explode.
 
-        The written layout immediately REPLACES any live postings state
-        (r10 ADVICE): `df` covers the full corpus including inserted
-        rows, and the overwrite just deleted the part files a stale
-        ``self._postings`` file index would still reference — the
-        sequence insert → save(same folder, overwrite) → query must
-        probe the fresh layout, not FileNotFoundException."""
+        With ``adopt_layout=True`` (default) the written layout
+        immediately REPLACES any live postings state (r10 ADVICE): `df`
+        covers the full corpus including inserted rows, and the
+        overwrite just deleted the part files a stale ``self._postings``
+        file index would still reference — the sequence insert →
+        save(same folder, overwrite) → query must probe the fresh
+        layout, not FileNotFoundException. ``adopt_layout=False`` is for
+        saves into a folder that will NOT outlive the store
+        (push_to_hub stages into a TemporaryDirectory): adopting that
+        layout would point the live store at files deleted moments
+        later, so the in-memory state is left untouched instead."""
         import os
 
         if df is None or BUCKETS_COL not in df.columns:
@@ -344,9 +351,10 @@ class LSHStrategy(IndexStrategy):
         ).withColumn("__pg", _pgroup_col())
         target = os.path.join(path, POSTINGS_DIR)
         posts.write.mode("overwrite").partitionBy("__pg").parquet(target)
-        self._postings = df.sparkSession.read.parquet(target)
-        self._extra_postings = None
-        self._extra_batches = 0
+        if adopt_layout:
+            self._postings = df.sparkSession.read.parquet(target)
+            self._extra_postings = None
+            self._extra_batches = 0
 
     def load_extra(self, path: str, spark) -> None:
         import os

@@ -222,7 +222,12 @@ def push_to_hub(
         client = _RealHubClient(_require_hub(), token)
     client.create_repo(repo_id, repo_type="dataset", private=private, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
-        store.save(tmp, overwrite=True)
+        # the temp dir is deleted as soon as the upload finishes, so the
+        # save must NOT re-point live strategy state (LSH postings) at
+        # it — adopting that layout would leave the pushed store
+        # querying files that no longer exist (r11 regression:
+        # test_hub_roundtrip_local_client[lsh])
+        store.save(tmp, overwrite=True, adopt_layout=False)
         write_hub_artifacts(store, tmp, repo_id)
         client.upload_folder(repo_id=repo_id, repo_type="dataset", folder_path=tmp)
     return f"https://huggingface.co/datasets/{repo_id}"

@@ -408,14 +408,21 @@ class VectorStore:
             self._count -= removed
 
     # ---- persistence (F11/F12) -------------------------------------
-    def save(self, folder: str, overwrite: bool = False) -> None:
+    def save(
+        self, folder: str, overwrite: bool = False, *, adopt_layout: bool = True
+    ) -> None:
         """Persist corpus + layout columns as parquet. When the layout
         has an inverted-list column (IVF/IVFPQ `__cluster`), the store
         is written `partitionBy(__cluster)`: each inverted list becomes
         its own parquet directory, so at reload the nprobe probe join
         prunes whole FILES (dynamic partition pruning), not just rows —
         at 100 TB that is the difference between scanning nprobe/nlist
-        of the corpus and scanning all of it."""
+        of the corpus and scanning all of it.
+
+        ``adopt_layout=False`` writes everything without re-pointing
+        live strategy state (LSH postings) at the new folder — required
+        when the folder is a staging area that will not outlive the
+        store (push_to_hub's temp dir)."""
         if os.path.exists(os.path.join(folder, META_FILE)) and not overwrite:
             raise ValueError(f"Store already exists at {folder} (pass overwrite=True)")
         os.makedirs(folder, exist_ok=True)
@@ -446,7 +453,7 @@ class VectorStore:
         }
         with open(os.path.join(folder, META_FILE), "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
-        self.strategy.save_extra(folder, self.df)
+        self.strategy.save_extra(folder, self.df, adopt_layout=adopt_layout)
 
     @classmethod
     def load(cls, folder: str, spark: SparkSession) -> "VectorStore":
