@@ -545,6 +545,35 @@ def test_threshold_df_filtered(spark):
     assert {r["id"] for r in odd_q} == {i for i in full if i % 2 == 1}
 
 
+def test_store_insert_lineage_bounded(spark, data):
+    """r11 (the store-level twin of the LSH branch lifecycle): every
+    insert() extends self.df by one lazy unionByName, so an
+    insert-heavy session's plan depth — and every query's re-analysis
+    cost — grew linearly until a save. Every _INSERT_CHECKPOINT_EVERY
+    batches the lineage is truncated; results unchanged."""
+    import numpy as np
+
+    from vicinity_spark.store import _INSERT_CHECKPOINT_EVERY
+
+    _, _, qvec = data
+    store = make_store(spark, data, "basic")
+    rng = np.random.default_rng(11)
+    n_inserts = 2 * _INSERT_CHECKPOINT_EVERY + 3
+    for i in range(n_inserts):
+        v = qvec if i == 0 else rng.random(DIM)
+        store.insert([f"ins{i}"], v)
+    plan = store.df._jdf.queryExecution().optimizedPlan().toString()
+    # only the post-checkpoint tail unions remain (3 batches since the
+    # last truncation), never the full insert history
+    assert plan.count("Union") < _INSERT_CHECKPOINT_EVERY, plan[:2000]
+    assert len(store) == N + n_inserts
+    res = store.query(qvec, k=3)
+    assert "ins0" in [it for it, _ in res[0]]
+    # every inserted row present, ids contiguous past the original N
+    got = {r["item_json"] for r in store.df.select("item_json").collect()}
+    assert all(f'"ins{i}"' in got for i in range(n_inserts))
+
+
 def test_lsh_insert_branch_lifecycle_and_resave(spark, data, tmp_path):
     """r11 (VERDICT item 4 + r10 ADVICE): many small inserts between
     saves must keep the side-postings plan BOUNDED (every

@@ -33,6 +33,10 @@ from vicinity_spark.datatypes import Backend, Metric
 
 META_FILE = "_vicinity_meta.json"
 STORE_DIR = "store.parquet"
+# truncate self.df's union lineage every N insert batches (r11; same
+# rationale — and same cadence — as backends/lsh.py's
+# _EXTRA_CHECKPOINT_EVERY for the insert-postings branch)
+_INSERT_CHECKPOINT_EVERY = 8
 
 _INGEST_SCHEMA = StructType(
     [
@@ -71,6 +75,9 @@ class VectorStore:
         self._count = count
         self._next_id = next_id
         self.metadata = dict(metadata or {})
+        #: insert batches since construction — drives the periodic
+        #: lineage truncation in insert() (see _INSERT_CHECKPOINT_EVERY)
+        self._insert_batches = 0
 
     # ---- constructors ----------------------------------------------
     @classmethod
@@ -386,6 +393,16 @@ class VectorStore:
         self.df = self.df.unionByName(new_df, allowMissingColumns=True)
         self._count = (self._count or 0) + len(rows)
         self._next_id = start + len(rows)
+        # lifecycle (r11, same rationale as the LSH insert-postings
+        # branch): each insert extends self.df by one lazy unionByName —
+        # for insert-heavy sessions the plan depth (and every query's
+        # re-analysis cost) grows linearly until a save. Every
+        # _INSERT_CHECKPOINT_EVERY batches, truncate the lineage. The
+        # blocks live on executors — on a cluster with executor churn,
+        # save() periodically instead.
+        self._insert_batches += 1
+        if self._insert_batches % _INSERT_CHECKPOINT_EVERY == 0:
+            self.df = self.df.localCheckpoint(eager=True)
 
     def delete(self, items: Sequence[Any]) -> None:
         """Delete by item equality; duplicates all removed; missing
