@@ -1,0 +1,117 @@
+"""BM25 retrieval + reciprocal rank fusion (operators/retrieval.py).
+
+The closed-form reference is a direct transcription of Okapi BM25 with
+the Lucene idf — the same formula the DuckDB oracle replays for the
+`docs_bm25_topk` / `docs_hybrid_rrf` gate rows.
+"""
+
+import math
+from collections import Counter
+
+import pytest
+
+from vicinity_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "cats and dogs living together"),
+    (3, "spark shuffles the big  data"),  # double space: empty tok dropped
+    (4, "the the the the"),
+    (5, ""),  # zero-length doc still counts toward N and avgdl
+]
+
+
+def _tok(t):
+    return [w for w in t.lower().split(" ") if w]
+
+
+def _ref_bm25(query_text, k1=1.2, b=0.75):
+    corpus = {i: _tok(t) for i, t in DOCS}
+    n = len(DOCS)
+    dls = {i: len(ts) for i, ts in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for d, toks in corpus.items():
+        tf = Counter(toks)
+        s = 0.0
+        for t in set(_tok(query_text)):
+            if tf[t] == 0:
+                continue
+            df = sum(1 for ts in corpus.values() if t in ts)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf[t] * (k1 + 1) / (tf[t] + k1 * (1 - b + b * dls[d] / avgdl))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_closed_form(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [(0, DOCS[0][1]), (3, DOCS[3][1])], "doc_id long, text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_topk(docs_df, qdf, k=10).collect()
+    }
+    for qid, qtext in [(0, DOCS[0][1]), (3, DOCS[3][1])]:
+        ref = _ref_bm25(qtext)
+        ranked = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert {(qid, d) for d in ref} == {k for k in got if k[0] == qid}
+        for rank, (d, score) in enumerate(ranked, start=1):
+            assert got[(qid, d)] == (score, rank)
+    # self-match ranks first in query-by-example
+    assert got[(0, 0)][1] == 1 and got[(3, 3)][1] == 1
+
+
+def test_bm25_k_cut_and_no_match(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [(0, DOCS[0][1]), (9, "zzz qqq")], "doc_id long, text string"
+    )
+    rows = bm25_topk(docs_df, qdf, k=2).collect()
+    by_q = Counter(r["query_id"] for r in rows)
+    assert by_q[0] == 2  # cut at k
+    assert 9 not in by_q  # no term matches → no rows
+    assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_bm25_validates_k(spark, docs_df):
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, docs_df.limit(1), k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse(docs_df, docs_df, k=0)
+
+
+def test_rrf_closed_form(spark):
+    # query 1: doc 10 in both lists, docs 11/12 in one each
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id long, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf"], r["rank"])
+        for r in rrf_fuse(a, b, k=10).collect()
+    }
+    both = round(1 / 61 + 1 / 62, 6)
+    only_first_rank1 = round(1 / 61, 6)
+    only_second_rank2 = round(1 / 62, 6)
+    assert got[10] == (both, 1)
+    assert got[12] == (only_first_rank1, 2)
+    assert got[11] == (only_second_rank2, 3)
+
+
+def test_rrf_tie_breaks_by_doc_id(spark):
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 1)], "query_id long, doc_id long, rank long"
+    )  # impossible as one retriever's output, but pins the tie rule
+    empty = a.where("doc_id < 0")
+    rows = rrf_fuse(a, empty, k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [7, 20]
+    assert rows[0]["rrf"] == rows[1]["rrf"]

@@ -1,0 +1,201 @@
+"""Lexical retrieval + rank fusion for training-data pipelines:
+BM25 top-k (query-by-example over a document corpus) and reciprocal
+rank fusion of ranked lists (hybrid lexical + dense retrieval).
+
+Large-scale curation uses retrieval constantly — decontamination
+(find the corpus documents that match a benchmark document beyond
+n-gram overlap), dedup candidate generation, retrieval-based quality
+filtering, and hybrid search over a corpus with both text and an
+embedding column. These are pure built-in-function DataFrame programs
+(split/explode/groupBy/window — no Python UDFs), so they run inside
+whole-stage codegen and scale with the corpus:
+
+- the ONLY corpus-sized shuffle in ``bm25_topk`` is the per-(doc,
+  term) frequency aggregate (map-side combined); the query side is
+  broadcast everywhere it appears, so the score join never shuffles
+  the corpus a second time;
+- document frequencies are computed ONLY for the query's terms
+  (vocabulary-sized work bounded by the query set, not the corpus
+  vocabulary) and broadcast back;
+- ``rrf_fuse`` touches only the ranked lists (≤ queries × k rows per
+  side).
+
+Scores are rounded to 6 decimals BEFORE ranking so the top-k cut is
+reproducible across engines and partitionings (sum-of-doubles is
+order-dependent at ~1e-13 relative; ranking the rounded score with a
+doc-id tie-break makes the result deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Robertson/Lucene defaults
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K0 = 60
+
+
+def _clean_toks(text_col: str):
+    """Lowercased whitespace tokens with empties dropped — the same
+    tokenization every textops/dedup operator (and every DuckDB
+    oracle) uses: split(lower(text), ' ') then tok <> ''."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: "str | None" = None,
+    query_id_col: "str | None" = None,
+) -> DataFrame:
+    """BM25 top-k retrieval: for each query document, the ``k``
+    highest-scoring corpus documents under Okapi BM25 with the
+    Lucene idf (ln(1 + (N - df + 0.5)/(df + 0.5)) — always ≥ 0).
+    Query term frequency is ignored (distinct query terms), the
+    standard choice for query-by-example retrieval.
+
+    Returns (query_id, doc_id, bm25, rank), rank 1..k per query by
+    (bm25 desc, doc_id asc) on the 6-dp-rounded score. Queries whose
+    terms match nothing return no rows.
+
+    Scale shape: one corpus scan feeds the (doc, term) tf aggregate
+    (the only corpus-sized shuffle, map-side combined); corpus length
+    stats are a second scan reduced to one row and broadcast; the
+    query term table is broadcast, and per-query-term document
+    frequencies come from a window over the query-filtered postings
+    (bounded by the query vocabulary's matches, never the corpus).
+    """
+    if k <= 0:
+        raise ValueError("k must be greater than 0")
+    qt = query_text_col or text_col
+    qi = query_id_col or id_col
+
+    toks = _clean_toks(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("tok"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    # one row per (doc, term): term frequency + the doc's length (dl is
+    # functionally dependent on doc_id, so grouping by it is free)
+    tf = base.groupBy("doc_id", "tok", "dl").agg(F.count("*").alias("tf"))
+
+    # corpus stats: ONE row, broadcast into the score expression
+    stats = docs.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(_clean_toks(text_col))).alias("avgdl"),
+    )
+
+    # distinct query terms (qtf ignored); tiny → broadcast
+    qterms = queries.select(
+        F.col(qi).alias("query_id"),
+        F.explode(F.array_distinct(_clean_toks(qt))).alias("tok"),
+    )
+    qvocab = qterms.select("tok").distinct()
+
+    # postings restricted to query terms (broadcast semi-filter keeps
+    # the corpus-side pipeline a single scan → filter → aggregate).
+    # Document frequency per query term = rows per tok in pf (pf is one
+    # row per (doc, term)) — computed as a WINDOW over pf rather than a
+    # separate aggregate branch: a second branch re-scans and
+    # re-shuffles the whole corpus (Spark prunes the tf count out of
+    # the df branch, so the exchanges don't dedupe), while the window
+    # only shuffles pf, which is bounded by the query vocabulary's
+    # matching postings.
+    pf = tf.join(F.broadcast(qvocab), "tok").withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("double")
+    )
+
+    scored = (
+        pf.join(F.broadcast(qterms), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    *,
+    k0: int = RRF_K0,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al.) of two ranked lists:
+    rrf(d) = Σ_lists 1/(k0 + rank_list(d)), documents absent from a
+    list contribute 0. Returns (query_id, doc_id, rrf, rank) with the
+    fused top-k per query by (rrf desc, doc_id asc) on the
+    6-dp-rounded score.
+
+    Inputs are (query, doc, rank) lists — at most queries × k rows per
+    side, so every join here is broadcast-scale regardless of corpus
+    size; the heavy lifting already happened in the retrievers."""
+    if k <= 0:
+        raise ValueError("k must be greater than 0")
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                out
+            ),
+        )
+
+    fused = (
+        side(ranked_a, "ra")
+        .join(side(ranked_b, "rb"), ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("ra"), F.lit(0.0))
+                + F.coalesce(F.col("rb"), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )

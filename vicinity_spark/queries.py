@@ -4460,6 +4460,135 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- BM25 retrieval + hybrid rank fusion (★) -------------------------
+
+def _bm25_ctes() -> str:
+    """The BM25 scoring chain as DuckDB CTEs, ranked over every
+    matched (query, doc) pair — shared by the lexical row (cut at 10)
+    and the hybrid row (cut at 20). Same constants as
+    operators/retrieval.py: k1=1.2, b=0.75, Lucene idf, distinct query
+    terms, 6-dp rounding BEFORE the rank so the top-k cut is
+    engine-portable."""
+    return f"""
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+q AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS tok
+  FROM documents WHERE doc_id < {NQ}
+),
+dft AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY tok
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN q ON tf.tok = q.tok
+  JOIN dft ON tf.tok = dft.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id, bm25,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)"""
+
+
+_BM25_SQL = f"""
+WITH {_bm25_ctes()}
+SELECT query_id, doc_id, bm25, rank FROM bm25_ranked WHERE rank <= 10
+"""
+
+
+@register("docs_bm25_topk", _BM25_SQL)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: BM25 top-k retrieval, query-by-example over the documents
+    table (operators/retrieval.py bm25_topk — the lexical retriever a
+    curation pipeline uses for decontamination beyond n-gram overlap,
+    dedup candidate generation, and retrieval-based filtering). Pure
+    built-in ops: the only corpus-sized shuffle is the (doc, term)
+    frequency aggregate; query terms and their document frequencies
+    are broadcast. Scores ranked on the 6-dp rounding with a doc-id
+    tie-break so the top-k cut is engine-portable."""
+    from vicinity_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, docs.where(F.col("doc_id") < NQ), k=10)
+
+
+_HYBRID_RRF_SQL = f"""
+WITH {_bm25_ctes()},
+dense AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         {{dist}} AS d
+  FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}) q
+  CROSS JOIN embeddings e
+),
+dense_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS BIGINT) AS rank
+  FROM dense
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bm25_ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM dense_ranked WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf FROM contrib GROUP BY query_id, doc_id
+),
+fr AS (
+  SELECT query_id, doc_id, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, rank FROM fr WHERE rank <= 10
+""".format(dist=sql_distance("cosine", "q.qv", "e.embedding", clip=False))
+
+
+@register("docs_hybrid_rrf", _HYBRID_RRF_SQL)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: HYBRID retrieval — BM25 over the documents table fused
+    with exact cosine k-NN over the embeddings table (vec_id ≡ doc_id
+    in the testdata) by reciprocal rank fusion
+    (operators/retrieval.py rrf_fuse, k0=60). The standard hybrid
+    search composition: each retriever contributes 1/(60+rank) for
+    its top-20, fused top-10 per query. The fusion itself touches
+    only the two ranked lists (≤ queries × 20 rows per side) — at
+    100 TB the cost lives entirely in the retrievers, which are the
+    already-certified BM25 and k-NN plans."""
+    from vicinity_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, docs.where(F.col("doc_id") < NQ), k=20)
+    dense = knn_join(
+        _emb_corpus(spark, sf_dir),
+        _emb_queries(spark, sf_dir),
+        k=20,
+        metric="cosine",
+        algorithm="window",
+        dim=DIM,
+    ).select("query_id", F.col("id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, dense, k=10)
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4530,11 +4659,16 @@ _CHECK_FIRST = [
     "dedup_connected_components",
     "dedup_shared_grams",
     "docs_unigram_xent",
-    # (b) r10-green, r11-touched code paths (17):
+    # (b2) NEW in r11 (never green — must sit inside the window):
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    # (b) r10-green, r11-touched code paths (15; dedup_minhash_onepass
+    # and dedup_minhash_affine moved to the mid-section to make room
+    # for the two new rows — both r10-green, and the rowwise-miner
+    # injection path they exercise stays covered in-window by
+    # dedup_minhash_lsh/_capped/_tokenroll and dedup_neardup_e2e):
     "dedup_minhash_lsh",
-    "dedup_minhash_onepass",
     "dedup_minhash_capped",
-    "dedup_minhash_affine",
     "dedup_minhash_tokenroll",
     "dedup_minhash_incremental",
     "dedup_minhash_snapshot",
