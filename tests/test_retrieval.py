@@ -107,6 +107,35 @@ def test_rrf_closed_form(spark):
     assert got[11] == (only_second_rank2, 3)
 
 
+def test_bm25_plan_shape(spark, docs_df):
+    """Pin the 100 TB posture: the query side reaches the corpus ONLY
+    through broadcasts (no shuffle of the corpus keyed on anything but
+    the tf aggregate), document frequencies come from a window over the
+    filtered postings (not a second corpus-scan branch), and the
+    top-k cut runs as WindowGroupLimit (rank pushed below the final
+    exchange)."""
+    qdf = docs_df.where("doc_id < 2")
+    plan = (
+        bm25_topk(docs_df, qdf, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 4, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # query side must never shuffle the corpus
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_partitioning_invariant(spark, docs_df):
+    """Results identical under a different corpus partitioning — the
+    6-dp rounding before the rank absorbs partial-sum reordering."""
+    qdf = docs_df.where("doc_id < 2")
+    a = sorted(map(tuple, bm25_topk(docs_df, qdf, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs_df.repartition(7), qdf, k=5).collect()))
+    assert a == b
+
+
 def test_rrf_tie_breaks_by_doc_id(spark):
     a = spark.createDataFrame(
         [(1, 20, 1), (1, 7, 1)], "query_id long, doc_id long, rank long"
