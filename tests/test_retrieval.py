@@ -87,6 +87,37 @@ def test_bm25_validates_k(spark, docs_df):
         rrf_fuse(docs_df, docs_df, k=0)
 
 
+def test_hard_negatives(spark):
+    """Self row and textual near-dups drop; survivors re-rank by
+    distance; an empty-token candidate vs a non-empty query scores
+    Jaccard 0 and survives (trivially not a near-dup) — both engines
+    agree, so the oracle row pins the same rule."""
+    from vicinity_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),  # exact dup of the query
+            (2, "alpha beta zzz qqq"),  # jaccard 2/6 — hard negative
+            (3, "www xxx yyy zzz2"),  # disjoint — hard negative
+            (4, ""),  # empty token set → jaccard 0, kept
+        ],
+        "doc_id long, text string",
+    )
+    neighbors = spark.createDataFrame(
+        [(0, 0, 0.0), (0, 1, 0.05), (0, 2, 0.2), (0, 3, 0.3), (0, 4, 0.25)],
+        "query_id long, id long, distance double",
+    )
+    rows = hard_negatives(neighbors, docs, k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(2, 1), (4, 2), (3, 3)]
+    assert rows[0]["jaccard"] == round(2 / 6, 6)
+    assert rows[1]["jaccard"] == 0.0 and rows[2]["jaccard"] == 0.0
+    # k cuts after the exclusion, not before
+    assert len(hard_negatives(neighbors, docs, k=1).collect()) == 1
+    with pytest.raises(ValueError):
+        hard_negatives(neighbors, docs, k=0)
+
+
 def test_rrf_closed_form(spark):
     # query 1: doc 10 in both lists, docs 11/12 in one each
     a = spark.createDataFrame(

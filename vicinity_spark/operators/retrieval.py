@@ -147,6 +147,81 @@ def bm25_topk(
     )
 
 
+def hard_negatives(
+    neighbors: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    *,
+    max_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    neighbor_id_col: str = "id",
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training data:
+    from an embedding-space neighbor list (``knn_join`` output —
+    (query_id, id, distance, …)), drop the candidates that are TEXTUAL
+    near-duplicates of their query document (token-set Jaccard ≥
+    ``max_jaccard`` against ``docs``), drop the self row, and re-rank
+    the survivors by (distance asc, id asc) to the new top-``k``.
+    What remains is the standard hard-negative set: semantically close
+    but not the same text — the pairs an embedding model trains
+    against. (Textual near-dups are the POSITIVE candidates; mining
+    them is the dedup family's job.)
+
+    Output: (query_id, doc_id, distance, jaccard, rank).
+
+    Scale shape: everything here operates on the neighbor LIST
+    (≤ queries × k_in rows). Token arrays are attached by two joins in
+    which the pair list is the broadcast side, so the corpus is never
+    shuffled — just two column-pruned scans of (id, text) — and the
+    Jaccard itself is computed IN-ROW (array_intersect/array_union),
+    no token explode. The heavy lifting already happened in the
+    ANN/exact retriever that produced ``neighbors``. A candidate with
+    an empty token set scores Jaccard 0 against a non-empty query (it
+    is trivially not a near-dup) and survives; only a pair where BOTH
+    token sets are empty (0/0 → NULL) is dropped."""
+    if k <= 0:
+        raise ValueError("k must be greater than 0")
+    pairs = neighbors.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_id_col).alias("doc_id"),
+        F.col(distance_col).alias("distance"),
+    ).where(F.col("query_id") != F.col("doc_id"))
+    toks = docs.select(
+        F.col(id_col).alias("__tid"),
+        F.array_distinct(_clean_toks(text_col)).alias("__toks"),
+    )
+    qj = toks.withColumnRenamed("__toks", "__qtoks").withColumnRenamed(
+        "__tid", "query_id"
+    )
+    cj = toks.withColumnRenamed("__toks", "__ctoks").withColumnRenamed(
+        "__tid", "doc_id"
+    )
+    scored = (
+        pairs.join(qj, "query_id")
+        .join(cj, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__qtoks", "__ctoks")).cast("double")
+                / F.size(F.array_union("__qtoks", "__ctoks")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") < max_jaccard)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "distance", "jaccard", "rank")
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -4589,6 +4589,73 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, dense, k=10)
 
 
+_HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         {sql_distance('cosine', 'q.qv', 'e.embedding', clip=False)} AS d
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, doc_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS r
+  FROM pairs
+),
+cand AS (SELECT query_id, doc_id, d FROM ranked WHERE r <= 20 AND query_id <> doc_id),
+toks AS (
+  SELECT doc_id AS tid,
+         list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tk
+  FROM documents
+),
+j AS (
+  SELECT c.query_id, c.doc_id, c.d,
+         round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard
+  FROM cand c JOIN toks a ON c.query_id = a.tid JOIN toks b ON c.doc_id = b.tid
+),
+rr AS (
+  SELECT query_id, doc_id, d, jaccard,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS BIGINT) AS rank
+  FROM j WHERE jaccard < 0.5
+)
+SELECT query_id, doc_id, round(greatest(d, 0.0), 6) AS distance, jaccard, rank
+FROM rr WHERE rank <= 10
+"""
+
+
+@register("docs_hard_negatives", _HARD_NEGATIVES_SQL)
+def docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: hard-negative mining for contrastive / embedding training
+    (operators/retrieval.py hard_negatives): embedding-space top-20
+    neighbors per query doc, textual near-duplicates (token-set
+    Jaccard ≥ 0.5 — the POSITIVE candidates) and the self row dropped,
+    survivors re-ranked by distance to the top-10. Everything past the
+    retriever operates on the neighbor list: the pair list broadcasts
+    into two column-pruned scans of documents and the Jaccard is one
+    in-row array_intersect/array_union — the corpus is never
+    shuffled."""
+    from vicinity_spark.operators.retrieval import hard_negatives
+
+    dense = knn_join(
+        _emb_corpus(spark, sf_dir),
+        _emb_queries(spark, sf_dir),
+        k=20,
+        metric="cosine",
+        algorithm="window",
+        dim=DIM,
+    )
+    hn = hard_negatives(
+        dense, _t(spark, sf_dir, "documents"), k=10, max_jaccard=0.5
+    )
+    return hn.select(
+        "query_id",
+        "doc_id",
+        F.round("distance", 6).alias("distance"),
+        "jaccard",
+        "rank",
+    )
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4662,11 +4729,15 @@ _CHECK_FIRST = [
     # (b2) NEW in r11 (never green — must sit inside the window):
     "docs_bm25_topk",
     "docs_hybrid_rrf",
-    # (b) r10-green, r11-touched code paths (15; dedup_minhash_onepass
-    # and dedup_minhash_affine moved to the mid-section to make room
-    # for the two new rows — both r10-green, and the rowwise-miner
-    # injection path they exercise stays covered in-window by
-    # dedup_minhash_lsh/_capped/_tokenroll and dedup_neardup_e2e):
+    "docs_hard_negatives",
+    # (b) r10-green, r11-touched code paths (14; dedup_minhash_onepass,
+    # dedup_minhash_affine and emb_random_projection moved to the
+    # mid-section to make room for the three new rows — all r10-green:
+    # the rowwise-miner injection path stays covered in-window by
+    # dedup_minhash_lsh/_capped/_tokenroll and dedup_neardup_e2e, and
+    # embedding.py's only r11 touch (covariance combine='auto') is
+    # covered by emb_covariance; the projection physical-form pair
+    # keeps emb_projection_arrow in-window):
     "dedup_minhash_lsh",
     "dedup_minhash_capped",
     "dedup_minhash_tokenroll",
@@ -4681,7 +4752,6 @@ _CHECK_FIRST = [
     "ann_recall_summary",
     "emb_covariance",
     "emb_projection_arrow",
-    "emb_random_projection",
 ]
 
 # r11 tail: 33 rows, every one green in CORRECTNESS_r10.json with its
