@@ -738,36 +738,45 @@ def emb_projection_1024(spark, sf_dir):
     return run
 
 
-def bm25_200k(spark, sf_dir):
-    """r11: BM25 top-k retrieval (operators/retrieval.py bm25_topk) at
-    the 200k tier — 8 query-by-example docs against 200k docs × 32
-    tokens over a 50k shared vocabulary (the bounded-vocab recipe: a
-    retrieval bench over _synth_docs' unique-per-doc vocabulary would
-    match nothing but the query doc itself — the wrong asymptote; at
-    50k vocab each query term matches ~128 postings, so the timed work
-    is the real shape: one 6.4M-row (doc, term) tf aggregate + the
-    broadcast-filtered score join + per-query top-k). Corpus cached
-    untimed (the retrieval serves many query batches in production);
-    one untimed warm-up drives the plan's codegen."""
-    vocab, n, tokens = 50_000, 200_000, 32
-    toks = [
-        F.concat(
-            F.lit("w"),
-            (F.abs(F.xxhash64(F.col("id"), F.lit(j))) % vocab).cast("string"),
-        )
-        for j in range(tokens)
-    ]
-    docs = (
-        spark.range(0, n, 1, 32)
-        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text"))
-        .cache()
-    )
-    docs.count()
-    queries = docs.where(F.col("doc_id") < 8)
-    from vicinity_spark.operators.retrieval import bm25_topk
+def _bm25_bench(n, vocab, parts=32):
+    """r11: BM25 top-k retrieval (operators/retrieval.py bm25_topk) —
+    8 query-by-example docs against n docs × 32 tokens over a shared
+    `vocab`-word vocabulary (the bounded-vocab recipe: a retrieval
+    bench over _synth_docs' unique-per-doc vocabulary would match
+    nothing but the query doc itself — the wrong asymptote; the vocab
+    scales with n so per-term selectivity — ~128 matching postings per
+    query term — stays constant across tiers, making the 200k→2M pair
+    a clean linear-scaling probe of the one corpus-sized stage: the
+    (doc, term) tf aggregate + the broadcast-filtered score join).
+    Corpus cached untimed (the retrieval serves many query batches in
+    production); one untimed warm-up drives the plan's codegen."""
 
-    bm25_topk(docs, queries, k=10).count()  # untimed warm-up
-    return lambda s, d: bm25_topk(docs, queries, k=10)
+    def make(spark, sf_dir):
+        tokens = 32
+        toks = [
+            F.concat(
+                F.lit("w"),
+                (F.abs(F.xxhash64(F.col("id"), F.lit(j))) % vocab).cast("string"),
+            )
+            for j in range(tokens)
+        ]
+        docs = (
+            spark.range(0, n, 1, parts)
+            .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text"))
+            .cache()
+        )
+        docs.count()
+        queries = docs.where(F.col("doc_id") < 8)
+        from vicinity_spark.operators.retrieval import bm25_topk
+
+        bm25_topk(docs, queries, k=10).count()  # untimed warm-up
+        return lambda s, d: bm25_topk(docs, queries, k=10)
+
+    return make
+
+
+bm25_200k = _bm25_bench(200_000, 50_000)
+bm25_2m = _bm25_bench(2_000_000, 500_000, parts=64)
 
 
 def pca_projection_1024(spark, sf_dir):
@@ -1251,6 +1260,7 @@ BENCH = {
     "pca_projection_1024": pca_projection_1024,
     # r11 additions, appended (same rule as above)
     "bm25_200k": bm25_200k,
+    "bm25_2m": bm25_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the
