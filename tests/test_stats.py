@@ -106,3 +106,83 @@ def test_unigram_logprob_reference_lm_and_unk(spark):
     lx, lunk = math.log(3 / 6.0), math.log(1 / 6.0)
     assert got[1] == (2, round(-(lx + lunk) / 2, 6))
     assert got[2] == (0, None)
+
+
+def test_bigram_logprob_closed_form(spark):
+    """r11: stupid-backoff bigram xent vs a direct transcription —
+    covers the first-token unigram event, the bigram table hit, the
+    backoff path, a single-token doc and an empty doc."""
+    import math
+    from collections import Counter
+
+    from vicinity_spark.operators.textops import bigram_logprob
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "a b c"),
+        (2, "c a"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.xent) for r in bigram_logprob(df).collect()}
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in docs}
+    bigrams = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    marg = Counter()
+    for (w1, _), c in bigrams.items():
+        marg[w1] += c
+    uni = Counter(w for ts in toks.values() for w in ts)
+    n, v = sum(uni.values()), len(uni)
+
+    def lp_uni(w):
+        return math.log((uni.get(w, 0) + 1) / (n + (v + 1)))
+
+    def lp(w1, w):
+        if w1 is None:
+            return lp_uni(w)
+        if (w1, w) in bigrams:
+            return math.log(bigrams[(w1, w)] / marg[w1])
+        return math.log(0.4) + lp_uni(w)
+
+    for i, ts in toks.items():
+        if not ts:
+            assert got[i] == (0, None)
+            continue
+        s = lp(None, ts[0]) + sum(lp(ts[j - 1], ts[j]) for j in range(1, len(ts)))
+        assert got[i] == (len(ts), round(-s / len(ts), 6)), i
+
+
+def test_bigram_lm_cap_deterministic_and_backoff(spark):
+    """The top-N cap keeps the (count desc, w1, w2) head; capped-out
+    pairs score through the backoff, so a capped model's xent is >=
+    the uncapped model's on a doc whose pairs fell out of the table."""
+    import math
+
+    from vicinity_spark.operators.textops import bigram_logprob, fit_bigram_lm
+
+    docs = [
+        (0, "a b a b a b"),  # (a,b) x3, (b,a) x2 — dominate the head
+        (1, "c d"),
+        (2, "e f"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = {
+        (r.w1, r.w2) for r in fit_bigram_lm(df, max_bigrams=3).collect()
+    }
+    # counts: (a,b)=3, (b,a)=2, then ties (c,d)=(e,f)=1 break lexically
+    assert kept == {("a", "b"), ("b", "a"), ("c", "d")}
+    full = {r.doc_id: r.xent for r in bigram_logprob(df).collect()}
+    capped = {
+        r.doc_id: r.xent for r in bigram_logprob(df, max_bigrams=3).collect()
+    }
+    assert capped[0] == full[0]  # doc 0's pairs all kept
+    assert capped[2] > full[2]  # (e,f) fell out -> backoff penalty
+    # reference LM scoring: a bigram table fit elsewhere plugs in
+    lm_bi = fit_bigram_lm(df.where("doc_id = 0"))
+    got = bigram_logprob(
+        df.where("doc_id = 1"), lm_bi=lm_bi
+    ).collect()[0]
+    assert got.n_tokens == 2 and got.xent is not None

@@ -444,3 +444,169 @@ def fit_unigram_lm(
         F.lit("__unk__").alias("tok"), F.log(F.lit(alpha) / denom).alias("logp")
     )
     return lm.unionByName(unk)
+
+
+def _bigram_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per consecutive token pair, built
+    IN-ROW (zip of toks[:-1] with toks[1:] via a transform over
+    positions) then exploded: one corpus pass, no position self-join."""
+    toks = F.filter(_toks(text_col), lambda t: t != "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # guard BEFORE the sequence evaluates: sequence(1, n-1) DESCENDS
+    # for n < 2 ([1, 0]) and element_at(toks, 0) is a runtime error
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def fit_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bigrams: "int | None" = None,
+) -> DataFrame:
+    """(w1, w2, logp) maximum-likelihood conditional bigram table:
+    logp = ln(c(w1,w2) / c(w1·)) with c(w1·) the bigram-event marginal
+    (the last token of a doc starts no bigram). No smoothing — unseen
+    bigrams are the backoff path's job (``bigram_logprob``), which is
+    the stupid-backoff contract (Brants et al.: S(w2|w1) = ML if seen,
+    else λ·S(w2)).
+
+    ``max_bigrams`` caps the table to the top-N bigrams by
+    (count desc, w1 asc, w2 asc) — deterministic, so an external
+    replay selects the identical rows. A capped table stays
+    broadcastable at ANY corpus size; dropped bigrams simply score
+    through the backoff, degrading the score smoothly rather than the
+    plan. Conditionals are computed against the FULL marginal before
+    the cap, so retained rows keep their true ML values.
+
+    Scale: one corpus pass (in-row pair zip) into one
+    map-side-combined groupBy; the marginal is a second aggregate of
+    the same bounded frequency table, not of the corpus."""
+    bg = _bigram_stream(docs, text_col, id_col)
+    # materialize the frequency table once (same r9 lesson as
+    # fit_unigram_lm): the cap and the marginal both read it, and
+    # without the checkpoint each branch re-runs the corpus pair pass
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    if max_bigrams is not None:
+        # the DISTINCT-bigram table is NOT vocab²-bounded in practice
+        # but it can be corpus-sized in the worst case — the cap must
+        # therefore be a distributed top-N (orderBy+limit plans as
+        # TakeOrderedAndProject: per-partition top-N, one driver
+        # merge of N rows), NEVER a global row_number window (that
+        # would funnel the whole count table through one partition —
+        # the exact single-partition sort the 100 TB posture forbids).
+        # The (count desc, w1, w2) order is total, so the kept set is
+        # deterministic and externally replayable.
+        cnt_kept = cnt.orderBy(
+            F.col("__c").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(max_bigrams)
+    else:
+        cnt_kept = cnt
+    marg = cnt.groupBy("w1").agg(F.sum("__c").cast("double").alias("__m"))
+    return cnt_kept.join(marg, "w1").select(
+        "w1", "w2", F.log(F.col("__c") / F.col("__m")).alias("logp")
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_bi: "DataFrame | None" = None,
+    lm_uni: "DataFrame | None" = None,
+    backoff: float = 0.4,
+    alpha: float = 1.0,
+    max_bigrams: "int | None" = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, xent) — per-doc cross-entropy (nats/token)
+    under a BIGRAM model with stupid backoff: the first token scores
+    p_uni(t1); token i>1 scores p(t_i|t_{i-1}) from ``lm_bi`` when the
+    pair is in the table, else ``backoff`` · p_uni(t_i) with the
+    add-α unigram (unseen unigrams at its ``__unk__`` floor). One LM
+    event per token, so xent is comparable with ``unigram_logprob``
+    (a bigram model should score typical text LOWER — it conditions).
+
+    ``lm_bi`` / ``lm_uni``: pass fitted tables to score against a
+    reference corpus (fit with ``fit_bigram_lm`` / ``fit_unigram_lm``);
+    defaults fit on ``docs`` itself. Both tables are bounded
+    (max_bigrams / vocab) — broadcast-scale at any corpus size.
+
+    Scale: one corpus pass builds the (prev, tok) event stream in-row;
+    the two LM joins are plain equi-joins against bounded tables (AQE
+    broadcasts them); the per-doc sum rounds to 1e-6 like every LM
+    scorer here."""
+    if lm_uni is None:
+        lm_uni = fit_unigram_lm(docs, text_col=text_col, id_col=id_col, alpha=alpha)
+    if lm_bi is None:
+        lm_bi = fit_bigram_lm(
+            docs, text_col=text_col, id_col=id_col, max_bigrams=max_bigrams
+        )
+    toks = F.filter(_toks(text_col), lambda t: t != "")
+    ev = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("w1"),
+            F.element_at(toks, i).alias("w"),
+        ),
+    )
+    events = (
+        # zero-token docs skip the event stream (sequence(1, 0)
+        # descends; element_at(toks, 0) errors) and re-enter through
+        # the final left join with n_tokens=0 / xent NULL
+        docs.where(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.explode(ev).alias("e"))
+        .select("doc_id", F.col("e.w1").alias("w1"), F.col("e.w").alias("tok"))
+    )
+    unk = lm_uni.where(F.col("tok") == "__unk__").select(
+        F.col("logp").alias("__unk_lp")
+    )
+    uni = lm_uni.where(F.col("tok") != "__unk__").select(
+        "tok", F.col("logp").alias("__uni_lp")
+    )
+    bi = lm_bi.select("w1", F.col("w2").alias("tok"), F.col("logp").alias("__bi_lp"))
+    scored = (
+        events.join(bi, ["w1", "tok"], "left")
+        .join(uni, "tok", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            "doc_id",
+            F.when(F.col("__bi_lp").isNotNull(), F.col("__bi_lp"))
+            .otherwise(
+                F.when(F.col("w1").isNotNull(), F.log(F.lit(backoff))).otherwise(
+                    F.lit(0.0)
+                )
+                + F.coalesce("__uni_lp", F.col("__unk_lp"))
+            )
+            .alias("logp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("__s")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(-F.col("__s") / F.col("n_tokens"), 6),
+            ).alias("xent"),
+        )
+    )

@@ -4589,6 +4589,70 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, dense, k=10)
 
 
+_BIGRAM_XENT_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+ev AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok FROM tk
+),
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM ev a JOIN ev b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2),
+bkept AS (
+  SELECT w1, w2, c FROM (
+    SELECT w1, w2, c, row_number() OVER (ORDER BY c DESC, w1, w2) AS r FROM bc
+  ) WHERE r <= 2000
+),
+bm AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS m FROM bc GROUP BY w1),
+blp AS (SELECT k.w1, k.w2, ln(k.c / bm.m) AS logp FROM bkept k JOIN bm USING (w1)),
+tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS tok FROM tk) GROUP BY tok
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tf),
+ulp AS (SELECT tok, ln((c + 1.0) / (tot.n + (tot.v + 1.0))) AS logp FROM tf, tot),
+scoredev AS (
+  SELECT e.doc_id,
+         CASE WHEN e.pos = 1 THEN u.logp
+              WHEN b.logp IS NOT NULL THEN b.logp
+              ELSE ln(0.4) + u.logp END AS logp
+  FROM ev e
+  LEFT JOIN ev p ON p.doc_id = e.doc_id AND p.pos = e.pos - 1
+  LEFT JOIN blp b ON b.w1 = p.tok AND b.w2 = e.tok
+  JOIN ulp u ON u.tok = e.tok
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt, sum(logp) AS s
+  FROM scoredev GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.nt, 0) AS n_tokens,
+       CASE WHEN per.nt > 0 THEN round(-per.s / per.nt, 6) END AS xent
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register("docs_bigram_xent", _BIGRAM_XENT_SQL)
+def docs_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (★ curation): per-doc cross-entropy under a BIGRAM model
+    with stupid backoff (operators/textops.py bigram_logprob) — the
+    n-gram step up from docs_unigram_xent toward the CCNet 5-gram
+    perplexity filter: first token scores p_uni, later tokens the ML
+    conditional when the pair is in the fitted table, else
+    0.4·p_uni. The table is capped at the top-2000 bigrams by
+    (count desc, w1, w2) — a DETERMINISTIC cut both engines replay,
+    sized so the gate exercises BOTH the table-hit and the backoff
+    path at every sf. Plan: one in-row pair-zip corpus pass per fit
+    and per score, a distributed TakeOrdered cap (never a global
+    single-partition rank), bounded broadcastable tables."""
+    from vicinity_spark.operators.textops import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), max_bigrams=2000)
+
+
 _HARD_NEGATIVES_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
 pairs AS (
@@ -4730,11 +4794,13 @@ _CHECK_FIRST = [
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_hard_negatives",
-    # (b) r10-green, r11-touched code paths (14; dedup_minhash_onepass,
-    # dedup_minhash_affine and emb_random_projection moved to the
-    # mid-section to make room for the three new rows — all r10-green:
-    # the rowwise-miner injection path stays covered in-window by
-    # dedup_minhash_lsh/_capped/_tokenroll and dedup_neardup_e2e, and
+    "docs_bigram_xent",
+    # (b) r10-green, r11-touched code paths (13; dedup_minhash_onepass,
+    # dedup_minhash_affine, emb_random_projection and dedup_exact moved
+    # to the mid-section to make room for the four new rows — all
+    # r10-green: the rowwise-miner injection path stays covered
+    # in-window by dedup_minhash_lsh/_capped/_tokenroll and
+    # dedup_neardup_e2e, the exact-dedup path is untouched in r11, and
     # embedding.py's only r11 touch (covariance combine='auto') is
     # covered by emb_covariance; the projection physical-form pair
     # keeps emb_projection_arrow in-window):
@@ -4745,7 +4811,6 @@ _CHECK_FIRST = [
     "dedup_minhash_snapshot",
     "dedup_minhash_compacted",
     "dedup_neardup_e2e",
-    "dedup_exact",
     "neardup_pairs",
     "semantic_dedup",
     "ann_lsh_knn",
