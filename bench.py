@@ -779,6 +779,44 @@ bm25_200k = _bm25_bench(200_000, 50_000)
 bm25_2m = _bm25_bench(2_000_000, 500_000, parts=64)
 
 
+def bigram_xent_2m(spark, sf_dir):
+    """r11: stupid-backoff bigram quality scoring
+    (textops.bigram_logprob) at 2M docs × 24 tokens over the bounded
+    50k-type vocabulary (same recipe and rationale as dsir_2m: an LM
+    bench needs a vocab that does NOT scale with the corpus). Timed
+    work = the bigram fit (one in-row pair-zip corpus pass → 46M-pair
+    aggregate → TakeOrdered 65k cap), the unigram fit, and the scoring
+    pass (one event-stream corpus pass + two bounded-table joins +
+    per-doc sums) — re-fitting per run is the daily curation job's
+    real price. Output reduced to one aggregate row so the driver
+    never collects 2M scores."""
+    vocab, n = 50_000, 2_000_000
+    toks = [
+        F.substring(
+            F.md5((F.abs(F.hash(F.col("doc_id"), F.lit(j))) % vocab).cast("string")),
+            1,
+            8,
+        )
+        for j in range(24)
+    ]
+    docs = (
+        spark.range(0, n, 1, 64)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+        .cache()
+    )
+    docs.count()
+    from vicinity_spark.operators.textops import bigram_logprob
+
+    def run(s, d):
+        scored = bigram_logprob(docs, max_bigrams=65_536)
+        return scored.agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.avg("xent"), 4).alias("avg_xent")
+        )
+
+    return run
+
+
 def pca_projection_1024(spark, sf_dir):
     """r10 (VERDICT r9 item 1): PCA at the module's production shape —
     fit + apply over 200k × 1024-d → 128-d. Timed work = the full
@@ -1261,6 +1299,7 @@ BENCH = {
     # r11 additions, appended (same rule as above)
     "bm25_200k": bm25_200k,
     "bm25_2m": bm25_2m,
+    "bigram_xent_2m": bigram_xent_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

@@ -494,14 +494,7 @@ def fit_bigram_lm(
     map-side-combined groupBy; the marginal is a second aggregate of
     the same bounded frequency table, not of the corpus."""
     bg = _bigram_stream(docs, text_col, id_col)
-    # materialize the frequency table once (same r9 lesson as
-    # fit_unigram_lm): the cap and the marginal both read it, and
-    # without the checkpoint each branch re-runs the corpus pair pass
-    cnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
-    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
     if max_bigrams is not None:
         # the DISTINCT-bigram table is NOT vocab²-bounded in practice
         # but it can be corpus-sized in the worst case — the cap must
@@ -517,7 +510,15 @@ def fit_bigram_lm(
         ).limit(max_bigrams)
     else:
         cnt_kept = cnt
-    marg = cnt.groupBy("w1").agg(F.sum("__c").cast("double").alias("__m"))
+    # the marginal aggregates the PAIR STREAM directly (vocab-bounded,
+    # map-side combined) rather than re-reading `cnt`: the
+    # distinct-bigram table is corpus-scale in the worst case, so
+    # neither pinning it with localCheckpoint (executor-storage
+    # residency ∝ corpus — the fit_unigram_lm trick does NOT transfer,
+    # its tf table is vocab-bounded) nor recomputing its shuffle for a
+    # second consumer is the right trade; a second stream pass with a
+    # tiny shuffle is
+    marg = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("__m"))
     return cnt_kept.join(marg, "w1").select(
         "w1", "w2", F.log(F.col("__c") / F.col("__m")).alias("logp")
     )
