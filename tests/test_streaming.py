@@ -1149,6 +1149,60 @@ def test_stream_lm_scores_matches_batch(spark, tmp_path):
         assert llr == want_w[doc_id][1]
 
 
+def test_stream_lm_scores_bigram_matches_batch(spark, tmp_path):
+    """r11: the lm_bi slot — streaming micro-batch scoring under the
+    stupid-backoff bigram model equals one batch bigram_logprob pass
+    with the same precomputed tables (fit daily in batch, score the
+    crawl — now with the better model)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.textops import (
+        bigram_logprob,
+        fit_bigram_lm,
+        fit_unigram_lm,
+    )
+    from vicinity_spark.streaming.clean import stream_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm_uni = fit_unigram_lm(docs).cache()
+    # small cap so BOTH the table-hit and the backoff paths stream
+    lm_bi = fit_bigram_lm(docs, max_bigrams=500).cache()
+
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["xent"])
+        for r in bigram_logprob(docs, lm_bi=lm_bi, lm_uni=lm_uni).collect()
+    }
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "bigram_stream_src"
+    halves = [docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)]
+    for i, h in enumerate(halves):
+        h.select("doc_id", "text").withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    w = stream_lm_scores(
+        stream,
+        lm_uni,
+        sink=lambda df, bid: got.extend(
+            (r.doc_id, r.n_tokens, r.xent) for r in df.collect()
+        ),
+        lm_bi=lm_bi,
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert len(got) == docs.count()
+    for doc_id, n_tokens, xent in got:
+        assert (n_tokens, xent) == want[doc_id]
+
+
 def test_stream_daily_ingest_loop(spark, tmp_path):
     """r9 (VERDICT item 6): the COMPOSED daily-ingest loop — probe →
     filter survivors → append their buckets + text → score — as one

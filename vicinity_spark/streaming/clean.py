@@ -84,6 +84,8 @@ def stream_lm_scores(
     sink,
     *,
     target_lm: "DataFrame | None" = None,
+    lm_bi: "DataFrame | None" = None,
+    backoff: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
@@ -94,6 +96,14 @@ def stream_lm_scores(
     given. This is the production split the batch operators assume:
     fit the LM(s) once a day in batch (textops.fit_unigram_lm /
     sampling.dsir_weights), score the live crawl as it lands.
+
+    ``lm_bi`` (r11): pass a fitted bigram table
+    (textops.fit_bigram_lm) to score ``xent`` under the
+    stupid-backoff BIGRAM model instead (textops.bigram_logprob —
+    seen pairs at their ML conditional, unseen at
+    ``backoff``·p_uni); the unigram ``lm`` stays required as the
+    backoff distribution (and the DSIR feature model, which is
+    unigram by construction, keeps using it).
 
     Stateless by construction — scoring is a token join + per-doc sum
     WITHIN one micro-batch, so it runs under foreachBatch (each
@@ -116,6 +126,10 @@ def stream_lm_scores(
     lm = lm.localCheckpoint(eager=True)
     if target_lm is not None:
         target_lm = target_lm.localCheckpoint(eager=True)
+    if lm_bi is not None:
+        # a capped bigram table is bounded by construction; pin it for
+        # the same repeated-evaluation reason as the unigram tables
+        lm_bi = lm_bi.localCheckpoint(eager=True)
     # validate the floor rows ONCE at build time (ADVICE r8 — a table
     # missing '__unk__' silently zeroes every scored doc), then skip
     # the per-micro-batch re-check; the LM here is a plain-token
@@ -129,7 +143,15 @@ def stream_lm_scores(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        out = unigram_logprob(batch_df, text_col=text_col, id_col=id_col, lm=lm)
+        if lm_bi is not None:
+            from vicinity_spark.operators.textops import bigram_logprob
+
+            out = bigram_logprob(
+                batch_df, text_col=text_col, id_col=id_col,
+                lm_bi=lm_bi, lm_uni=lm, backoff=backoff,
+            )
+        else:
+            out = unigram_logprob(batch_df, text_col=text_col, id_col=id_col, lm=lm)
         if target_lm is not None:
             w = dsir_weights_from_lms(
                 batch_df, lm, target_lm, text_col=text_col, id_col=id_col,
