@@ -167,6 +167,64 @@ def test_bm25_partitioning_invariant(spark, docs_df):
     assert a == b
 
 
+def test_stream_bm25_serve_matches_batch(spark, tmp_path):
+    """r11: lexical serving twin — the union of per-trigger BM25
+    top-k rows equals one batch bm25_topk pass over the same queries,
+    and the injected-index path (bm25_index → postings/stats) is
+    value-identical to the self-computed path."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.retrieval import bm25_index
+    from vicinity_spark.streaming.query import stream_bm25_serve
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.where("doc_id < 4").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in bm25_topk(
+            docs, queries, k=5, query_id_col="query_id"
+        ).collect()
+    )
+    # injected-index parity in batch
+    p, s = bm25_index(docs)
+    got_injected = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in bm25_topk(
+            None, queries, k=5, query_id_col="query_id", postings=p, stats=s
+        ).collect()
+    )
+    assert got_injected == want
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "bm25_stream_src"
+    halves = [queries.where("query_id < 2"), queries.where("query_id >= 2")]
+    for i, h in enumerate(halves):
+        h.withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("query_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    w = stream_bm25_serve(
+        docs,
+        stream,
+        k=5,
+        sink=lambda df, bid: got.extend(
+            (r.query_id, r.doc_id, r.bm25, r.rank) for r in df.collect()
+        ),
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert sorted(got) == want
+
+
 def test_rrf_tie_breaks_by_doc_id(spark):
     a = spark.createDataFrame(
         [(1, 20, 1), (1, 7, 1)], "query_id long, doc_id long, rank long"

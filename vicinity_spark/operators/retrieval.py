@@ -44,8 +44,35 @@ def _clean_toks(text_col: str):
     return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
 
 
-def bm25_topk(
+def bm25_index(
     docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[DataFrame, DataFrame]":
+    """(postings, stats) — the two corpus-derived tables ``bm25_topk``
+    scores against: one (doc_id, tok, dl, tf) row per (doc, term), and
+    the one-row (n_docs, avgdl) length stats. Build once, materialize
+    (cache / localCheckpoint / parquet — the postings are
+    corpus-sized, so at scale persist them like any index layout),
+    and pass into ``bm25_topk(postings=…, stats=…)`` so a serving
+    loop never recomputes the corpus aggregate per query batch."""
+    toks = _clean_toks(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("tok"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    postings = base.groupBy("doc_id", "tok", "dl").agg(F.count("*").alias("tf"))
+    stats = docs.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(_clean_toks(text_col))).alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_topk(
+    docs: "DataFrame | None",
     queries: DataFrame,
     k: int = 10,
     *,
@@ -55,6 +82,8 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_text_col: "str | None" = None,
     query_id_col: "str | None" = None,
+    postings: "DataFrame | None" = None,
+    stats: "DataFrame | None" = None,
 ) -> DataFrame:
     """BM25 top-k retrieval: for each query document, the ``k``
     highest-scoring corpus documents under Okapi BM25 with the
@@ -72,27 +101,21 @@ def bm25_topk(
     query term table is broadcast, and per-query-term document
     frequencies come from a window over the query-filtered postings
     (bounded by the query vocabulary's matches, never the corpus).
+    ``postings``/``stats`` (from ``bm25_index``) inject precomputed
+    corpus tables — the serving path's hook (``docs`` may be None
+    then); when given, no corpus aggregate runs in this call.
     """
     if k <= 0:
         raise ValueError("k must be greater than 0")
+    if postings is None or stats is None:
+        if docs is None:
+            raise ValueError("docs is required unless postings AND stats are given")
+        built = bm25_index(docs, text_col=text_col, id_col=id_col)
+        postings = postings if postings is not None else built[0]
+        stats = stats if stats is not None else built[1]
     qt = query_text_col or text_col
     qi = query_id_col or id_col
-
-    toks = _clean_toks(text_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(toks).alias("tok"),
-        F.size(toks).cast("double").alias("dl"),
-    )
-    # one row per (doc, term): term frequency + the doc's length (dl is
-    # functionally dependent on doc_id, so grouping by it is free)
-    tf = base.groupBy("doc_id", "tok", "dl").agg(F.count("*").alias("tf"))
-
-    # corpus stats: ONE row, broadcast into the score expression
-    stats = docs.select(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(_clean_toks(text_col))).alias("avgdl"),
-    )
+    tf = postings
 
     # distinct query terms (qtf ignored); tiny → broadcast
     qterms = queries.select(
