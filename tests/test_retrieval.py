@@ -141,10 +141,11 @@ def test_rrf_closed_form(spark):
 def test_bm25_plan_shape(spark, docs_df):
     """Pin the 100 TB posture: the query side reaches the corpus ONLY
     through broadcasts (no shuffle of the corpus keyed on anything but
-    the tf aggregate), document frequencies come from a window over the
-    filtered postings (not a second corpus-scan branch), and the
-    top-k cut runs as WindowGroupLimit (rank pushed below the final
-    exchange)."""
+    the tf aggregate), document frequencies are a map-side-combined
+    aggregate broadcast back (never a partitionBy(tok) window — a hot
+    query term would funnel its whole postings list into one task),
+    and the top-k cut runs as WindowGroupLimit (rank pushed below the
+    final exchange)."""
     qdf = docs_df.where("doc_id < 2")
     plan = (
         bm25_topk(docs_df, qdf, k=3)
@@ -152,10 +153,12 @@ def test_bm25_plan_shape(spark, docs_df):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 4, plan
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 5, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # query side must never shuffle the corpus
     assert "WindowGroupLimit" in plan
+    # exactly one ranking window (query_id top-k); df must not be one
+    assert plan.count("Window ") <= 1, plan
 
 
 def test_bm25_partitioning_invariant(spark, docs_df):

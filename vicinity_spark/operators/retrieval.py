@@ -95,18 +95,19 @@ def bm25_topk(
     (bm25 desc, doc_id asc) on the 6-dp-rounded score. Queries whose
     terms match nothing return no rows.
 
-    Scale shape: one corpus scan feeds the (doc, term) tf aggregate
-    (the only corpus-sized shuffle, map-side combined); corpus length
-    stats are a second scan reduced to one row and broadcast; the
-    query term table is broadcast, and per-query-term document
-    frequencies come from a window over the query-filtered postings
-    (bounded by the query vocabulary's matches, never the corpus).
+    Scale shape: the (doc, term) tf aggregate is the only corpus-sized
+    shuffle (map-side combined); corpus length stats reduce a scan to
+    one broadcast row; the query term table is broadcast, and
+    per-query-term document frequencies are a map-side-combined
+    aggregate of the query-filtered postings, broadcast back (an
+    aggregate, not a window — see the inline note on stopword skew).
     ``postings``/``stats`` (from ``bm25_index``) inject precomputed
     corpus tables — the serving path's hook (``docs`` may be None
     then); when given, no corpus aggregate runs in this call.
     """
     if k <= 0:
         raise ValueError("k must be greater than 0")
+    ad_hoc = postings is None
     if postings is None or stats is None:
         if docs is None:
             raise ValueError("docs is required unless postings AND stats are given")
@@ -125,20 +126,32 @@ def bm25_topk(
     qvocab = qterms.select("tok").distinct()
 
     # postings restricted to query terms (broadcast semi-filter keeps
-    # the corpus-side pipeline a single scan → filter → aggregate).
-    # Document frequency per query term = rows per tok in pf (pf is one
-    # row per (doc, term)) — computed as a WINDOW over pf rather than a
-    # separate aggregate branch: a second branch re-scans and
-    # re-shuffles the whole corpus (Spark prunes the tf count out of
-    # the df branch, so the exchanges don't dedupe), while the window
-    # only shuffles pf, which is bounded by the query vocabulary's
-    # matching postings.
-    pf = tf.join(F.broadcast(qvocab), "tok").withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("double")
-    )
+    # each corpus-side pipeline a single scan → filter → aggregate).
+    # pf feeds TWO consumers — the per-query-term document frequencies
+    # and the score join — and df is an aggregate over the very rows
+    # the score path then needs row-wise, so without materialization
+    # Spark recomputes the corpus tf pass for the second consumer
+    # (measured 2.3× on the 2M tier; the exchanges don't dedupe even
+    # column-matched). A window count (partitionBy tok) would avoid
+    # the branch but has NO partial aggregation — a hot query term (a
+    # stopword in real text) funnels its entire postings list into one
+    # task, the single-task hotspot the 100 TB posture forbids. So in
+    # the ad-hoc path pf is materialized ONCE (eager localCheckpoint,
+    # MEMORY_AND_DISK — residency is bounded by the query-matched
+    # postings, the same volume the score shuffle processes anyway;
+    # the same trick the MinHash miners use for their bucket tables).
+    # When the caller injected a materialized index, the double read
+    # is already cheap — no checkpoint, no per-trigger serving cost.
+    pf = tf.join(F.broadcast(qvocab), "tok")
+    if ad_hoc:
+        pf = pf.localCheckpoint(eager=True)
+    # map-side-combined aggregate, broadcast back — skew-safe where a
+    # window is not
+    dft = pf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
 
     scored = (
         pf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dft), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
