@@ -98,9 +98,19 @@ def main():
                 cur = con.execute(oracles[name])
                 ocols = [d[0] for d in cur.description]
                 orows = cur.fetchall()
-            except Exception:
+            except Exception as e2:
                 failures.append(name)
-                print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+                # report BOTH attempts — a retry that dies differently
+                # (e.g. a real binder error surfacing after an OOM)
+                # must not be masked by the first exception
+                print(
+                    f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}"
+                    + (
+                        f" | retry: {type(e2).__name__}: {e2}"
+                        if f"{type(e2).__name__}: {e2}" != f"{type(e).__name__}: {e}"
+                        else " (retry: same)"
+                    )
+                )
                 continue
         problems = []
         if sorted(scols) != sorted(ocols):

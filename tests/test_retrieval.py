@@ -118,6 +118,32 @@ def test_hard_negatives(spark):
         hard_negatives(neighbors, docs, k=0)
 
 
+def test_hard_negatives_prefers_retriever_rank(spark):
+    """When the neighbor list carries the retriever's rank, the
+    re-rank follows IT — not the (possibly clipped) distance column:
+    knn_join ranks by RAW distance and clips only the output, so two
+    candidates both showing distance 0.0 must keep their raw order,
+    not fall back to doc_id."""
+    from vicinity_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(0, "q tokens here"), (7, "aa bb"), (3, "cc dd")],
+        "doc_id long, text string",
+    )
+    # doc 7 ranked FIRST by the retriever (raw d < 0 clipped to 0.0)
+    neighbors = spark.createDataFrame(
+        [(0, 7, 0.0, 1), (0, 3, 0.0, 2)],
+        "query_id long, id long, distance double, rank long",
+    )
+    rows = hard_negatives(neighbors, docs, k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [7, 3]
+    # without a rank column, the fallback is (distance, doc_id)
+    rows2 = hard_negatives(
+        neighbors.drop("rank"), docs, k=10
+    ).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows2] == [3, 7]
+
+
 def test_rrf_closed_form(spark):
     # query 1: doc 10 in both lists, docs 11/12 in one each
     a = spark.createDataFrame(

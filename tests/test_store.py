@@ -547,24 +547,31 @@ def test_threshold_df_filtered(spark):
 
 def test_store_insert_lineage_bounded(spark, data):
     """r11 (the store-level twin of the LSH branch lifecycle): every
-    insert() extends self.df by one lazy unionByName, so an
+    insert() extends the plan by one lazy unionByName, so an
     insert-heavy session's plan depth — and every query's re-analysis
-    cost — grew linearly until a save. Every _INSERT_CHECKPOINT_EVERY
-    batches the lineage is truncated; results unchanged."""
+    cost — grew linearly until a save. Only the accumulated insert
+    DELTA is checkpointed every _INSERT_CHECKPOINT_EVERY batches —
+    never the base corpus (materializing the full corpus every 8
+    row-level inserts would be the wrong trade at any real size);
+    results unchanged."""
     import numpy as np
 
     from vicinity_spark.store import _INSERT_CHECKPOINT_EVERY
 
     _, _, qvec = data
     store = make_store(spark, data, "basic")
+    base_ref = store._base_df
     rng = np.random.default_rng(11)
     n_inserts = 2 * _INSERT_CHECKPOINT_EVERY + 3
     for i in range(n_inserts):
         v = qvec if i == 0 else rng.random(DIM)
         store.insert([f"ins{i}"], v)
+    # the base frame is untouched by the lifecycle — only the delta
+    # was materialized
+    assert store._base_df is base_ref
     plan = store.df._jdf.queryExecution().optimizedPlan().toString()
     # only the post-checkpoint tail unions remain (3 batches since the
-    # last truncation), never the full insert history
+    # last truncation + the base∪delta seam), never the full history
     assert plan.count("Union") < _INSERT_CHECKPOINT_EVERY, plan[:2000]
     assert len(store) == N + n_inserts
     res = store.query(qvec, k=3)

@@ -37,11 +37,9 @@ BM25_B = 0.75
 RRF_K0 = 60
 
 
-def _clean_toks(text_col: str):
-    """Lowercased whitespace tokens with empties dropped — the same
-    tokenization every textops/dedup operator (and every DuckDB
-    oracle) uses: split(lower(text), ' ') then tok <> ''."""
-    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+# the ONE canonical tokenization, shared with the textops LM family so
+# retrieval scores and every DuckDB oracle stay token-identical
+from vicinity_spark.operators.textops import clean_toks as _clean_toks  # noqa: E402
 
 
 def bm25_index(
@@ -194,17 +192,25 @@ def hard_negatives(
     query_col: str = "query_id",
     neighbor_id_col: str = "id",
     distance_col: str = "distance",
+    rank_col: "str | None" = "rank",
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training data:
     from an embedding-space neighbor list (``knn_join`` output —
-    (query_id, id, distance, …)), drop the candidates that are TEXTUAL
-    near-duplicates of their query document (token-set Jaccard ≥
-    ``max_jaccard`` against ``docs``), drop the self row, and re-rank
-    the survivors by (distance asc, id asc) to the new top-``k``.
-    What remains is the standard hard-negative set: semantically close
-    but not the same text — the pairs an embedding model trains
-    against. (Textual near-dups are the POSITIVE candidates; mining
-    them is the dedup family's job.)
+    (query_id, id, distance, rank)), drop the candidates that are
+    TEXTUAL near-duplicates of their query document (token-set
+    Jaccard ≥ ``max_jaccard`` against ``docs``), drop the self row,
+    and re-rank the survivors to the new top-``k`` — ordered by the
+    retriever's OWN ranking (``rank_col``) when the list carries one,
+    else by (distance asc, id asc). Preferring the incoming rank
+    matters: knn_join ranks by the RAW distance and clips only the
+    output (the codebase-wide argsort-then-clip invariant), so
+    re-sorting the clipped ``distance`` column would reorder
+    candidates whose raw distances were negative (inner-product
+    similarities > 1, cosine ≈ −1e-17 numerical noise) and diverge
+    from any raw-distance replay. What remains is the standard
+    hard-negative set: semantically close but not the same text — the
+    pairs an embedding model trains against. (Textual near-dups are
+    the POSITIVE candidates; mining them is the dedup family's job.)
 
     Output: (query_id, doc_id, distance, jaccard, rank).
 
@@ -220,10 +226,17 @@ def hard_negatives(
     token sets are empty (0/0 → NULL) is dropped."""
     if k <= 0:
         raise ValueError("k must be greater than 0")
+    use_rank = rank_col is not None and rank_col in neighbors.columns
+    order_cols = [
+        F.col(rank_col).cast("long").alias("__in_rank")
+        if use_rank
+        else F.lit(None).cast("long").alias("__in_rank")
+    ]
     pairs = neighbors.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_id_col).alias("doc_id"),
         F.col(distance_col).alias("distance"),
+        *order_cols,
     ).where(F.col("query_id") != F.col("doc_id"))
     toks = docs.select(
         F.col(id_col).alias("__tid"),
@@ -248,9 +261,12 @@ def hard_negatives(
         )
         .where(F.col("jaccard") < max_jaccard)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col("doc_id").asc()
+    order = (
+        [F.col("__in_rank").asc()]
+        if use_rank
+        else [F.col("distance").asc(), F.col("doc_id").asc()]
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)

@@ -23,6 +23,17 @@ def _toks(text_col: str):
     return F.split(F.lower(text_col), " ")
 
 
+def clean_toks(text_col: str) -> Column:
+    """Lowercased whitespace tokens with empties dropped, as an IN-ROW
+    array expression — the ONE canonical tokenization every operator
+    family (textops LMs, retrieval, and the exploded dedup.tokens
+    form) and every DuckDB oracle must agree on: split(lower(text),
+    ' ') then tok <> ''. Cross-engine gate correctness rides on all
+    call sites sharing this definition — import it, don't re-derive
+    it."""
+    return F.filter(_toks(text_col), lambda t: t != "")
+
+
 def _en_hits_expr(text_col: str) -> Column:
     """Stopword-hit count as ONE fold over the in-row token array."""
     return F.aggregate(
@@ -289,7 +300,7 @@ def repetition_scores(
     score 0.0 everywhere. A pretraining filter drops docs above
     thresholds (Gopher: dup-line/2-gram/3-gram fractions; the exact
     cutoffs are a policy knob, not part of this operator)."""
-    toks = F.filter(_toks(text_col), lambda t: t != F.lit(""))
+    toks = clean_toks(text_col)
     nt = F.size(toks)
 
     def dup_frac(arr):
@@ -452,7 +463,7 @@ def _bigram_stream(
     """(doc_id, w1, w2) — one row per consecutive token pair, built
     IN-ROW (zip of toks[:-1] with toks[1:] via a transform over
     positions) then exploded: one corpus pass, no position self-join."""
-    toks = F.filter(_toks(text_col), lambda t: t != "")
+    toks = clean_toks(text_col)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(
@@ -557,7 +568,7 @@ def bigram_logprob(
         lm_bi = fit_bigram_lm(
             docs, text_col=text_col, id_col=id_col, max_bigrams=max_bigrams
         )
-    toks = F.filter(_toks(text_col), lambda t: t != "")
+    toks = clean_toks(text_col)
     ev = F.transform(
         F.sequence(F.lit(1), F.size(toks)),
         lambda i: F.struct(

@@ -4745,17 +4745,19 @@ def docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_FIRST = [
     # --- r11 rotation (VERDICT r10 item 5) ----------------------------
-    # Window design (33 + 17 = 50): (a) ALL 33 rows not green in r10 —
-    # the 32 r10-tail rows plus docs_unigram_xent (r10 mid-section) —
-    # come back, keeping the at-most-one-round-unchecked promise;
-    # (b) the remaining 17 slots go to r10-green rows whose code r11
-    # TOUCHED: the rowwise/incremental/vs_snapshot miners and
-    # append_corpus_buckets (precomputed-bucket injection + idempotent
-    # skip_existing append), neardup_dedup (cap-observation guard),
-    # backends/lsh.py (insert-branch lifecycle, save_extra refresh),
-    # embedding.py covariance_stats (combine='auto' now unconditional).
-    # Everything in _ROTATE_OUT below is r10-green with its specific
-    # operator code untouched in r11.
+    # Window design (33 + 4 + 13 = 50): (a) ALL 33 rows not green in
+    # r10 — the 32 r10-tail rows plus docs_unigram_xent (r10
+    # mid-section) — come back, keeping the at-most-one-round-unchecked
+    # promise; (b2) the FOUR queries NEW in r11 (never green, so they
+    # must sit inside the window); (b) the remaining 13 slots go to
+    # r10-green rows whose code r11 TOUCHED: the
+    # rowwise/incremental/vs_snapshot miners and append_corpus_buckets
+    # (precomputed-bucket injection + idempotent skip_existing append),
+    # neardup_dedup (cap-observation guard), backends/lsh.py
+    # (insert-branch lifecycle, save_extra refresh), embedding.py
+    # covariance_stats (combine='auto' now unconditional). Everything
+    # in _ROTATE_OUT below is r10-green with its specific operator
+    # code untouched in r11.
     # (a) not green in r10 (r10 tail + the one mid-section row):
     "events_asof_join",
     "skew_salted_agg",

@@ -75,8 +75,11 @@ class VectorStore:
         self._count = count
         self._next_id = next_id
         self.metadata = dict(metadata or {})
-        #: insert batches since construction — drives the periodic
-        #: lineage truncation in insert() (see _INSERT_CHECKPOINT_EVERY)
+        #: insert lifecycle (see insert()): the base frame stays
+        #: untouched; inserts accumulate in a delta that alone is
+        #: periodically localCheckpointed (_INSERT_CHECKPOINT_EVERY)
+        self._base_df = df
+        self._insert_delta: "DataFrame | None" = None
         self._insert_batches = 0
 
     # ---- constructors ----------------------------------------------
@@ -390,19 +393,31 @@ class VectorStore:
             if c not in new_df.columns and not c.startswith("__"):
                 new_df = new_df.withColumn(c, F.lit(None))
         new_df = self.strategy.on_insert(new_df, self._metric, self._dim)
-        self.df = self.df.unionByName(new_df, allowMissingColumns=True)
         self._count = (self._count or 0) + len(rows)
         self._next_id = start + len(rows)
-        # lifecycle (r11, same rationale as the LSH insert-postings
-        # branch): each insert extends self.df by one lazy unionByName —
-        # for insert-heavy sessions the plan depth (and every query's
-        # re-analysis cost) grows linearly until a save. Every
-        # _INSERT_CHECKPOINT_EVERY batches, truncate the lineage. The
-        # blocks live on executors — on a cluster with executor churn,
-        # save() periodically instead.
+        # lifecycle (r11, same shape as the LSH insert-postings
+        # branch): the BASE corpus frame is never re-unioned or
+        # checkpointed — only the small accumulated insert DELTA is,
+        # every _INSERT_CHECKPOINT_EVERY batches. self.df stays
+        # base ∪ delta, so plan depth is bounded (base + ≤8 delta
+        # unions) while the periodic materialization costs work and
+        # executor residency proportional to the INSERTED rows, not
+        # the corpus (checkpointing self.df itself would scan and
+        # store the full corpus every 8 row-level inserts — the wrong
+        # trade at any real corpus size). The delta blocks live on
+        # executors — on a cluster with executor churn, save()
+        # periodically instead.
+        self._insert_delta = (
+            new_df
+            if self._insert_delta is None
+            else self._insert_delta.unionByName(new_df, allowMissingColumns=True)
+        )
         self._insert_batches += 1
         if self._insert_batches % _INSERT_CHECKPOINT_EVERY == 0:
-            self.df = self.df.localCheckpoint(eager=True)
+            self._insert_delta = self._insert_delta.localCheckpoint(eager=True)
+        self.df = self._base_df.unionByName(
+            self._insert_delta, allowMissingColumns=True
+        )
 
     def delete(self, items: Sequence[Any]) -> None:
         """Delete by item equality; duplicates all removed; missing
@@ -421,6 +436,10 @@ class VectorStore:
             raise ValueError(f"Tokens {missing} were not in the store.")
         removed = self.df.where(F.col("item_json").isin(tokens)).count()
         self.df = self.df.where(~F.col("item_json").isin(tokens))
+        # the filtered frame (which already folds in any insert delta)
+        # becomes the new base; the delta restarts empty
+        self._base_df = self.df
+        self._insert_delta = None
         if self._count is not None:
             self._count -= removed
 
@@ -452,6 +471,8 @@ class VectorStore:
             # first to sever that lineage (r11; executor-storage cost,
             # so at large scale prefer saving to a fresh folder)
             self.df = self.df.localCheckpoint(eager=True)
+            self._base_df = self.df
+            self._insert_delta = None
         writer = self.df.write.mode("overwrite")
         from vicinity_spark.backends.ivf import CLUSTER_COL
 

@@ -374,8 +374,12 @@ def stream_bm25_serve(
     the query terms' postings.
 
     ``sink(result_df, batch_id)`` receives (query_id, ts, doc_id,
-    bm25, rank) per trigger. Returns the DataStreamWriter — call
-    ``.trigger(...).start()``."""
+    bm25, rank) per trigger. query_id must be unique within a
+    micro-batch (same contract as ``stream_knn_foreachbatch``); a
+    redelivered duplicate row is dropped defensively before scoring —
+    without that, a doubled query would double every term
+    contribution and with it every bm25 score. Returns the
+    DataStreamWriter — call ``.trigger(...).start()``."""
     from vicinity_spark.operators.retrieval import BM25_B, BM25_K1, bm25_index, bm25_topk
 
     if k < 1:
@@ -392,7 +396,9 @@ def stream_bm25_serve(
         stats = stats if stats is not None else built_s.localCheckpoint(eager=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        q = batch_df.select("query_id", ts_col, text_col)
+        q = batch_df.select("query_id", ts_col, text_col).dropDuplicates(
+            ["query_id"]
+        )
         res = bm25_topk(
             None,
             q.select("query_id", text_col),
