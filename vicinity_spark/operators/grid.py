@@ -53,8 +53,20 @@ def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
 
 def corpus_blocks(corpus: DataFrame, payload_col: str, n_blocks: int = None) -> DataFrame:
     """(__cb, __cids, __ccodes) — the corpus scan payload folded into
-    hash blocks (one narrow shuffle of the compact payload)."""
-    ncb = max(1, n_blocks or corpus.rdd.getNumPartitions())
+    hash blocks (one narrow shuffle of the compact payload).
+
+    Default block count = spark.sql.shuffle.partitions: the payload is
+    about to be shuffled anyway (groupBy __cb), so matching the
+    shuffle's own width keeps one block per reduce task without the
+    .rdd plan translation a getNumPartitions() probe would force
+    (the same retirement embedding.py's covariance combine got in
+    r11). Callers that know the payload density (pq/sq pass
+    ceil(n/target_rows)) override via n_blocks."""
+    ncb = max(
+        1,
+        n_blocks
+        or int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
     return (
         corpus.select("id", payload_col)
         .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))

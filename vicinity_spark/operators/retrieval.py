@@ -116,11 +116,15 @@ def bm25_topk(
     qi = query_id_col or id_col
     tf = postings
 
-    # distinct query terms (qtf ignored); tiny → broadcast
+    # distinct query terms (qtf ignored); tiny → broadcast. The outer
+    # .distinct() makes a duplicated query_id row harmless — without it
+    # a repeated row would double every (query_id, tok) contribution
+    # and thus every score (the streaming twin dropDuplicates for the
+    # same reason); the table is queries×terms-sized, so the cost is nil.
     qterms = queries.select(
         F.col(qi).alias("query_id"),
         F.explode(F.array_distinct(_clean_toks(qt))).alias("tok"),
-    )
+    ).distinct()
     qvocab = qterms.select("tok").distinct()
 
     # postings restricted to query terms (broadcast semi-filter keeps

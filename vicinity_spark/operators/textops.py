@@ -382,6 +382,13 @@ def unigram_logprob(
     t = tokens(docs, text_col, id_col)
     if lm is None:
         lm = fit_unigram_lm(docs, text_col=text_col, id_col=id_col, alpha=alpha)
+    else:
+        # a supplied table missing its '__unk__' floor row would empty
+        # the unk crossJoin and silently NULL every score — fail loudly
+        # (same r8-ADVICE hazard the DSIR and streaming paths guard)
+        from vicinity_spark.operators.sampling import _require_unk
+
+        _require_unk(lm, "lm")
     unk = lm.where(F.col("tok") == "__unk__").select(
         F.col("logp").alias("__unk_lp")
     )
@@ -564,6 +571,13 @@ def bigram_logprob(
     scorer here."""
     if lm_uni is None:
         lm_uni = fit_unigram_lm(docs, text_col=text_col, id_col=id_col, alpha=alpha)
+    else:
+        # a supplied unigram table without its '__unk__' floor row
+        # empties the unk crossJoin → xent NULL for every doc; the
+        # streaming twin validates at build time, so must the batch one
+        from vicinity_spark.operators.sampling import _require_unk
+
+        _require_unk(lm_uni, "lm_uni")
     if lm_bi is None:
         lm_bi = fit_bigram_lm(
             docs, text_col=text_col, id_col=id_col, max_bigrams=max_bigrams

@@ -67,7 +67,12 @@ class VectorStore:
         next_id: Optional[int] = None,
         metadata: Optional[dict] = None,
     ):
-        self.df = df
+        #: INVARIANT: self.df must always equal
+        #: _base_df ⊎ _insert_delta — insert() REBUILDS self.df from
+        #: those two fields, so assigning self.df directly without
+        #: resetting them silently discards the change on the next
+        #: insert. All replacement-style mutations go through
+        #: _set_df(); only insert() updates the three fields itself.
         self._metric = Metric.from_string(metric)
         self._dim = int(dim)
         self._backend = Backend.from_string(backend)
@@ -75,12 +80,17 @@ class VectorStore:
         self._count = count
         self._next_id = next_id
         self.metadata = dict(metadata or {})
-        #: insert lifecycle (see insert()): the base frame stays
-        #: untouched; inserts accumulate in a delta that alone is
-        #: periodically localCheckpointed (_INSERT_CHECKPOINT_EVERY)
+        self._insert_batches = 0
+        self._set_df(df)
+
+    def _set_df(self, df: DataFrame) -> None:
+        """Replace the store's frame wholesale: the new frame becomes
+        the insert-lifecycle base and any pending delta is considered
+        folded in (callers pass a frame that already contains it —
+        self.df IS base ⊎ delta at all times)."""
+        self.df = df
         self._base_df = df
         self._insert_delta: "DataFrame | None" = None
-        self._insert_batches = 0
 
     # ---- constructors ----------------------------------------------
     @classmethod
@@ -435,11 +445,9 @@ class VectorStore:
         if missing:
             raise ValueError(f"Tokens {missing} were not in the store.")
         removed = self.df.where(F.col("item_json").isin(tokens)).count()
-        self.df = self.df.where(~F.col("item_json").isin(tokens))
         # the filtered frame (which already folds in any insert delta)
         # becomes the new base; the delta restarts empty
-        self._base_df = self.df
-        self._insert_delta = None
+        self._set_df(self.df.where(~F.col("item_json").isin(tokens)))
         if self._count is not None:
             self._count -= removed
 
@@ -470,9 +478,7 @@ class VectorStore:
             # save_extra's postings write) still reference — materialize
             # first to sever that lineage (r11; executor-storage cost,
             # so at large scale prefer saving to a fresh folder)
-            self.df = self.df.localCheckpoint(eager=True)
-            self._base_df = self.df
-            self._insert_delta = None
+            self._set_df(self.df.localCheckpoint(eager=True))
         writer = self.df.write.mode("overwrite")
         from vicinity_spark.backends.ivf import CLUSTER_COL
 
