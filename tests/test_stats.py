@@ -186,3 +186,32 @@ def test_bigram_lm_cap_deterministic_and_backoff(spark):
         df.where("doc_id = 1"), lm_bi=lm_bi
     ).collect()[0]
     assert got.n_tokens == 2 and got.xent is not None
+
+
+def test_logprob_batch_entry_points_require_unk_floor(spark):
+    """r11 ADVICE: a caller-supplied unigram table missing its
+    '__unk__' floor row would silently NULL every score through the
+    empty unk crossJoin — both batch scorers must fail loudly instead
+    (the streaming twin already validates at build time)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.textops import (
+        bigram_logprob,
+        fit_bigram_lm,
+        fit_unigram_lm,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    lm = fit_unigram_lm(docs)
+    no_unk = lm.where(F.col("tok") != "__unk__")
+    with pytest.raises(ValueError, match="lm.*__unk__"):
+        unigram_logprob(docs, lm=no_unk)
+    with pytest.raises(ValueError, match="lm_uni.*__unk__"):
+        bigram_logprob(docs, lm_uni=no_unk, lm_bi=fit_bigram_lm(docs))
+    # valid supplied tables still score
+    assert unigram_logprob(docs, lm=lm).count() == 2
+    assert bigram_logprob(docs, lm_uni=lm, lm_bi=fit_bigram_lm(docs)).count() == 2

@@ -1618,3 +1618,168 @@ def test_stream_daily_ingest_checkpoint_reset_new_data(spark, tmp_path):
         spark, spark.read.parquet(ctext), probe, snap, min_jaccard=0.5
     ).collect()
     assert {(r.id_new, r.id_corpus) for r in flagged} == {(900, 300)}
+
+
+def _bm25_stream_fixture(spark, tmp_path, tag):
+    """Saved base layout (docs 0-3, incl a zero-token doc) + two
+    stream batches (4-5, 6-8 incl another zero-token doc) as
+    one-file-per-trigger parquet dirs."""
+    import datetime as dt
+
+    from vicinity_spark.operators.retrieval import (
+        bm25_doclens,
+        bm25_index,
+        bm25_index_save,
+    )
+
+    base_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cats and dogs living together"),
+        (3, ""),  # zero-token: no postings rows, counts in stats
+    ]
+    b1_rows = [(4, "the cat and the dog"), (5, "spark shuffles the data")]
+    b2_rows = [(6, "dogs on the mat"), (7, "big data the spark way"), (8, "")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    layout = str(tmp_path / f"bm25_ing_{tag}")
+    bm25_index_save(*bm25_index(base), layout, doclens=bm25_doclens(base))
+    src = str(tmp_path / f"bm25_src_{tag}")
+    t0 = dt.datetime(2024, 1, 1)
+    for i, rows in enumerate([b1_rows, b2_rows]):
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    full = spark.createDataFrame(
+        base_rows + b1_rows + b2_rows, "doc_id long, text string"
+    )
+    return layout, src, full
+
+
+def _run_bm25_ingest_once(spark, src, layout, **kw):
+    from vicinity_spark.streaming.query import stream_bm25_ingest
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = stream_bm25_ingest(stream, layout, **kw).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def test_stream_bm25_ingest_grows_layout(spark, tmp_path):
+    """r12: the BM25 maintenance twin — after two streamed batches the
+    loaded layout scores EXACTLY like a batch rebuild over the full
+    corpus (postings rows, zero-token-doc-aware stats, ranks), and
+    in-loop compaction leaves one file per touched term-group dir."""
+    import glob as pyglob
+
+    from vicinity_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_load,
+        bm25_topk,
+    )
+
+    layout, src, full = _bm25_stream_fixture(spark, tmp_path, "grow")
+    seen = []
+    _run_bm25_ingest_once(
+        spark, src, layout,
+        sink=lambda df, bid: seen.append((bid, sorted(r.doc_id for r in df.collect()))),
+        compact_every_n_batches=1, compact_max_files_per_dir=1,
+    )
+    assert seen == [(0, [4, 5]), (1, [6, 7, 8])]
+    lp, ls = bm25_index_load(spark, layout)
+    rp, rs = bm25_index(full)
+    assert ls.collect() == rs.collect()  # stats algebra exact incl empty docs
+    qdf = full.where("doc_id in (0, 4, 6)")
+    want = sorted(
+        map(tuple, bm25_topk(None, qdf, k=10, postings=rp, stats=rs).collect())
+    )
+    got = sorted(
+        map(tuple, bm25_topk(None, qdf, k=10, postings=lp, stats=ls).collect())
+    )
+    assert got == want
+    for d in pyglob.glob(f"{layout}/bm25_postings/__tg=*"):
+        assert len(pyglob.glob(f"{d}/*.parquet")) == 1, d
+
+
+def test_stream_bm25_ingest_replay_appends_nothing(spark, tmp_path):
+    """At-least-once redelivery under a FRESH checkpoint (harder than
+    same-run: batch ids restart and the run-scoped marks reset) — the
+    presence filters must append zero duplicate rows and leave the
+    stats byte-identical."""
+    from vicinity_spark.operators.retrieval import bm25_index_load
+
+    layout, src, full = _bm25_stream_fixture(spark, tmp_path, "replay")
+    _run_bm25_ingest_once(spark, src, layout)
+    lp1, ls1 = bm25_index_load(spark, layout)
+    p_rows = sorted(map(tuple, lp1.collect()))
+    s_row = ls1.collect()
+    dl_rows = sorted(
+        map(tuple, spark.read.parquet(f"{layout}/bm25_doclens").collect())
+    )
+    _run_bm25_ingest_once(spark, src, layout)  # fresh checkpoint replay
+    lp2, ls2 = bm25_index_load(spark, layout)
+    assert sorted(map(tuple, lp2.collect())) == p_rows
+    assert ls2.collect() == s_row
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{layout}/bm25_doclens").collect()))
+        == dl_rows
+    )
+
+
+def test_stream_bm25_ingest_partial_commit_recovery(spark, tmp_path):
+    """The crash window: a prior attempt appended batch 0's POSTINGS
+    but died before the doclens append and the sidecar write. The
+    replay must append only the missing doclens rows, detect the
+    partial state, and recompute the stats EXACTLY from the doclens
+    artifact — matching the full rebuild in the end."""
+    from vicinity_spark.operators.retrieval import (
+        BM25_TGROUP_COL,
+        _tgroup_col,
+        bm25_index,
+        bm25_index_load,
+        bm25_topk,
+    )
+
+    layout, src, full = _bm25_stream_fixture(spark, tmp_path, "crash")
+    # simulate the dead trigger: batch 0 (docs 4-5) postings committed,
+    # doclens + sidecar never written
+    b1 = full.where("doc_id in (4, 5)")
+    bp, _ = bm25_index(b1)
+    bp.withColumn(BM25_TGROUP_COL, _tgroup_col()).write.mode("append").partitionBy(
+        BM25_TGROUP_COL
+    ).parquet(f"{layout}/bm25_postings")
+    _run_bm25_ingest_once(spark, src, layout)
+    lp, ls = bm25_index_load(spark, layout)
+    rp, rs = bm25_index(full)
+    assert sorted(map(tuple, lp.drop(BM25_TGROUP_COL).collect())) == sorted(
+        map(tuple, rp.collect())
+    )
+    assert ls.collect() == rs.collect()
+    qdf = full.where("doc_id in (4, 6)")
+    want = sorted(
+        map(tuple, bm25_topk(None, qdf, k=10, postings=rp, stats=rs).collect())
+    )
+    got = sorted(
+        map(tuple, bm25_topk(None, qdf, k=10, postings=lp, stats=ls).collect())
+    )
+    assert got == want
+
+
+def test_stream_bm25_ingest_requires_doclens(spark, tmp_path):
+    """A layout saved without the doclens artifact cannot be grown —
+    fail at build time with the fix in the message."""
+    import pytest as _pytest
+
+    from vicinity_spark.operators.retrieval import bm25_index, bm25_index_save
+    from vicinity_spark.streaming.query import stream_bm25_ingest
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    layout = str(tmp_path / "bm25_nodl")
+    bm25_index_save(*bm25_index(docs), layout)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(tmp_path / "nope*"))
+    with _pytest.raises(ValueError, match="doclens"):
+        stream_bm25_ingest(stream, layout)

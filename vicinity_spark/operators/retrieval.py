@@ -28,13 +28,32 @@ doc-id tie-break makes the result deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Robertson/Lucene defaults
 BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K0 = 60
+
+# persisted-layout names (bm25_index_save/load)
+BM25_POSTINGS_DIR = "bm25_postings"
+BM25_STATS_DIR = "bm25_stats"
+BM25_DOCLENS_DIR = "bm25_doclens"
+#: bounded term-group partition key: vocabularies are unbounded, so the
+#: posting layout cannot partitionBy(tok) directly (one directory per
+#: term); hashing terms into a fixed group count keeps the directory
+#: fan-out constant while the probe side recomputes the same key and
+#: the query-term join prunes whole partition directories (the same
+#: DPP discipline as the LSH posting layout's __pg, backends/lsh.py)
+BM25_TGROUP_COL = "__tg"
+_N_TGROUPS = 64
+
+
+def _tgroup_col():
+    return F.pmod(F.xxhash64("tok"), F.lit(_N_TGROUPS)).cast("int")
 
 
 # the ONE canonical tokenization, shared with the textops LM family so
@@ -67,6 +86,182 @@ def bm25_index(
         F.avg(F.size(_clean_toks(text_col))).alias("avgdl"),
     )
     return postings, stats
+
+
+def bm25_doclens(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dl) — one row per document including ZERO-TOKEN docs
+    (which have no postings rows but do count toward n_docs/avgdl).
+    This is the third layout artifact the streaming ingest
+    (``stream_bm25_ingest``) maintains: a row-level-idempotent record
+    of which documents the index holds, from which the length stats
+    are exactly recomputable (n_docs = count, avgdl = avg(dl)) — the
+    postings alone cannot say how many empty docs exist."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_clean_toks(text_col)).cast("double").alias("dl"),
+    )
+
+
+def bm25_index_save(
+    postings: DataFrame,
+    stats: DataFrame,
+    path: str,
+    doclens: "DataFrame | None" = None,
+) -> None:
+    """Persist a ``bm25_index`` layout: postings as parquet partitioned
+    by the bounded term-group key (``BM25_TGROUP_COL`` =
+    hash(tok) mod 64 — vocabularies are unbounded, so partitioning by
+    the raw term would create one directory per term; the hashed group
+    keeps the fan-out constant and lets ``bm25_topk``'s query-term
+    probe prune whole partition DIRECTORIES via dynamic partition
+    pruning, exactly the LSH posting layout's ``__pg`` discipline,
+    backends/lsh.py), plus the one-row stats table. This is the same
+    first-class persistence every other index layout in the engine
+    gets (store.save/load; reference analog vicinity/vicinity.py:
+    167-234) — a serving deployment loads once and never recomputes
+    the corpus aggregate.
+
+    ``doclens`` (``bm25_doclens(docs)``) additionally writes the
+    per-doc length table — required if the layout will be GROWN by
+    ``stream_bm25_ingest`` (its row-level idempotence and exact stats
+    recovery hang off it); a purely static serving layout can omit
+    it."""
+    posts = postings.withColumn(BM25_TGROUP_COL, _tgroup_col())
+    posts.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(
+        os.path.join(path, BM25_POSTINGS_DIR)
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, BM25_STATS_DIR))
+    if doclens is not None:
+        doclens.write.mode("overwrite").parquet(
+            os.path.join(path, BM25_DOCLENS_DIR)
+        )
+
+
+def bm25_index_load(spark: SparkSession, path: str) -> "tuple[DataFrame, DataFrame]":
+    """(postings, stats) read back from a ``bm25_index_save`` folder.
+    The postings keep their ``BM25_TGROUP_COL`` partition column —
+    ``bm25_topk`` detects it and extends the query-term join to the
+    group key, so the scan touches only the query terms' partition
+    directories (file prune, not a full-layout read)."""
+    return (
+        spark.read.parquet(os.path.join(path, BM25_POSTINGS_DIR)),
+        spark.read.parquet(os.path.join(path, BM25_STATS_DIR)),
+    )
+
+
+def bm25_index_append(
+    postings: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[DataFrame, DataFrame]":
+    """(postings', stats') with ``new_docs`` folded in — the
+    incremental-maintenance twin of rebuilding the index from the
+    concatenated corpus (equality is test-pinned). New documents
+    append their own (doc, term, dl, tf) rows — corpus-sized work
+    bounded by the BATCH, never a rebuild — and the length stats
+    update through the count/avgdl algebra (both are composable
+    aggregates: n' = n + nb, avgdl' = (n·avgdl + nb·avgdlb)/n').
+    Mirrors the dedup snapshot's incremental lifecycle
+    (append_corpus_buckets) and completes the insert story for the
+    retrieval family.
+
+    Contract: ``new_docs`` carries NEW doc_ids only — re-appending an
+    id that is already in the index would double its postings and
+    count it twice in the stats (the same new-rows contract as
+    append_corpus_buckets without skip_existing). The returned frames
+    are lazy; persist them (``bm25_index_save``) or localCheckpoint
+    before chaining MANY appends, as with any union lineage."""
+    np_, ns = bm25_index(new_docs, text_col=text_col, id_col=id_col)
+    if BM25_TGROUP_COL in postings.columns:
+        # loaded layouts carry the partition key; keep the union
+        # schema-aligned so a re-save needs no special casing
+        np_ = np_.withColumn(BM25_TGROUP_COL, _tgroup_col())
+    out_postings = postings.unionByName(np_)
+    out_stats = (
+        stats.crossJoin(
+            ns.select(
+                F.col("n_docs").alias("__nb"), F.col("avgdl").alias("__ab")
+            )
+        )
+        .select(
+            (F.col("n_docs") + F.col("__nb")).alias("n_docs"),
+            (
+                (
+                    F.col("n_docs") * F.coalesce(F.col("avgdl"), F.lit(0.0))
+                    + F.col("__nb") * F.coalesce(F.col("__ab"), F.lit(0.0))
+                )
+                / (F.col("n_docs") + F.col("__nb"))
+            ).alias("avgdl"),
+        )
+    )
+    return out_postings, out_stats
+
+
+def bm25_index_compact(
+    spark: SparkSession, path: str, max_files_per_dir: int = 4
+) -> int:
+    """Small-file maintenance for a saved BM25 layout: every
+    ``stream_bm25_ingest`` trigger appends a file set to each
+    ``__tg=`` term-group directory, so after ~100 appends the
+    query-term probe's pruned scan degrades to hundreds of tiny files
+    per directory — the same hazard ``compact_corpus_buckets``
+    exists for (operators/dedup.py), and this is the same fix:
+    rewrite ONLY the directories whose non-hidden file count exceeds
+    ``max_files_per_dir`` back to one tok-sorted file each (sorting
+    by tok preserves row-group pruning on the probe key), through
+    dynamic partition overwrite so untouched directories and the
+    stats/doclens artifacts are never rewritten. Returns how many
+    directories were compacted. Offline maintenance: run between
+    ingest batches, not concurrently with a probe of the same
+    layout."""
+    if max_files_per_dir < 1:
+        raise ValueError(f"max_files_per_dir must be >= 1, got {max_files_per_dir}")
+    target = os.path.join(path, BM25_POSTINGS_DIR)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(target)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"no BM25 postings layout at {target!r}")
+    to_compact = []
+    for tg_st in fs.listStatus(jpath):
+        if not tg_st.isDirectory() or not tg_st.getPath().getName().startswith(
+            BM25_TGROUP_COL + "="
+        ):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(tg_st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        )
+        if n_files > max_files_per_dir:
+            to_compact.append(tg_st.getPath().toString())
+    if not to_compact:
+        return 0
+    sub = (
+        spark.read.option("basePath", target)
+        .parquet(*to_compact)
+        .repartition(F.col(BM25_TGROUP_COL))
+        .sortWithinPartitions("tok")
+        .localCheckpoint(eager=True)
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        sub.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(target)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return len(to_compact)
 
 
 def bm25_topk(
@@ -129,6 +324,11 @@ def bm25_topk(
 
     # postings restricted to query terms (broadcast semi-filter keeps
     # each corpus-side pipeline a single scan → filter → aggregate).
+    # A LOADED layout (bm25_index_load) carries the term-group
+    # partition column: recompute it on the probe side and extend the
+    # join to it, so the broadcast join's dynamic partition pruning
+    # skips every partition directory holding no query term — the scan
+    # reads ~n_query_terms/64 of the layout, not all of it.
     # pf feeds TWO consumers — the per-query-term document frequencies
     # and the score join — and df is an aggregate over the very rows
     # the score path then needs row-wise, so without materialization
@@ -144,7 +344,13 @@ def bm25_topk(
     # the same trick the MinHash miners use for their bucket tables).
     # When the caller injected a materialized index, the double read
     # is already cheap — no checkpoint, no per-trigger serving cost.
-    pf = tf.join(F.broadcast(qvocab), "tok")
+    if BM25_TGROUP_COL in tf.columns:
+        qvocab = qvocab.withColumn(BM25_TGROUP_COL, _tgroup_col())
+        pf = tf.join(F.broadcast(qvocab), ["tok", BM25_TGROUP_COL]).drop(
+            BM25_TGROUP_COL
+        )
+    else:
+        pf = tf.join(F.broadcast(qvocab), "tok")
     if ad_hoc:
         pf = pf.localCheckpoint(eager=True)
     # map-side-combined aggregate, broadcast back — skew-safe where a
@@ -279,48 +485,46 @@ def hard_negatives(
 
 
 def rrf_fuse(
-    ranked_a: DataFrame,
-    ranked_b: DataFrame,
+    *ranked: DataFrame,
     k: int = 10,
-    *,
     k0: int = RRF_K0,
     query_col: str = "query_id",
     id_col: str = "doc_id",
     rank_col: str = "rank",
 ) -> DataFrame:
-    """Reciprocal rank fusion (Cormack et al.) of two ranked lists:
+    """Reciprocal rank fusion (Cormack et al.) of N ≥ 2 ranked lists:
     rrf(d) = Σ_lists 1/(k0 + rank_list(d)), documents absent from a
     list contribute 0. Returns (query_id, doc_id, rrf, rank) with the
     fused top-k per query by (rrf desc, doc_id asc) on the
-    6-dp-rounded score.
+    6-dp-rounded score. Real hybrid stacks fuse three or more
+    retrievers (BM25 + dense + a second dense/sparse list) —
+    Cormack et al.'s formula is N-ary, so is this.
 
     Inputs are (query, doc, rank) lists — at most queries × k rows per
-    side, so every join here is broadcast-scale regardless of corpus
-    size; the heavy lifting already happened in the retrievers."""
+    list, so the union + one groupBy here is bounded by
+    Σ_lists queries × k rows regardless of corpus size (a union fold
+    beats N-1 chained full-outer joins: one shuffle, no join-order
+    plan growth); the heavy lifting already happened in the
+    retrievers."""
     if k <= 0:
         raise ValueError("k must be greater than 0")
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least 2 ranked lists")
 
-    def side(df: DataFrame, out: str) -> DataFrame:
+    def side(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(query_col).alias("query_id"),
             F.col(id_col).alias("doc_id"),
             (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
-                out
+                "__r"
             ),
         )
 
-    fused = (
-        side(ranked_a, "ra")
-        .join(side(ranked_b, "rb"), ["query_id", "doc_id"], "full_outer")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                F.coalesce(F.col("ra"), F.lit(0.0))
-                + F.coalesce(F.col("rb"), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
-        )
+    contrib = side(ranked[0])
+    for df in ranked[1:]:
+        contrib = contrib.unionByName(side(df))
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__r"), 6).alias("rrf")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("doc_id").asc()

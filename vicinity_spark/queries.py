@@ -4533,6 +4533,72 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, docs.where(F.col("doc_id") < NQ), k=10)
 
 
+@register("docs_bm25_loaded", _BM25_SQL)
+def docs_bm25_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (VERDICT r11 item 4): the PERSISTED-index serving path —
+    build the BM25 layout once (bm25_index), save it
+    (bm25_index_save: postings parquet partitioned by the bounded
+    term-group key, stats beside them), load it back, and score
+    queries against the LOADED layout. Must be value-identical to the
+    ad-hoc path (same oracle as docs_bm25_topk), which certifies the
+    whole lifecycle: the partitioned write loses no rows, the
+    partition-column round-trip is transparent to scoring, and the
+    query-term probe DPP-prunes the loaded scan
+    (test_bm25_index_roundtrip pins the plan). This is the lifecycle
+    every other index layout in the engine already has
+    (store.save/load; reference: persistence is a facade op,
+    vicinity/vicinity.py:167-234)."""
+    import tempfile
+
+    from vicinity_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_load,
+        bm25_index_save,
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    folder = tempfile.mkdtemp(prefix="vspark_bm25_")
+    bm25_index_save(*bm25_index(docs), folder)
+    postings, stats = bm25_index_load(spark, folder)
+    return bm25_topk(
+        None,
+        docs.where(F.col("doc_id") < NQ),
+        k=10,
+        postings=postings,
+        stats=stats,
+    )
+
+
+@register("docs_bm25_append", _BM25_SQL)
+def docs_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (VERDICT r11 item 7): incremental index maintenance —
+    build the BM25 index on 3/4 of the corpus (doc_id % 4 != 3),
+    append the remaining quarter (bm25_index_append: batch-bounded
+    postings union + exact count/avgdl algebra, never a rebuild), and
+    score. Must equal the full-corpus rebuild (same oracle as
+    docs_bm25_topk) — the append-equals-rebuild contract that
+    completes the insert story for the retrieval family, mirroring
+    the dedup snapshot's incremental lifecycle."""
+    from vicinity_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_append,
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    batch = docs.where(F.col("doc_id") % 4 == 3)
+    postings, stats = bm25_index_append(*bm25_index(base), batch)
+    return bm25_topk(
+        None,
+        docs.where(F.col("doc_id") < NQ),
+        k=10,
+        postings=postings,
+        stats=stats,
+    )
+
+
 _HYBRID_RRF_SQL = f"""
 WITH {_bm25_ctes()},
 dense AS (
@@ -4546,10 +4612,23 @@ dense_ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS BIGINT) AS rank
   FROM dense
 ),
+ip AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         {{ipdist}} AS d
+  FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < {NQ}) q
+  CROSS JOIN embeddings e
+),
+ip_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS BIGINT) AS rank
+  FROM ip
+),
 contrib AS (
   SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bm25_ranked WHERE rank <= 20
   UNION ALL
   SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM dense_ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM ip_ranked WHERE rank <= 20
 ),
 fused AS (
   SELECT query_id, doc_id, round(sum(c), 6) AS rrf FROM contrib GROUP BY query_id, doc_id
@@ -4560,19 +4639,25 @@ fr AS (
   FROM fused
 )
 SELECT query_id, doc_id, rrf, rank FROM fr WHERE rank <= 10
-""".format(dist=sql_distance("cosine", "q.qv", "e.embedding", clip=False))
+""".format(
+    dist=sql_distance("cosine", "q.qv", "e.embedding", clip=False),
+    ipdist=sql_distance("inner_product", "q.qv", "e.embedding", clip=False),
+)
 
 
 @register("docs_hybrid_rrf", _HYBRID_RRF_SQL)
 def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11: HYBRID retrieval — BM25 over the documents table fused
-    with exact cosine k-NN over the embeddings table (vec_id ≡ doc_id
-    in the testdata) by reciprocal rank fusion
-    (operators/retrieval.py rrf_fuse, k0=60). The standard hybrid
-    search composition: each retriever contributes 1/(60+rank) for
-    its top-20, fused top-10 per query. The fusion itself touches
-    only the two ranked lists (≤ queries × 20 rows per side) — at
-    100 TB the cost lives entirely in the retrievers, which are the
+    """r11/r12: HYBRID retrieval — BM25 over the documents table
+    fused with exact cosine k-NN AND exact inner-product k-NN over
+    the embeddings table (vec_id ≡ doc_id in the testdata) by N-ARY
+    reciprocal rank fusion (operators/retrieval.py rrf_fuse, k0=60;
+    Cormack et al.'s formula is N-ary, and real hybrid stacks fuse
+    three or more retrievers — r12 generalized the operator and this
+    row certifies the three-list form). Each retriever contributes
+    1/(60+rank) for its top-20, fused top-10 per query. The fusion
+    itself touches only the ranked lists (≤ queries × 20 rows per
+    list, one union + one bounded groupBy) — at 100 TB the cost
+    lives entirely in the retrievers, which are the
     already-certified BM25 and k-NN plans."""
     from vicinity_spark.operators.retrieval import bm25_topk, rrf_fuse
 
@@ -4586,7 +4671,15 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         algorithm="window",
         dim=DIM,
     ).select("query_id", F.col("id").alias("doc_id"), "rank")
-    return rrf_fuse(lex, dense, k=10)
+    ip = knn_join(
+        _emb_corpus(spark, sf_dir),
+        _emb_queries(spark, sf_dir),
+        k=20,
+        metric="inner_product",
+        algorithm="window",
+        dim=DIM,
+    ).select("query_id", F.col("id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, dense, ip, k=10)
 
 
 _BIGRAM_XENT_SQL = """
@@ -4744,88 +4837,30 @@ def docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r11 rotation (VERDICT r10 item 5) ----------------------------
-    # Window design (33 + 4 + 13 = 50): (a) ALL 33 rows not green in
-    # r10 — the 32 r10-tail rows plus docs_unigram_xent (r10
-    # mid-section) — come back, keeping the at-most-one-round-unchecked
-    # promise; (b2) the FOUR queries NEW in r11 (never green, so they
-    # must sit inside the window); (b) the remaining 13 slots go to
-    # r10-green rows whose code r11 TOUCHED: the
-    # rowwise/incremental/vs_snapshot miners and append_corpus_buckets
-    # (precomputed-bucket injection + idempotent skip_existing append),
-    # neardup_dedup (cap-observation guard), backends/lsh.py
-    # (insert-branch lifecycle, save_extra refresh), embedding.py
-    # covariance_stats (combine='auto' now unconditional). Everything
-    # in _ROTATE_OUT below is r10-green with its specific operator
-    # code untouched in r11.
-    # (a) not green in r10 (r10 tail + the one mid-section row):
-    "events_asof_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "threshold_grid_routing",
-    "threshold_radius",
-    "docs_pack_sequences",
-    "docs_mix_sources",
-    "docs_training_stream",
-    "docs_pii_redact",
-    "docs_source_cap",
-    "docs_token_budget",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
-    "docs_quality_tiers",
-    "docs_splits",
-    "docs_line_dedup",
-    "rollup_revenue",
-    "part_string_functions",
-    "events_json_extract",
-    "orders_by_month",
-    "customers_without_orders",
-    "lineitem_stats",
-    "supplier_stats_by_nation",
-    "ann_ivf_knn",
-    "ann_sq_knn",
-    "ann_pq_knn",
-    "ann_ivfpq_knn",
-    "ann_ivfsq_knn",
-    "ann_ivfpqr_knn",
-    "dedup_keep_best",
-    "dedup_connected_components",
-    "dedup_shared_grams",
-    "docs_unigram_xent",
-    # (b2) NEW in r11 (never green — must sit inside the window):
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "docs_hard_negatives",
-    "docs_bigram_xent",
-    # (b) r10-green, r11-touched code paths (13; dedup_minhash_onepass,
-    # dedup_minhash_affine, emb_random_projection and dedup_exact moved
-    # to the mid-section to make room for the four new rows — all
-    # r10-green: the rowwise-miner injection path stays covered
-    # in-window by dedup_minhash_lsh/_capped/_tokenroll and
-    # dedup_neardup_e2e, the exact-dedup path is untouched in r11, and
-    # embedding.py's only r11 touch (covariance combine='auto') is
-    # covered by emb_covariance; the projection physical-form pair
-    # keeps emb_projection_arrow in-window):
-    "dedup_minhash_lsh",
-    "dedup_minhash_capped",
-    "dedup_minhash_tokenroll",
-    "dedup_minhash_incremental",
-    "dedup_minhash_snapshot",
-    "dedup_minhash_compacted",
-    "dedup_neardup_e2e",
-    "neardup_pairs",
-    "semantic_dedup",
-    "ann_lsh_knn",
-    "ann_recall_summary",
-    "emb_covariance",
-    "emb_projection_arrow",
-]
-
-# r11 tail: 33 rows, every one green in CORRECTNESS_r10.json with its
-# specific operator code untouched this round (scripts/verified_ledger
-# enforces that nothing never-green sits here; VERIFIED.md records the
-# skip).
-_ROTATE_OUT: "list[str]" = [
+    # --- r12 rotation (VERDICT r11 item 3) ----------------------------
+    # Window design (37 + 2 + 11 = 50): (a) ALL 37 rows not green in
+    # r11 — the 33-row r11 tail plus the four r11 mid-section rows
+    # (dedup_exact, dedup_minhash_onepass, dedup_minhash_affine,
+    # emb_random_projection) — come back, keeping the
+    # at-most-one-round-unchecked promise (r11 ∪ r12 covers all
+    # registered queries, the invariant held since r9∪r10); (b2) the
+    # TWO queries NEW in r12 (never green, must sit inside the
+    # window); (b) the remaining 11 slots go to r11-green rows whose
+    # code r12 TOUCHED: grid.corpus_blocks' default block count moved
+    # off the .rdd probe (consumers: pq/sq backends, the knn grid
+    # route, neardup_join → ann_pq_knn, ann_sq_knn,
+    # threshold_grid_routing, neardup_pairs, semantic_dedup,
+    # ann_recall_summary's pq/sq branches); retrieval.py (qterms
+    # distinct, N-ary rrf_fuse, index lifecycle → docs_bm25_topk,
+    # docs_hybrid_rrf, and docs_hard_negatives for the file);
+    # textops.py unigram/bigram scorer validation (docs_unigram_xent,
+    # docs_bigram_xent). Everything in _ROTATE_OUT below is r11-green
+    # with its specific operator code untouched in r12.
+    # (a) not green in r11 (the 37-row r11 tail):
+    "dedup_exact",
+    "dedup_minhash_onepass",
+    "dedup_minhash_affine",
+    "emb_random_projection",
     "vector_norms",
     "text_token_stats",
     "text_quality",
@@ -4859,6 +4894,67 @@ _ROTATE_OUT: "list[str]" = [
     "docs_strip_shared_spans",
     "docs_dsir_select",
     "docs_dsir_hashed",
+    # (b2) NEW in r12 (never green — must sit inside the window):
+    "docs_bm25_loaded",
+    "docs_bm25_append",
+    # (b) r11-green, r12-touched code paths (11):
+    "ann_pq_knn",
+    "ann_sq_knn",
+    "threshold_grid_routing",
+    "neardup_pairs",
+    "semantic_dedup",
+    "ann_recall_summary",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "docs_hard_negatives",
+    "docs_unigram_xent",
+    "docs_bigram_xent",
+]
+
+# r12 tail: 39 rows, every one green in CORRECTNESS_r11.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip).
+_ROTATE_OUT: "list[str]" = [
+    "events_asof_join",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "threshold_radius",
+    "docs_pack_sequences",
+    "docs_mix_sources",
+    "docs_training_stream",
+    "docs_pii_redact",
+    "docs_source_cap",
+    "docs_token_budget",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_quality_tiers",
+    "docs_splits",
+    "docs_line_dedup",
+    "rollup_revenue",
+    "part_string_functions",
+    "events_json_extract",
+    "orders_by_month",
+    "customers_without_orders",
+    "lineitem_stats",
+    "supplier_stats_by_nation",
+    "ann_ivf_knn",
+    "ann_ivfpq_knn",
+    "ann_ivfsq_knn",
+    "ann_ivfpqr_knn",
+    "dedup_keep_best",
+    "dedup_connected_components",
+    "dedup_shared_grams",
+    "dedup_minhash_lsh",
+    "dedup_minhash_capped",
+    "dedup_minhash_tokenroll",
+    "dedup_minhash_incremental",
+    "dedup_minhash_snapshot",
+    "dedup_minhash_compacted",
+    "dedup_neardup_e2e",
+    "ann_lsh_knn",
+    "emb_covariance",
+    "emb_projection_arrow",
 ]
 
 def _reorder_registry() -> None:

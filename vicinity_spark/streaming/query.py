@@ -368,8 +368,11 @@ def stream_bm25_serve(
     tables against. The postings are corpus-sized, so the in-session
     pin is localCheckpoint (executor storage ∝ corpus — the serving
     trade, same as any resident index); at larger scale persist the
-    index with ``bm25_index`` → parquet and pass ``postings``/``stats``
-    in. Inside foreachBatch the batch planner applies (AQE sizes the
+    index once with ``retrieval.bm25_index_save`` and pass
+    ``bm25_index_load(spark, path)`` in as ``postings``/``stats`` —
+    the loaded layout is term-group-partitioned, so each trigger's
+    probe file-prunes to the query terms' partition directories.
+    Inside foreachBatch the batch planner applies (AQE sizes the
     tiny query-side broadcasts), and scoring per trigger touches only
     the query terms' postings.
 
@@ -420,3 +423,211 @@ def stream_bm25_serve(
         )
 
     return query_stream.writeStream.foreachBatch(_process)
+
+
+def stream_bm25_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    sink=None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compact_every_n_batches: "int | None" = None,
+    compact_max_files_per_dir: int = 4,
+):
+    """Grow a persisted BM25 layout from a document stream — the
+    maintenance twin of ``stream_bm25_serve`` (r12), completing the
+    retrieval family's lifecycle the way ``stream_daily_ingest``
+    completes the dedup snapshot's: per micro-batch, the batch's
+    postings and doc-length rows are APPENDED to the
+    ``bm25_index_save`` layout at ``index_path`` and the one-row
+    length stats are updated through the exact count/sum algebra —
+    never a corpus-sized rebuild.
+
+    The layout must exist (``bm25_index_save(..., doclens=
+    bm25_doclens(docs))`` — an EMPTY corpus is a valid start) and
+    must carry the doclens artifact: it is what makes the append
+    row-level idempotent for every document INCLUDING zero-token
+    docs, which have no postings rows and would otherwise be
+    invisible to replay detection.
+
+    Exactly-once at row level, the ``stream_daily_ingest``
+    discipline: a run-id-scoped committed-batch sidecar
+    (``_bm25_ingest.json`` under the layout) short-circuits
+    fully-committed replays; whenever the sidecar cannot certify a
+    commit, each append filters out rows its artifact already holds
+    (postings: a term-group-pruned probe bounded by the batch's own
+    vocabulary, narrowed to the batch's doc ids; doclens: a
+    broadcast semi-join over the artifact's doc_id column) — so a
+    crash anywhere between the two appends and the sidecar write
+    replays to zero duplicate rows. Length stats are maintained as
+    running (n_docs, sum_dl) totals IN the sidecar: the normal path
+    increments them by the batch aggregate (O(batch)); if the
+    presence filters detect a partially-committed prior attempt, the
+    totals are recomputed exactly from the doclens artifact (one
+    column-pruned scan — the crash-recovery path only). After each
+    commit the stats parquet is rewritten from the totals, so
+    ``bm25_index_load`` always sees current stats. Serving sessions
+    should pin the loaded stats row (it is one row — collect or
+    localCheckpoint); a lazy frame would re-scan a file the next
+    trigger replaces. Single writer per layout (sidecar contract).
+
+    A duplicated doc row WITHIN a batch is dropped before signing
+    (it would double the doc's tf); re-delivering an already-indexed
+    doc_id across batches is the replay case above and appends
+    nothing. ``compact_every_n_batches`` runs
+    ``bm25_index_compact`` on every n-th batch_id (idempotent,
+    batch_id-keyed so the cadence survives restarts) — without it
+    the probe's pruned scan degrades to one small file set per
+    trigger per directory.
+
+    ``sink(appended_doclens_df, batch_id)`` (optional) receives the
+    (doc_id, dl) rows actually appended this trigger. Returns the
+    DataStreamWriter — call ``.trigger(...).start()``."""
+    import os
+
+    from vicinity_spark.operators.dedup import _read_sidecar, _write_sidecar
+    from vicinity_spark.operators.retrieval import (
+        BM25_DOCLENS_DIR,
+        BM25_POSTINGS_DIR,
+        BM25_STATS_DIR,
+        BM25_TGROUP_COL,
+        _tgroup_col,
+        bm25_doclens,
+        bm25_index,
+        bm25_index_compact,
+    )
+    from vicinity_spark.streaming.neardup import _streaming_run_id
+
+    if compact_every_n_batches is not None and compact_every_n_batches < 1:
+        raise ValueError(
+            f"compact_every_n_batches must be >= 1, got {compact_every_n_batches}"
+        )
+    postings_dir = os.path.join(index_path, BM25_POSTINGS_DIR)
+    doclens_dir = os.path.join(index_path, BM25_DOCLENS_DIR)
+    stats_dir = os.path.join(index_path, BM25_STATS_DIR)
+    marker = index_path.rstrip("/") + "/_bm25_ingest.json"
+    if not os.path.isdir(doclens_dir):
+        raise ValueError(
+            f"no doclens artifact at {doclens_dir!r} — the streaming ingest "
+            "needs it for row-level idempotence (zero-token docs have no "
+            "postings rows); save the layout with "
+            "bm25_index_save(postings, stats, path, doclens=bm25_doclens(docs))"
+        )
+
+    def _read_marks(spark, run_id):
+        try:
+            got = _read_sidecar(spark, marker)
+        except ValueError:
+            got = None
+        if got is None:
+            # first ingest against this layout: seed the running
+            # totals from the saved stats row (n·avgdl is exact —
+            # avgdl was computed as sum/count)
+            row = spark.read.parquet(stats_dir).collect()[0]
+            n = float(row["n_docs"] or 0.0)
+            a = row["avgdl"]
+            return {"batch": -1, "n_docs": n, "sum_dl": n * float(a or 0.0)}
+        stored_run = got.get("run_id")
+        marks = {
+            "batch": int(got.get("batch", -1)),
+            "n_docs": float(got.get("n_docs", 0.0)),
+            "sum_dl": float(got.get("sum_dl", 0.0)),
+        }
+        if run_id is not None and stored_run is not None and stored_run != run_id:
+            # reset checkpoint: batch ids restart at 0 and must never
+            # short-circuit new data; the TOTALS describe the artifact,
+            # not the run, and stay (re-fed old docs hit the presence
+            # filters, which force the exact recompute below)
+            marks["batch"] = -1
+        return marks
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        run_id = _streaming_run_id(spark)
+        marks = _read_marks(spark, run_id)
+        if batch_id <= marks["batch"]:
+            return  # fully committed in this run — certified replay
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        bp, _ = bm25_index(batch, text_col=text_col, id_col=id_col)
+        bp = bp.withColumn(BM25_TGROUP_COL, _tgroup_col()).localCheckpoint(
+            eager=True
+        )
+        bdl = bm25_doclens(
+            batch, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        batch_ids = bdl.select("doc_id").distinct()
+        layout_p = spark.read.parquet(postings_dir)
+        layout_dl = spark.read.parquet(doclens_dir)
+        # presence filters: what the artifacts already hold from a
+        # partially-committed earlier attempt. The postings probe is
+        # bounded by the batch's own vocabulary (term-group-pruned
+        # scan) narrowed to the batch's ids; the doclens probe is a
+        # column-pruned doc_id scan against the broadcast batch ids —
+        # both the exact shapes stream_daily_ingest uses for its two
+        # artifacts.
+        existing_p = (
+            layout_p.join(
+                F.broadcast(bp.select("tok", BM25_TGROUP_COL).distinct()),
+                ["tok", BM25_TGROUP_COL],
+            )
+            .join(F.broadcast(batch_ids), "doc_id")
+            .select("doc_id", "tok")
+        )
+        new_p = bp.join(
+            F.broadcast(existing_p), ["doc_id", "tok"], "left_anti"
+        ).localCheckpoint(eager=True)
+        existing_dl = layout_dl.join(F.broadcast(batch_ids), "doc_id").select(
+            "doc_id"
+        )
+        new_dl = bdl.join(
+            F.broadcast(existing_dl), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_batch = batch_ids.count()
+        agg = new_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        nb, sb = float(agg["n"]), float(agg["s"] or 0.0)
+        partial_prior = (
+            nb < n_batch or new_p.count() < bp.count()
+        )  # some rows already present → a prior attempt reached the artifacts
+        if new_p.take(1):
+            new_p.write.mode("append").partitionBy(BM25_TGROUP_COL).parquet(
+                postings_dir
+            )
+        if new_dl.take(1):
+            new_dl.write.mode("append").parquet(doclens_dir)
+        if partial_prior:
+            # crash-recovery path: the sidecar totals may or may not
+            # include the partially-committed docs — recompute exactly
+            # from the doclens artifact (now complete for this batch)
+            row = (
+                spark.read.parquet(doclens_dir)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+                .collect()[0]
+            )
+            n_docs, sum_dl = float(row["n"]), float(row["s"] or 0.0)
+        else:
+            n_docs, sum_dl = marks["n_docs"] + nb, marks["sum_dl"] + sb
+        stats_df = spark.createDataFrame(
+            [(n_docs, (sum_dl / n_docs) if n_docs > 0 else None)],
+            "n_docs double, avgdl double",
+        )
+        stats_df.write.mode("overwrite").parquet(stats_dir)
+        out = {"batch": batch_id, "n_docs": n_docs, "sum_dl": sum_dl}
+        if run_id is not None:
+            out["run_id"] = run_id
+        _write_sidecar(spark, marker, out)
+        if (
+            compact_every_n_batches is not None
+            and batch_id % compact_every_n_batches == compact_every_n_batches - 1
+        ):
+            bm25_index_compact(
+                spark, index_path, max_files_per_dir=compact_max_files_per_dir
+            )
+        if sink is not None:
+            sink(new_dl, batch_id)
+
+    return doc_stream.writeStream.foreachBatch(_process)
