@@ -327,10 +327,25 @@ def test_bm25_index_roundtrip(spark, docs_df, tmp_path):
     assert sorted(map(tuple, res.collect())) == want
     # result column schema carries no layout internals
     assert res.columns == ["query_id", "doc_id", "bm25", "rank"]
+    # small query vocab → inlined literals: STATIC partition pruning
+    # on the group key + a pushed tok predicate over the sorted files
     plan = explain_str(res)
     part = plan.split("PartitionFilters", 1)
     assert len(part) == 2, plan  # postings read as a partitioned scan
-    assert "dynamicpruning" in part[1][:400], plan
+    assert BM25_TGROUP_COL + "#" in part[1][:400] and " IN " in part[1][:400], plan
+    assert (
+        "PushedFilters" in plan
+        and "In(tok" in plan.split("PushedFilters")[1][:400]
+    ), plan
+    # large-batch fallback (inline disabled): dynamic partition pruning
+    res_dpp = bm25_topk(
+        None, qdf, k=5, postings=lp, stats=ls, inline_terms_max=0
+    )
+    assert sorted(map(tuple, res_dpp.collect())) == want
+    plan2 = explain_str(res_dpp)
+    part2 = plan2.split("PartitionFilters", 1)
+    assert len(part2) == 2, plan2
+    assert "dynamicpruning" in part2[1][:400], plan2
 
 
 def test_bm25_index_append_equals_rebuild(spark):

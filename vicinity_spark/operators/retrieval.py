@@ -130,8 +130,24 @@ def bm25_index_save(
     per-doc length table — required if the layout will be GROWN by
     ``stream_bm25_ingest`` (its row-level idempotence and exact stats
     recovery hang off it); a purely static serving layout can omit
-    it."""
-    posts = postings.withColumn(BM25_TGROUP_COL, _tgroup_col())
+    it.
+
+    The write range-partitions on (term group, tok) and sorts each
+    task's rows — every file inside a ``__tg=`` directory then holds
+    a DISJOINT tok range with parquet min/max stats, so a probe that
+    inlines its query terms as literals (``bm25_topk``'s small-batch
+    serving path) skips whole files and row groups WITHIN the
+    directories partition pruning kept. The range shuffle is one
+    extra pass over the postings at save time — the price of making
+    every later probe sublinear in the layout, the same trade every
+    sorted index write makes."""
+    spark = postings.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    posts = (
+        postings.withColumn(BM25_TGROUP_COL, _tgroup_col())
+        .repartitionByRange(nparts, F.col(BM25_TGROUP_COL), F.col("tok"))
+        .sortWithinPartitions(BM25_TGROUP_COL, "tok")
+    )
     posts.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(
         os.path.join(path, BM25_POSTINGS_DIR)
     )
@@ -277,6 +293,7 @@ def bm25_topk(
     query_id_col: "str | None" = None,
     postings: "DataFrame | None" = None,
     stats: "DataFrame | None" = None,
+    inline_terms_max: int = 4096,
 ) -> DataFrame:
     """BM25 top-k retrieval: for each query document, the ``k``
     highest-scoring corpus documents under Okapi BM25 with the
@@ -297,6 +314,19 @@ def bm25_topk(
     ``postings``/``stats`` (from ``bm25_index``) inject precomputed
     corpus tables — the serving path's hook (``docs`` may be None
     then); when given, no corpus aggregate runs in this call.
+
+    Against a LOADED layout (``bm25_index_load`` — postings carry the
+    term-group partition column) with at most ``inline_terms_max``
+    distinct query terms, the terms are collected and inlined as
+    LITERAL filters: the term-group IN prunes partition directories
+    statically (no DPP machinery) and the tok predicate pushes into
+    the parquet scan, where the save's tok-sorted files turn it into
+    file/row-group skipping — the probe reads ~the query terms'
+    postings, not every row of every touched directory. The collect
+    is bounded by the cap (a query-batch-vocabulary-sized driver
+    list, the same class as the facade's queries×k result collect);
+    larger query batches, or ``inline_terms_max=0``, fall back to
+    the broadcast join + dynamic partition pruning.
     """
     if k <= 0:
         raise ValueError("k must be greater than 0")
@@ -345,10 +375,26 @@ def bm25_topk(
     # When the caller injected a materialized index, the double read
     # is already cheap — no checkpoint, no per-trigger serving cost.
     if BM25_TGROUP_COL in tf.columns:
-        qvocab = qvocab.withColumn(BM25_TGROUP_COL, _tgroup_col())
-        pf = tf.join(F.broadcast(qvocab), ["tok", BM25_TGROUP_COL]).drop(
-            BM25_TGROUP_COL
-        )
+        qv = qvocab.withColumn(BM25_TGROUP_COL, _tgroup_col())
+        inlined = None
+        if inline_terms_max and inline_terms_max > 0:
+            rows = qv.limit(inline_terms_max + 1).collect()
+            if len(rows) <= inline_terms_max:
+                inlined = rows
+        if inlined is not None:
+            # literal filters: static partition pruning on the group
+            # key + a pushed tok predicate the sorted layout answers
+            # with file/row-group skipping (see docstring). The tok
+            # IN is exact, so no join back to qvocab is needed.
+            tgs = sorted({r[BM25_TGROUP_COL] for r in inlined})
+            toks = [r["tok"] for r in inlined]
+            pf = tf.where(
+                F.col(BM25_TGROUP_COL).isin(tgs) & F.col("tok").isin(toks)
+            ).drop(BM25_TGROUP_COL)
+        else:
+            pf = tf.join(F.broadcast(qv), ["tok", BM25_TGROUP_COL]).drop(
+                BM25_TGROUP_COL
+            )
     else:
         pf = tf.join(F.broadcast(qvocab), "tok")
     if ad_hoc:
