@@ -1783,3 +1783,39 @@ def test_stream_bm25_ingest_requires_doclens(spark, tmp_path):
     ).parquet(str(tmp_path / "nope*"))
     with _pytest.raises(ValueError, match="doclens"):
         stream_bm25_ingest(stream, layout)
+
+
+def test_bm25_index_save_invalidates_ingest_sidecar(spark, tmp_path):
+    """A fresh bm25_index_save over a previously-ingested path is a
+    REBUILD: the leftover ingest sidecar (old corpus's running totals
+    + batch marks) must be deleted, or the next ingest would fold the
+    new corpus's batches into the old totals. After rebuild + re-feed
+    the layout equals the rebuild-corpus ∪ stream rebuild exactly."""
+    import os
+
+    from vicinity_spark.operators.retrieval import (
+        BM25_INGEST_MARKER,
+        bm25_doclens,
+        bm25_index,
+        bm25_index_load,
+        bm25_index_save,
+    )
+
+    layout, src, full = _bm25_stream_fixture(spark, tmp_path, "resave")
+    _run_bm25_ingest_once(spark, src, layout)
+    marker = os.path.join(layout, BM25_INGEST_MARKER)
+    assert os.path.exists(marker)
+    # rebuild over a DIFFERENT base corpus (2 docs instead of 4)
+    base2 = spark.createDataFrame(
+        [(100, "fresh corpus one"), (101, "")], "doc_id long, text string"
+    )
+    bm25_index_save(*bm25_index(base2), layout, doclens=bm25_doclens(base2))
+    assert not os.path.exists(marker)
+    _run_bm25_ingest_once(spark, src, layout)
+    lp, ls = bm25_index_load(spark, layout)
+    streamed = full.where("doc_id >= 4")
+    rp, rs = bm25_index(base2.unionByName(streamed))
+    assert ls.collect() == rs.collect()
+    assert sorted(map(tuple, lp.drop("__tg").collect())) == sorted(
+        map(tuple, rp.collect())
+    )

@@ -42,6 +42,9 @@ RRF_K0 = 60
 BM25_POSTINGS_DIR = "bm25_postings"
 BM25_STATS_DIR = "bm25_stats"
 BM25_DOCLENS_DIR = "bm25_doclens"
+#: run-scoped committed-batch + running-totals sidecar maintained by
+#: stream_bm25_ingest; a fresh bm25_index_save deletes it
+BM25_INGEST_MARKER = "_bm25_ingest.json"
 #: bounded term-group partition key: vocabularies are unbounded, so the
 #: posting layout cannot partitionBy(tok) directly (one directory per
 #: term); hashing terms into a fixed group count keeps the directory
@@ -156,6 +159,16 @@ def bm25_index_save(
         doclens.write.mode("overwrite").parquet(
             os.path.join(path, BM25_DOCLENS_DIR)
         )
+    # a fresh save REBUILDS the layout — a leftover ingest sidecar
+    # (stream_bm25_ingest) would carry the old corpus's running totals
+    # and batch marks into the new one; invalidate it
+    spark_ctx = spark.sparkContext
+    jmarker = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + BM25_INGEST_MARKER
+    )
+    fs = jmarker.getFileSystem(spark_ctx._jsc.hadoopConfiguration())
+    if fs.exists(jmarker):
+        fs.delete(jmarker, False)
 
 
 def bm25_index_load(spark: SparkSession, path: str) -> "tuple[DataFrame, DataFrame]":

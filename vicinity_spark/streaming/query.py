@@ -489,6 +489,7 @@ def stream_bm25_ingest(
     from vicinity_spark.operators.dedup import _read_sidecar, _write_sidecar
     from vicinity_spark.operators.retrieval import (
         BM25_DOCLENS_DIR,
+        BM25_INGEST_MARKER,
         BM25_POSTINGS_DIR,
         BM25_STATS_DIR,
         BM25_TGROUP_COL,
@@ -506,7 +507,7 @@ def stream_bm25_ingest(
     postings_dir = os.path.join(index_path, BM25_POSTINGS_DIR)
     doclens_dir = os.path.join(index_path, BM25_DOCLENS_DIR)
     stats_dir = os.path.join(index_path, BM25_STATS_DIR)
-    marker = index_path.rstrip("/") + "/_bm25_ingest.json"
+    marker = index_path.rstrip("/") + "/" + BM25_INGEST_MARKER
     if not os.path.isdir(doclens_dir):
         raise ValueError(
             f"no doclens artifact at {doclens_dir!r} — the streaming ingest "
