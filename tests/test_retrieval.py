@@ -409,3 +409,38 @@ def test_bm25_index_append_on_loaded_layout(spark, tmp_path):
         map(tuple, bm25_topk(None, qdf, k=10, postings=lp2, stats=ls2).collect())
     )
     assert got == want
+
+
+def test_bm25_index_resave_over_same_folder(spark, docs_df, tmp_path):
+    """load → append → save back to the SAME folder — the natural
+    daily batch maintenance cycle. Without the lineage guard the
+    overwrite deletes the part files the loaded postings plan still
+    scans (the store.py save-over-same-folder hazard); with it the
+    re-saved layout equals the full rebuild."""
+    from vicinity_spark.operators.retrieval import (
+        bm25_doclens,
+        bm25_index,
+        bm25_index_append,
+        bm25_index_load,
+        bm25_index_save,
+    )
+
+    base = docs_df.where("doc_id < 4")
+    batch = docs_df.where("doc_id >= 4")
+    folder = str(tmp_path / "bm25_resave")
+    bm25_index_save(*bm25_index(base), folder, doclens=bm25_doclens(base))
+    lp, ls = bm25_index_load(spark, folder)
+    ap, as_ = bm25_index_append(lp, ls, batch)
+    dl = spark.read.parquet(f"{folder}/bm25_doclens").unionByName(
+        bm25_doclens(batch)
+    )
+    bm25_index_save(ap, as_, folder, doclens=dl)
+    lp2, ls2 = bm25_index_load(spark, folder)
+    rp, rs = bm25_index(docs_df)
+    assert sorted(map(tuple, lp2.drop("__tg").collect())) == sorted(
+        map(tuple, rp.collect())
+    )
+    assert ls2.collect() == rs.collect()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{folder}/bm25_doclens").collect()
+    ) == list(range(6))

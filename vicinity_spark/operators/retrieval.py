@@ -146,19 +146,33 @@ def bm25_index_save(
     sorted index write makes."""
     spark = postings.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    target = os.path.join(path, BM25_POSTINGS_DIR)
+    tgt = "/" + os.path.abspath(target).lstrip("/")
+    if any(tgt in f for f in postings.inputFiles()):
+        # load → append → save back to the SAME folder (the natural
+        # daily maintenance cycle): the overwrite deletes the very
+        # part files the postings plan still scans — materialize first
+        # to sever that lineage (store.py save has the identical
+        # guard; executor-storage cost, so at large scale prefer a
+        # fresh folder + rename)
+        postings = postings.localCheckpoint(eager=True)
     posts = (
         postings.withColumn(BM25_TGROUP_COL, _tgroup_col())
         .repartitionByRange(nparts, F.col(BM25_TGROUP_COL), F.col("tok"))
         .sortWithinPartitions(BM25_TGROUP_COL, "tok")
     )
-    posts.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(
-        os.path.join(path, BM25_POSTINGS_DIR)
-    )
-    stats.write.mode("overwrite").parquet(os.path.join(path, BM25_STATS_DIR))
+    posts.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(target)
+    sdir = os.path.join(path, BM25_STATS_DIR)
+    stgt = "/" + os.path.abspath(sdir).lstrip("/")
+    if any(stgt in f for f in stats.inputFiles()):
+        stats = stats.localCheckpoint(eager=True)  # one row
+    stats.write.mode("overwrite").parquet(sdir)
     if doclens is not None:
-        doclens.write.mode("overwrite").parquet(
-            os.path.join(path, BM25_DOCLENS_DIR)
-        )
+        ddir = os.path.join(path, BM25_DOCLENS_DIR)
+        dtgt = "/" + os.path.abspath(ddir).lstrip("/")
+        if any(dtgt in f for f in doclens.inputFiles()):
+            doclens = doclens.localCheckpoint(eager=True)
+        doclens.write.mode("overwrite").parquet(ddir)
     # a fresh save REBUILDS the layout — a leftover ingest sidecar
     # (stream_bm25_ingest) would carry the old corpus's running totals
     # and batch marks into the new one; invalidate it
