@@ -864,6 +864,47 @@ def bigram_xent_2m(spark, sf_dir):
     return run
 
 
+def semdedup_200k(spark, sf_dir):
+    """r12: SemDeDup at 200k × 64-d embeddings over 64 preset
+    centroids (operators/cluster.py). 2k planted duplicate pairs
+    (every 100th vector is a copy of its predecessor — same cluster by
+    construction, so each IS flagged). Timed work = the narrow
+    closure-kernel assignment, ONE cluster-keyed equi-join pair mine
+    (pair work Σ cluster_size² ≈ n²/64 slices of the corpus — the
+    SemDeDup bound; the all-pairs exact form at this n would be 40B
+    candidate pairs), and the connected-components closure over the
+    flagged edges. Output reduced to one aggregate row (kept count +
+    flagged count) so the driver never collects 200k labels."""
+    from vicinity_spark.operators.cluster import semdedup
+
+    base = _synth_vectors(spark, n=200_000, dim=64, parts=32)
+    dup = F.when(
+        (F.col("id") % 100 == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs = (
+        spark.range(0, 200_000, 1, 32)
+        .select(F.col("id"), dup.alias("__src"))
+        .join(base.select(F.col("id").alias("__src"), "vector"), "__src")
+        .select("id", "vector")
+        .cache()
+    )
+    docs.count()
+    cents = [
+        r["vector"]
+        for r in base.where(F.col("id") < 64).orderBy("id").collect()
+    ]
+
+    def run(s, d):
+        out = semdedup(docs, cents, max_distance=1e-9)
+        return out.agg(
+            F.sum(F.col("is_canonical").cast("long")).alias("kept"),
+            F.sum((~F.col("is_canonical")).cast("long")).alias("flagged"),
+        )
+
+    run(spark, sf_dir).count()  # untimed warm-up (plan + codegen)
+    return run
+
+
 def pca_projection_1024(spark, sf_dir):
     """r10 (VERDICT r9 item 1): PCA at the module's production shape —
     fit + apply over 200k × 1024-d → 128-d. Timed work = the full
@@ -1348,6 +1389,7 @@ BENCH = {
     "bm25_2m": bm25_2m,
     "bm25_serve_2m": bm25_serve_2m,
     "bigram_xent_2m": bigram_xent_2m,
+    "semdedup_200k": semdedup_200k,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

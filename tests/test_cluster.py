@@ -1,0 +1,144 @@
+"""Embedding-cluster curation (operators/cluster.py): assignment,
+SemDeDup (cluster-scoped semantic dedup), cluster-balanced sampling.
+
+The oracle rows (`emb_semdedup`, `docs_cluster_sample`) replay the
+same programs in DuckDB with PRESET data-point centroids; these tests
+pin the closed-form semantics the oracles rely on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vicinity_spark.operators.cluster import (
+    assign_clusters,
+    cluster_balanced_sample,
+    kmeans_centroids,
+    semdedup,
+)
+
+
+def test_assign_clusters_closed_form(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.0]), (1, [9.8, 10.1]), (2, [0.0, 0.2]), (3, [10.0, 9.9])],
+        "id long, vector array<double>",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in assign_clusters(df, [[0.0, 0.0], [10.0, 10.0]]).collect()
+    }
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+    # exact tie → lower centroid index (np.argmin first-minimum rule,
+    # the ORDER BY dist, cid oracle tie-break)
+    tie = spark.createDataFrame([(9, [5.0, 5.0])], "id long, vector array<double>")
+    assert assign_clusters(tie, [[0.0, 0.0], [10.0, 10.0]]).collect()[0][
+        "cluster_id"
+    ] == 0
+    with pytest.raises(ValueError):
+        assign_clusters(df, [])
+
+
+def test_semdedup_within_cluster_only(spark):
+    """The SemDeDup trade, pinned: a near-dup pair INSIDE a cluster is
+    flagged (one canonical row), an equally-near pair STRADDLING two
+    clusters is not — both survive as canonical."""
+    df = spark.createDataFrame(
+        [
+            # cluster 0: 10/11 identical (flagged), 12 distinct
+            (10, [1.0, 0.0]),
+            (11, [1.0, 0.0]),
+            (12, [0.9, -0.3]),
+            # 20/21: cosine-near (sim ≈ 0.99995) but on OPPOSITE sides
+            # of the centroids' perpendicular bisector (x = y), so the
+            # pair straddles the cluster boundary
+            (20, [0.71, 0.703]),
+            (21, [0.703, 0.71]),
+        ],
+        "id long, vector array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    asg = {
+        r["id"]: r["cluster_id"] for r in assign_clusters(df, cents).collect()
+    }
+    assert asg[20] == 0 and asg[21] == 1  # the straddle the test needs
+    rows = {
+        r["id"]: (r["rep_id"], r["is_canonical"])
+        for r in semdedup(df, cents, max_distance=0.01).collect()
+    }
+    assert rows[10] == (10, True) and rows[11] == (10, False)  # in-cluster dup
+    assert rows[12] == (12, True)
+    assert rows[20] == (20, True) and rows[21] == (21, True)  # straddle: missed
+    # tighter threshold: nothing flagged at all
+    rows2 = semdedup(df, cents, max_distance=-1.0).collect()
+    assert all(r["is_canonical"] for r in rows2)
+
+
+def test_semdedup_matches_allpairs_when_one_cluster(spark):
+    """With k=1 every pair is in-cluster, so SemDeDup degrades to the
+    exact all-pairs semantic dedup (connected components over the
+    full near-dup graph) — equality with the neardup_join program."""
+    import numpy as np
+
+    from vicinity_spark.operators.dedup import connected_components
+    from vicinity_spark.operators.knn import neardup_join
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    vecs = [list(map(float, v)) for v in base]
+    # plant two dup groups
+    vecs[5] = vecs[3]
+    vecs[11] = [x * 1.0000001 for x in vecs[9]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, vector array<double>"
+    )
+    t = 0.05
+    got = {
+        (r["id"], r["rep_id"], r["is_canonical"])
+        for r in semdedup(df, [[0.0] * 8], max_distance=t).collect()
+    }
+    pairs = neardup_join(df, t, "cosine")
+    comp = connected_components(df.select("id"), pairs)
+    want = {
+        (r["id"], r["rep"], r["id"] == r["rep"]) for r in comp.collect()
+    }
+    assert got == want
+
+
+def test_cluster_balanced_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cluster_id int"
+    )
+    a = sorted(map(tuple, cluster_balanced_sample(df, 4).collect()))
+    b = sorted(map(tuple, cluster_balanced_sample(df.repartition(7), 4).collect()))
+    assert a == b  # deterministic under repartitioning
+    counts = (
+        cluster_balanced_sample(df, 4)
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 4 for r in counts)
+    # n larger than a cluster keeps the whole cluster
+    assert len(cluster_balanced_sample(df, 100).collect()) == 30
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, 0)
+
+
+def test_kmeans_centroids_separated_blobs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pts = [
+        (i, list(map(float, rng.normal(0, 0.1, 4)))) for i in range(40)
+    ] + [
+        (100 + i, list(map(float, rng.normal(8, 0.1, 4)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "id long, vector array<double>")
+    cents = kmeans_centroids(df, 2, seed=1)
+    assert len(cents) == 2 and len(cents[0]) == 4
+    means = sorted(sum(c) / len(c) for c in cents)
+    assert abs(means[0] - 0.0) < 0.5 and abs(means[1] - 8.0) < 0.5
+    # fitted centroids drive assignment end-to-end
+    asg = assign_clusters(df, cents)
+    sizes = sorted(r["count"] for r in asg.groupBy("cluster_id").count().collect())
+    assert sizes == [40, 40]
+    with pytest.raises(ValueError):
+        kmeans_centroids(df, 0)

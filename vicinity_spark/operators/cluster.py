@@ -1,0 +1,266 @@
+"""Embedding-cluster curation: distributed k-means centroids,
+closure-kernel cluster assignment, cluster-scoped semantic dedup
+(SemDeDup, Abbas et al. 2023, arXiv:2303.09540), and cluster-balanced
+sampling.
+
+These are the cluster-side curation steps of a large-scale training
+pipeline: partition the corpus by embedding similarity, drop semantic
+duplicates WITHIN each cluster, and draw diversity-preserving subsets
+per cluster. The engine already has the exact all-pairs semantic dedup
+(`queries.semantic_dedup`: block-grid pair sweep → connected
+components) — that form is O(n²) over the whole corpus and is the
+right tool up to a few million rows. SemDeDup is its scale form: the
+pair search is CONFINED to clusters, so the quadratic term is
+Σ cluster_size² ≈ n²/k instead of n², at the cost of missing
+cross-cluster duplicate pairs (the documented SemDeDup trade; pick k
+so n/k stays bounded — the paper uses k in the tens of thousands at
+LAION scale, keeping clusters ~10⁴ rows).
+
+Scale shape:
+- assignment is a NARROW projection (Arrow-vectorized argmin against
+  the k×dim centroid matrix riding in the closure — the exact kernel
+  and tie rule of the IVF backend, backends/ivf.py:95); no shuffle,
+  no join, replayable by an `ORDER BY dist, cid` oracle;
+- the pair mine is ONE equi-join shuffle keyed on cluster id — pair
+  work per task is bounded by that cluster's size, never all-pairs;
+  a single runaway cluster is the failure mode (quadratic in ITS
+  size): that is a k-sizing decision, not a plan property, so size k
+  to the corpus as the paper does;
+- component closure and the final label join reuse
+  `dedup.connected_components` (|edges|+|ids|-bounded iterations);
+- `cluster_balanced_sample` keeps a deterministic per-cluster cut by
+  the engine's portable md5 key (operators/sampling.py), so the kept
+  set is engine-replayable and stable under retries.
+
+No reference analog: vicinity stops at pair search
+(vicinity/vicinity.py:118-141); cluster curation is pipeline-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rows of the per-cluster distance matrix computed per kernel slice —
+#: bounds kernel memory at _PCHUNK × cluster_size doubles (the grid
+#: module's _CCHUNK discipline, operators/grid.py)
+_PCHUNK = 4_096
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    vector_col: str = "vector",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> "list[list[float]]":
+    """k×dim centroid list from Spark ML's distributed KMeans (the
+    same fit the IVF backend uses, backends/ivf.py:67). Returned as a
+    plain Python list — k×dim is closure-small at any corpus size, so
+    downstream assignment never shuffles. Deterministic given (data,
+    k, seed, max_iter). For an externally-replayable pipeline (the
+    oracle pattern), pass PRESET centroids to the consumers instead —
+    k-means itself is iterative and not SQL-replayable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    feats = df.select(
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias("__features")
+    )
+    km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features")
+    model = km.fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _assign_udf(centroids):
+    """array<numeric> vector → nearest centroid id (argmin squared
+    euclidean, ties to the lower centroid index — np.argmin keeps the
+    first minimum, matching `ORDER BY dist, cid` in SQL). Identical
+    kernel to backends/ivf.py:95 so cluster semantics match the IVF
+    layout's."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        Q = np.vstack(v.to_numpy()).astype(np.float64)
+        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+
+    return assign
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids,
+    *,
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """`df` + an integer ``cluster_col`` = index of the nearest
+    centroid (squared-euclidean argmin, ties to the lower index).
+    Narrow projection — the k×dim matrix rides in the closure; no
+    shuffle, no join, so this composes into any scan."""
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
+    return df.withColumn(cluster_col, _assign_udf(cents)(F.col(vector_col)))
+
+
+def _cluster_pairs_kernel(metric: str, max_distance: float):
+    """mapInPandas kernel over cluster-folded block rows (__ids,
+    __vecs): per cluster, the within-cluster pairwise distance matrix
+    in _PCHUNK-row slices, emitting only the (id_a, id_b) edges with
+    distance ≤ the threshold. A MATRIX kernel, not a per-pair row
+    expansion — at cluster sizes in the thousands a join that expands
+    both vectors per candidate pair moves cluster_size² × dim doubles
+    through the shuffle (measured: the 200k/64-cluster bench tier ran
+    >10 min join-expanded vs seconds here); one BLAS product per slice
+    moves nothing. Zero vectors under cosine produce NaN distances
+    (excluded at any threshold) — the same contract as the Catalyst
+    distance expression."""
+    if metric not in ("cosine", "euclidean", "l2sq"):
+        raise ValueError(
+            f"semdedup supports cosine/euclidean/l2sq, got {metric!r}"
+        )
+
+    def fn(it):
+        for pdf in it:
+            for i in range(len(pdf)):
+                ids = np.asarray(pdf["__ids"].iloc[i], dtype=np.int64)
+                m = len(ids)
+                if m < 2:
+                    continue
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
+                )
+                # collect_list order is nondeterministic; id-sort so
+                # slice boundaries (and thus float paths) are stable
+                order = np.argsort(ids, kind="stable")
+                ids, V = ids[order], V[order]
+                if metric == "cosine":
+                    nrm = np.linalg.norm(V, axis=1)
+                    nrm[nrm == 0.0] = np.nan  # zero vector → NaN row
+                    W = V / nrm[:, None]
+                else:
+                    W = V
+                    sq = (V * V).sum(axis=1)
+                out_a, out_b = [], []
+                for s in range(0, m, _PCHUNK):
+                    e = min(s + _PCHUNK, m)
+                    if metric == "cosine":
+                        D = 1.0 - W[s:e] @ W.T
+                    else:
+                        D = sq[s:e, None] + sq[None, :] - 2.0 * (W[s:e] @ W.T)
+                        if metric == "euclidean":
+                            D = np.sqrt(np.maximum(D, 0.0))
+                    with np.errstate(invalid="ignore"):
+                        ii, jj = np.nonzero(D <= max_distance)
+                    gi = ii + s
+                    keep = gi < jj  # upper triangle: each pair once
+                    if keep.any():
+                        out_a.append(ids[gi[keep]])
+                        out_b.append(ids[jj[keep]])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                        }
+                    )
+
+    return fn
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    max_distance: float,
+    *,
+    metric: str = "cosine",
+    vector_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """SemDeDup: (id, cluster_id, rep_id, is_canonical) — semantic
+    dedup with the pair search confined to embedding clusters. Rows
+    whose ``metric`` distance is ≤ ``max_distance`` AND that share a
+    cluster are duplicate-pair edges; connected components pick the
+    minimum id as each group's representative; a pipeline keeps
+    ``is_canonical`` rows. Cross-cluster near-dups are NOT flagged —
+    that is the SemDeDup trade that turns the all-pairs O(n²) sweep
+    (`neardup_join`) into Σ cluster_size² work; size k so clusters
+    stay bounded (see module docstring).
+
+    Plan: assignment (narrow) → ONE groupBy(cluster) shuffle folding
+    each cluster into a block row → the chunked matrix kernel emits
+    flagged edges (Σ cluster_size² FLOPs but only |edges| rows) →
+    `connected_components` closure. Distance semantics match the
+    engine's near-dup family (cosine DISTANCE ≤ t, i.e. similarity ≥
+    1−t), and the rep rule (min id) matches `connected_components` —
+    so at equal clustering this refines to exactly `semantic_dedup`'s
+    answer restricted to within-cluster edges, which is what the
+    oracle replays."""
+    asg = assign_clusters(
+        df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
+        centroids,
+    )
+    folded = asg.groupBy("cluster_id").agg(
+        F.collect_list("id").alias("__ids"),
+        F.collect_list("vector").alias("__vecs"),
+    )
+    pairs = folded.mapInPandas(
+        _cluster_pairs_kernel(metric, float(max_distance)),
+        "id_a long, id_b long",
+    )
+    from vicinity_spark.operators.dedup import connected_components
+
+    comp = connected_components(asg.select("id"), pairs)
+    return (
+        asg.join(comp, "id")
+        .select(
+            "id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("rep").cast("long").alias("rep_id"),
+            (F.col("id") == F.col("rep")).alias("is_canonical"),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_per_cluster: int,
+    *,
+    cluster_col: str = "cluster_id",
+    id_col: str = "id",
+    salt: str = "cluster_sample",
+) -> DataFrame:
+    """At most ``n_per_cluster`` rows from each cluster — the
+    diversity-preserving subset step (train on a balanced slice of
+    embedding space instead of letting head clusters dominate). The
+    cut is a per-cluster row_number over the engine's PORTABLE md5
+    key (operators/sampling.py: md5 over the salted textual id —
+    Spark and DuckDB agree on it, unlike their native hashes) with an
+    id tie-break, so the kept set is deterministic, engine-replayable,
+    and stable under retries. The window partitions by cluster —
+    per-task work is bounded by cluster size, the same k-sizing
+    contract as the rest of this module."""
+    from pyspark.sql import Window
+
+    from vicinity_spark.operators.sampling import split_key
+
+    if n_per_cluster < 1:
+        raise ValueError(f"n_per_cluster must be >= 1, got {n_per_cluster}")
+    w = Window.partitionBy(cluster_col).orderBy(
+        split_key(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_cluster)
+        .drop("__rn")
+    )

@@ -4813,6 +4813,149 @@ def docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12: cluster-curation family (operators/cluster.py). Both oracles use
+# PRESET data-point centroids (the first _CLUSTER_K embedding rows) so
+# cluster assignment is an argmin the oracle reproduces from the same
+# rows — the ann_recall_summary trick; k-means itself is iterative and
+# certified by its own closed-form test instead.
+_CLUSTER_K = 8
+
+
+def _cluster_asg_ctes() -> str:
+    """cent + asg CTEs: nearest-preset-centroid assignment, squared-l2
+    argmin with ties to the lower centroid id — exactly the
+    np.argmin(first-minimum) rule of operators/cluster.py:_assign_udf
+    (centroid index ≡ vec_id because the preset list is the first
+    _CLUSTER_K rows in vec_id order)."""
+    # MATERIALIZED: inside a WITH RECURSIVE list DuckDB otherwise
+    # re-inlines this window-bearing chain into every recursive
+    # iteration of the closure — measured blowing a 12GB cap on a
+    # 500-row table; materialized, the whole oracle runs in <1s
+    return f"""
+cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_CLUSTER_K}),
+asg AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_l2sq('e.embedding', 'c.cv')}, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+def _preset_centroids(spark: SparkSession, sf_dir: str) -> "list[list[float]]":
+    e = _t(spark, sf_dir, "embeddings")
+    return [
+        list(map(float, r["embedding"]))
+        for r in e.where(F.col("vec_id") < _CLUSTER_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE
+{_cluster_asg_ctes()},
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN asg x ON x.vec_id = a.vec_id
+  JOIN asg y ON y.vec_id = b.vec_id AND y.cluster_id = x.cluster_id
+  WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+)
+SELECT g.id AS vec_id,
+       a.cluster_id,
+       CAST(min(g.rep) AS BIGINT) AS rep_id,
+       (min(g.rep) = g.id) AS is_canonical
+FROM reach g JOIN asg a ON a.vec_id = g.id
+GROUP BY g.id, a.cluster_id
+"""
+
+
+@register("emb_semdedup", _SEMDEDUP_SQL)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: SemDeDup (Abbas et al. 2023) — semantic dedup with the
+    pair search CONFINED to embedding clusters
+    (operators/cluster.py semdedup): assignment is a narrow
+    closure-kernel argmin, the pair mine is one equi-join shuffle
+    keyed on cluster id (pair work Σ cluster_size² ≈ n²/k, never
+    all-pairs — the scale form of `semantic_dedup`, whose block-grid
+    sweep is O(n²) over the whole corpus), then the engine's
+    connected-components closure picks min-id reps. Cross-cluster
+    near-dup pairs are deliberately missed (the SemDeDup trade,
+    pinned by test_semdedup_within_cluster_only). Oracle: preset
+    centroids + argmin assignment + within-cluster pairs +
+    recursive-CTE closure."""
+    from vicinity_spark.operators.cluster import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = semdedup(e, _preset_centroids(spark, sf_dir), max_distance=_NEARDUP_T)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", "rep_id", "is_canonical"
+    )
+
+
+_CLUSTER_SAMPLE_N = 50
+
+_CLUSTER_SAMPLE_SQL = f"""
+WITH
+{_cluster_asg_ctes()},
+keyed AS (
+  SELECT vec_id, cluster_id,
+         md5('cb:' || vec_id::VARCHAR) AS k
+  FROM asg
+),
+r AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY k, vec_id) AS rn
+  FROM keyed
+)
+SELECT vec_id, cluster_id FROM r WHERE rn <= {_CLUSTER_SAMPLE_N}
+"""
+
+
+@register("docs_cluster_sample", _CLUSTER_SAMPLE_SQL)
+def docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: cluster-balanced subset — at most N rows per embedding
+    cluster (operators/cluster.py cluster_balanced_sample), the
+    diversity-preserving sampling step that keeps head clusters from
+    dominating a training mix. The cut is a per-cluster row_number
+    over the engine's portable salted-md5 key with an id tie-break —
+    deterministic, retry-stable, and replayed verbatim by the
+    oracle (same md5 both engines compute, operators/sampling.py)."""
+    from vicinity_spark.operators.cluster import (
+        assign_clusters,
+        cluster_balanced_sample,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    asg = assign_clusters(e, _preset_centroids(spark, sf_dir)).select(
+        "id", "cluster_id"
+    )
+    kept = cluster_balanced_sample(
+        asg, _CLUSTER_SAMPLE_N, id_col="id", salt="cb"
+    )
+    return kept.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4897,7 +5040,16 @@ _CHECK_FIRST = [
     # (b2) NEW in r12 (never green — must sit inside the window):
     "docs_bm25_loaded",
     "docs_bm25_append",
-    # (b) r11-green, r12-touched code paths (11):
+    "emb_semdedup",
+    "docs_cluster_sample",
+    # (b) r11-green, r12-touched code paths (9). Two rows yielded
+    # their slots to the new cluster-family rows and move to the
+    # tail r11-green: docs_hard_negatives (hard_negatives itself is
+    # byte-untouched in r12 — only other functions in its file
+    # changed) and docs_unigram_xent (the r12 touch is the
+    # supplied-lm validation branch, which the oracle's default-fit
+    # path never enters; the branch is pinned by
+    # test_logprob_batch_entry_points_require_unk_floor instead):
     "ann_pq_knn",
     "ann_sq_knn",
     "threshold_grid_routing",
@@ -4906,16 +5058,16 @@ _CHECK_FIRST = [
     "ann_recall_summary",
     "docs_bm25_topk",
     "docs_hybrid_rrf",
-    "docs_hard_negatives",
-    "docs_unigram_xent",
     "docs_bigram_xent",
 ]
 
-# r12 tail: 39 rows, every one green in CORRECTNESS_r11.json with its
+# r12 tail: 41 rows, every one green in CORRECTNESS_r11.json with its
 # specific operator code untouched this round (scripts/verified_ledger
 # enforces that nothing never-green sits here; VERIFIED.md records the
 # skip).
 _ROTATE_OUT: "list[str]" = [
+    "docs_hard_negatives",
+    "docs_unigram_xent",
     "events_asof_join",
     "skew_salted_agg",
     "skew_salted_join",
