@@ -142,3 +142,37 @@ def test_kmeans_centroids_separated_blobs(spark):
     assert sizes == [40, 40]
     with pytest.raises(ValueError):
         kmeans_centroids(df, 0)
+
+
+def test_semdedup_keep_farthest(spark):
+    """The paper's keep rule (Abbas et al. §3): each duplicate group
+    keeps the member FARTHEST from its cluster centroid. Cosine
+    ignores magnitude, so colinear vectors of different lengths are an
+    exact dup group with distinct centroid distances — the farthest
+    (largest) must win; singletons stay canonical either way."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0]),
+            (2, [2.0, 2.0]),
+            (3, [3.0, 3.0]),  # farthest from [0, 0] in the dup group
+            (7, [-1.0, 0.5]),  # singleton
+        ],
+        "id long, vector array<double>",
+    )
+    rows = {
+        r["id"]: (r["rep_id"], r["is_canonical"])
+        for r in semdedup(
+            df, [[0.0, 0.0]], max_distance=1e-9, keep="farthest"
+        ).collect()
+    }
+    assert rows[1] == (3, False) and rows[2] == (3, False)
+    assert rows[3] == (3, True)
+    assert rows[7] == (7, True)
+    # default rule on the same data keeps the min id
+    rows2 = {
+        r["id"]: r["rep_id"]
+        for r in semdedup(df, [[0.0, 0.0]], max_distance=1e-9).collect()
+    }
+    assert rows2[1] == rows2[2] == rows2[3] == 1
+    with pytest.raises(ValueError):
+        semdedup(df, [[0.0, 0.0]], max_distance=0.1, keep="best")

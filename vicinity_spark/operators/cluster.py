@@ -96,6 +96,35 @@ def _assign_udf(centroids):
     return assign
 
 
+def _assign_dist_udf(centroids):
+    """Same argmin kernel, returning (cluster_id, the squared-l2
+    distance TO that centroid) — the extra column semdedup's
+    "farthest" keep rule ranks on."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("cluster_id", IntegerType()),
+            StructField("cdist", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        Q = np.vstack(v.to_numpy()).astype(np.float64)
+        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argmin(D, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": idx.astype(np.int32),
+                "cdist": D[np.arange(len(idx)), idx],
+            }
+        )
+
+    return assign
+
+
 def assign_clusters(
     df: DataFrame,
     centroids,
@@ -186,6 +215,7 @@ def semdedup(
     metric: str = "cosine",
     vector_col: str = "vector",
     id_col: str = "id",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup: (id, cluster_id, rep_id, is_canonical) — semantic
     dedup with the pair search confined to embedding clusters. Rows
@@ -202,14 +232,37 @@ def semdedup(
     flagged edges (Σ cluster_size² FLOPs but only |edges| rows) →
     `connected_components` closure. Distance semantics match the
     engine's near-dup family (cosine DISTANCE ≤ t, i.e. similarity ≥
-    1−t), and the rep rule (min id) matches `connected_components` —
+    1−t).
+
+    ``keep`` picks each duplicate group's canonical row:
+    ``"min_id"`` (default) matches `connected_components`' rep rule —
     so at equal clustering this refines to exactly `semantic_dedup`'s
     answer restricted to within-cluster edges, which is what the
-    oracle replays."""
-    asg = assign_clusters(
-        df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
-        centroids,
+    oracle replays; ``"farthest"`` is the paper's rule — keep the
+    member with the LARGEST squared-l2 distance to its cluster
+    centroid (Abbas et al. §3: low-similarity-to-centroid examples
+    preserve diversity), ties to the lower id. The re-pick is one
+    window per duplicate group (group sizes are edge-bounded), on
+    the centroid distance the assignment kernel already computed."""
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
     )
+    if keep == "farthest":
+        cents = [list(map(float, c)) for c in centroids]
+        if not cents:
+            raise ValueError("centroids must be non-empty")
+        asg = base.withColumn(
+            "__a", _assign_dist_udf(cents)(F.col("vector"))
+        ).select(
+            "id",
+            "vector",
+            F.col("__a.cluster_id").alias("cluster_id"),
+            F.col("__a.cdist").alias("__cdist"),
+        )
+    else:
+        asg = assign_clusters(base, centroids)
     folded = asg.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
         F.collect_list("vector").alias("__vecs"),
@@ -221,14 +274,29 @@ def semdedup(
     from vicinity_spark.operators.dedup import connected_components
 
     comp = connected_components(asg.select("id"), pairs)
-    return (
-        asg.join(comp, "id")
-        .select(
-            "id",
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            F.col("rep").cast("long").alias("rep_id"),
-            (F.col("id") == F.col("rep")).alias("is_canonical"),
+    labeled = asg.join(comp, "id")
+    if keep == "farthest":
+        from pyspark.sql import Window
+
+        # re-pick each group's rep: farthest from its centroid, ties
+        # to the lower id. One window per duplicate group — group
+        # sizes are bounded by the edge graph, never the corpus.
+        w = Window.partitionBy("rep").orderBy(
+            F.col("__cdist").desc(), F.col("id").asc()
         )
+        newrep = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("rep"), F.col("id").alias("__newrep"))
+        )
+        labeled = labeled.join(newrep, "rep").withColumn(
+            "rep", F.col("__newrep")
+        )
+    return labeled.select(
+        "id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("rep").cast("long").alias("rep_id"),
+        (F.col("id") == F.col("rep")).alias("is_canonical"),
     )
 
 
