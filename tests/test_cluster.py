@@ -176,3 +176,28 @@ def test_semdedup_keep_farthest(spark):
     assert rows2[1] == rows2[2] == rows2[3] == 1
     with pytest.raises(ValueError):
         semdedup(df, [[0.0, 0.0]], max_distance=0.1, keep="best")
+
+
+def test_kmeans_to_semdedup_composition(spark):
+    """The fitted path end-to-end: kmeans_centroids → semdedup finds
+    the planted duplicate inside each blob and nothing across blobs
+    (the blobs are far apart, so no cross-blob pair is near anyway —
+    the assertion is that the composition runs and flags exactly the
+    planted pairs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pts = []
+    for b, center in enumerate([0.0, 8.0]):
+        for i in range(20):
+            pts.append(
+                (b * 100 + i, list(map(float, rng.normal(center, 0.05, 4))))
+            )
+        pts.append((b * 100 + 50, pts[b * 21][1]))  # exact dup of blob row 0
+    df = spark.createDataFrame(pts, "id long, vector array<double>")
+    cents = kmeans_centroids(df, 2, seed=5)
+    rows = semdedup(df, cents, max_distance=1e-9).collect()
+    flagged = sorted(r["id"] for r in rows if not r["is_canonical"])
+    assert flagged == [50, 150]
+    reps = {r["id"]: r["rep_id"] for r in rows}
+    assert reps[50] == 0 and reps[150] == 100

@@ -1819,3 +1819,55 @@ def test_bm25_index_save_invalidates_ingest_sidecar(spark, tmp_path):
     assert sorted(map(tuple, lp.drop("__tg").collect())) == sorted(
         map(tuple, rp.collect())
     )
+
+
+def test_stream_bm25_serve_from_loaded_layout(spark, tmp_path):
+    """The documented serving deployment end-to-end: persist the index
+    once (bm25_index_save), pass bm25_index_load's frames into
+    stream_bm25_serve — per-trigger results equal the in-session batch
+    pass, with no corpus aggregate at serve time."""
+    import datetime as dt
+
+    from vicinity_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_load,
+        bm25_index_save,
+        bm25_topk,
+    )
+    from vicinity_spark.streaming.query import stream_bm25_serve
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.where("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in bm25_topk(docs, queries, k=5, query_id_col="query_id").collect()
+    )
+    layout = str(tmp_path / "bm25_serve_layout")
+    bm25_index_save(*bm25_index(docs), layout)
+    lp, ls = bm25_index_load(spark, layout)
+    ls = ls.localCheckpoint(eager=True)  # pin the one-row stats (docs contract)
+    src = tmp_path / "bm25_serve_src"
+    queries.withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("query_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    w = stream_bm25_serve(
+        None,
+        stream,
+        k=5,
+        postings=lp,
+        stats=ls,
+        sink=lambda df, bid: got.extend(
+            (r.query_id, r.doc_id, r.bm25, r.rank) for r in df.collect()
+        ),
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert sorted(got) == want
