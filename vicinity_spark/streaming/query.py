@@ -623,7 +623,7 @@ def stream_bm25_ingest(
         _write_sidecar(spark, marker, out)
         if (
             compact_every_n_batches is not None
-            and batch_id % compact_every_n_batches == compact_every_n_batches - 1
+            and (batch_id + 1) % compact_every_n_batches == 0
         ):
             bm25_index_compact(
                 spark, index_path, max_files_per_dir=compact_max_files_per_dir
