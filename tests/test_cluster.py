@@ -201,3 +201,23 @@ def test_kmeans_to_semdedup_composition(spark):
     assert flagged == [50, 150]
     reps = {r["id"]: r["rep_id"] for r in rows}
     assert reps[50] == 0 and reps[150] == 100
+
+
+def test_cluster_stats(spark):
+    """Sizes and inertia per cluster — the runaway-cluster detector
+    the semdedup k-sizing contract points at. Closed form: cluster 0
+    holds {[0,0]×2, [0,3]} (sq dists 0, 0, 9), cluster 1 holds
+    {[10,10]} (sq dist 0)."""
+    from vicinity_spark.operators.cluster import cluster_stats
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 3.0]), (3, [10.0, 10.0])],
+        "id long, vector array<double>",
+    )
+    got = {
+        r["cluster_id"]: (r["n_rows"], r["mean_sq_dist"], r["max_sq_dist"])
+        for r in cluster_stats(df, [[0.0, 0.0], [10.0, 10.0]]).collect()
+    }
+    assert got == {0: (3, 3.0, 9.0), 1: (1, 0.0, 0.0)}
+    with pytest.raises(ValueError):
+        cluster_stats(df, [])

@@ -332,3 +332,36 @@ def cluster_balanced_sample(
         .where(F.col("__rn") <= n_per_cluster)
         .drop("__rn")
     )
+
+
+def cluster_stats(
+    df: DataFrame,
+    centroids,
+    *,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """(cluster_id, n_rows, mean_sq_dist, max_sq_dist) — the
+    observability tool for the k-sizing contract the rest of this
+    module documents: `semdedup`'s pair work is Σ cluster_size², so a
+    single runaway cluster is the failure mode, and this is how you
+    SEE it before paying for it (run stats, check max(n_rows), re-fit
+    with a larger k if a cluster outgrows the budget). The distance
+    columns are the per-cluster inertia terms — the k-means quality
+    signal (falling mean_sq_dist with growing k = normal; a cluster
+    with huge n_rows AND huge mean_sq_dist = a catch-all centroid).
+
+    One narrow assignment pass (the same closure kernel) + one
+    map-side-combined groupBy, output bounded by k rows — safe to run
+    at any corpus size."""
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
+    asg = df.withColumn("__a", _assign_dist_udf(cents)(F.col(vector_col)))
+    return (
+        asg.groupBy(F.col("__a.cluster_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("__a.cdist"), 6).alias("mean_sq_dist"),
+            F.round(F.max("__a.cdist"), 6).alias("max_sq_dist"),
+        )
+    )
