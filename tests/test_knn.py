@@ -977,3 +977,27 @@ def test_graph_build_deterministic_across_builds(spark):
         }
 
     assert adjacency() == adjacency()
+
+
+def test_corpus_blocks_density_default(spark):
+    """r13 (VERDICT r12 item 1): corpus_blocks sizes its default block
+    count by payload DENSITY — ceil(count/target_rows) — not by a
+    static conf. Block count is a direct cost multiplier on every grid
+    consumer (the r12 fixed-32 default regressed pq/sq ~2× on a
+    2k-row corpus), so a small corpus must fold into ONE block while
+    explicit n_blocks/target_rows still win."""
+    from vicinity_spark.operators.grid import corpus_blocks
+
+    small = spark.range(0, 2_000).selectExpr(
+        "id", "array(cast(id as double)) as vector"
+    )
+    assert corpus_blocks(small, "vector").count() == 1  # 2k << 65,536
+    assert corpus_blocks(small, "vector", target_rows=500).count() == 4
+    assert corpus_blocks(small, "vector", n_blocks=7).count() == 7
+    # every row lands in exactly one block regardless of the count
+    total = (
+        corpus_blocks(small, "vector", n_blocks=7)
+        .selectExpr("explode(__cids) as id")
+        .count()
+    )
+    assert total == 2_000

@@ -199,18 +199,23 @@ class PQStrategy(IndexStrategy):
     ) -> DataFrame:
         """Block-grid ADC scan: corpus code blocks × query blocks.
 
-        Corpus codes fold into ~numPartitions hash blocks (narrow
-        shuffle of m-byte codes); the grid is a crossJoin against the
-        query blocks. Each cell computes its queries' ADC tables from
-        the closure codebooks — D[q, n] = Σ_j tables[q, j, codes[n, j]],
-        pure lookups — and emits per-query top-kk via chunked
-        argpartition. No driver collect of the query table."""
+        Corpus codes fold into ceil(n/262144) density-sized hash blocks
+        (narrow shuffle of m-byte codes — the compact payload affords
+        4× the dense default, and every extra block re-computes the
+        per-cell ADC tables and widens the candidate merge); the grid
+        is a crossJoin against the query blocks. Each cell computes its
+        queries' ADC tables from the closure codebooks —
+        D[q, n] = Σ_j tables[q, j, codes[n, j]], pure lookups — and
+        emits per-query top-kk via chunked argpartition. No driver
+        collect of the query table."""
         from vicinity_spark.operators.grid import cell_topk, corpus_blocks, query_blocks
 
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
         strat = self
-        grid = corpus_blocks(corpus, CODE_COL).crossJoin(query_blocks(queries))
+        grid = corpus_blocks(corpus, CODE_COL, target_rows=262_144).crossJoin(
+            query_blocks(queries)
+        )
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 _QBLOCK = 512  # queries per grid block
 _CCHUNK = 8_192  # corpus rows scored per in-kernel slice
+_CTARGET = 65_536  # corpus rows per hash block (density default)
 
 
 def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
@@ -51,22 +52,29 @@ def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
     )
 
 
-def corpus_blocks(corpus: DataFrame, payload_col: str, n_blocks: int = None) -> DataFrame:
+def corpus_blocks(
+    corpus: DataFrame,
+    payload_col: str,
+    n_blocks: int = None,
+    target_rows: int = _CTARGET,
+) -> DataFrame:
     """(__cb, __cids, __ccodes) — the corpus scan payload folded into
     hash blocks (one narrow shuffle of the compact payload).
 
-    Default block count = spark.sql.shuffle.partitions: the payload is
-    about to be shuffled anyway (groupBy __cb), so matching the
-    shuffle's own width keeps one block per reduce task without the
-    .rdd plan translation a getNumPartitions() probe would force
-    (the same retirement embedding.py's covariance combine got in
-    r11). Callers that know the payload density (pq/sq pass
-    ceil(n/target_rows)) override via n_blocks."""
-    ncb = max(
-        1,
-        n_blocks
-        or int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-    )
+    Block count is a DIRECT cost multiplier on every consumer: the
+    crossJoin against query_blocks ships each query block once per
+    corpus block, PQ recomputes its ADC tables per cell, and the
+    per-query merge handles kk × n_blocks candidates. So the default
+    sizes blocks by payload DENSITY — ceil(count/target_rows), one
+    distributed count (the twin of query_blocks' own count) — which
+    folds a small corpus into few blocks (the r12 fixed-32 default
+    regressed pq/sq ~2× on a 2k-row corpus) while a huge corpus still
+    gets memory-bounded cells whose block count grows with the data,
+    not with a static conf. Callers that already know their count or
+    payload width pass n_blocks directly, or tune target_rows (pq's
+    payload is m-byte codes, so it affords denser blocks than the
+    dim×8-byte dense decode paths)."""
+    ncb = max(1, n_blocks or math.ceil(corpus.count() / max(1, target_rows)))
     return (
         corpus.select("id", payload_col)
         .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))
