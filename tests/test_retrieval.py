@@ -444,3 +444,43 @@ def test_bm25_index_resave_over_same_folder(spark, docs_df, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{folder}/bm25_doclens").collect()
     ) == list(range(6))
+
+
+def test_rrf_fuse_rejects_non_dataframe(spark):
+    """r13 (r12 ADVICE): the N-ary signature made k keyword-only — a
+    legacy positional rrf_fuse(a, b, 10) must fail IMMEDIATELY with a
+    TypeError naming the change, not an opaque downstream
+    AttributeError on int."""
+    from vicinity_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1)], "query_id long, doc_id long, rank long"
+    )
+    with pytest.raises(TypeError, match="keyword-only"):
+        rrf_fuse(a, a, 10)
+    with pytest.raises(TypeError, match="argument 1"):
+        rrf_fuse(None, a)
+
+
+def test_bm25_index_load_pins_stats(spark, docs_df, tmp_path):
+    """r13 (VERDICT r12 item 5): the one-row stats frame is pinned at
+    load — a serving session keeps ITS stats snapshot even after the
+    underlying parquet is overwritten (the per-trigger behavior of
+    stream_bm25_ingest), while a fresh load sees the new file."""
+    from vicinity_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_load,
+        bm25_index_save,
+    )
+
+    layout = str(tmp_path / "pin_layout")
+    bm25_index_save(*bm25_index(docs_df), layout)
+    _, stats = bm25_index_load(spark, layout)
+    before = stats.collect()
+    # simulate the ingest loop's per-trigger stats rewrite
+    spark.createDataFrame(
+        [(999.0, 42.0)], "n_docs double, avgdl double"
+    ).write.mode("overwrite").parquet(f"{layout}/bm25_stats")
+    assert stats.collect() == before  # pinned: still the load snapshot
+    _, stats2 = bm25_index_load(spark, layout)
+    assert stats2.collect()[0]["n_docs"] == 999.0  # fresh load sees it

@@ -628,3 +628,23 @@ def test_lsh_insert_branch_lifecycle_and_resave(spark, data, tmp_path):
     reloaded = VectorStore.load(path, spark)
     assert len(reloaded) == N + n_inserts
     assert reloaded.query(qvec, k=3) == res2
+
+
+def test_scan_reads_path_uri_safe(spark, tmp_path):
+    """r13 (r12 ADVICE): the save-over-own-source predicate resolves
+    both sides through the Hadoop FileSystem, so scheme-qualified
+    spellings of the same local folder match and unrelated or
+    prefix-sharing siblings never do (the old os.path.abspath
+    substring check mangled scheme URIs and matched substrings)."""
+    from vicinity_spark.session import scan_reads_path
+
+    p = str(tmp_path / "src")
+    spark.range(5).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert scan_reads_path(df, p)
+    assert scan_reads_path(df, "file:" + p)  # scheme-qualified spelling
+    assert scan_reads_path(df, p + "/")  # trailing-slash spelling
+    assert not scan_reads_path(df, str(tmp_path / "other"))
+    # sibling sharing a name prefix: containment, not substring
+    assert not scan_reads_path(df, p[: -1])
+    assert not scan_reads_path(spark.range(3), p)  # no file scan at all

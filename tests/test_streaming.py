@@ -1871,3 +1871,81 @@ def test_stream_bm25_serve_from_loaded_layout(spark, tmp_path):
     q = w.trigger(availableNow=True).start()
     q.awaitTermination(180)
     assert sorted(got) == want
+
+
+def test_stream_bm25_ingest_legacy_sidecar_distrusted(spark, tmp_path):
+    """r13 (r12 ADVICE): a sidecar whose run id is missing cannot
+    CERTIFY its high-water batch mark — a later run must distrust the
+    mark and fall through to the idempotent presence filters, instead
+    of letting a stale mark silently drop genuinely new batches.
+    Planted: a run-unscoped sidecar with batch=99; a rerun over three
+    source files (one brand NEW) must still fold the new docs in and
+    land byte-identical to a full rebuild."""
+    from vicinity_spark.operators.dedup import _read_sidecar, _write_sidecar
+    from vicinity_spark.operators.retrieval import (
+        BM25_INGEST_MARKER,
+        bm25_index,
+        bm25_index_load,
+    )
+
+    layout, src, full = _bm25_stream_fixture(spark, tmp_path, "legacy")
+    _run_bm25_ingest_once(spark, src, layout)
+    marker = layout.rstrip("/") + "/" + BM25_INGEST_MARKER
+    got = _read_sidecar(spark, marker)
+    assert "run_id" in got
+    del got["run_id"]  # legacy / run-unscoped sidecar
+    got["batch"] = 99  # stale high-water mark covering every batch id
+    _write_sidecar(spark, marker, got)
+    extra = [(9, "entirely fresh vocabulary here")]
+    spark.createDataFrame(extra, "doc_id long, text string").withColumn(
+        "ts", F.lit("2024-01-01 00:05:00").cast("timestamp")
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    _run_bm25_ingest_once(spark, src, layout)
+    lp, ls = bm25_index_load(spark, layout)
+    full2 = full.unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    rp, rs = bm25_index(full2)
+    assert ls.collect() == rs.collect()
+    assert sorted(map(tuple, lp.drop("__tg").collect())) == sorted(
+        map(tuple, rp.collect())
+    )
+
+
+def test_stream_bm25_ingest_first_seed_exact_on_inexact_avgdl(spark, tmp_path):
+    """r13 (r12 ADVICE): the first-ingest totals seed recomputes
+    (count, sum(dl)) from the doclens artifact instead of deriving
+    sum_dl = n·avgdl from the stats row — n·(sum/n) drifts by an ulp
+    whenever avgdl is not exactly representable. Base corpus: 7 docs
+    with dl summing to 29 — 7·(29/7) = 29.000000000000004 ≠ 29.0 in
+    doubles, so the old seed fails this test's byte-identical stats
+    assertion."""
+    import datetime as dt
+
+    from vicinity_spark.operators.retrieval import (
+        bm25_doclens,
+        bm25_index,
+        bm25_index_load,
+        bm25_index_save,
+    )
+
+    assert 7 * (29 / 7) != 29.0  # the ulp this test exists for
+    base_rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(dl)))
+        for i, dl in enumerate([5, 5, 5, 5, 5, 2, 2])
+    ]
+    b1_rows = [(100, "h i j k")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    layout = str(tmp_path / "bm25_ing_ulp")
+    bm25_index_save(*bm25_index(base), layout, doclens=bm25_doclens(base))
+    src = str(tmp_path / "bm25_src_ulp")
+    spark.createDataFrame(b1_rows, "doc_id long, text string").withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    _run_bm25_ingest_once(spark, src, layout)
+    _, ls = bm25_index_load(spark, layout)
+    full = spark.createDataFrame(
+        base_rows + b1_rows, "doc_id long, text string"
+    )
+    _, rs = bm25_index(full)
+    assert ls.collect() == rs.collect()  # byte-identical, no ulp drift

@@ -144,11 +144,12 @@ def bm25_index_save(
     extra pass over the postings at save time — the price of making
     every later probe sublinear in the layout, the same trade every
     sorted index write makes."""
+    from vicinity_spark.session import scan_reads_path
+
     spark = postings.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     target = os.path.join(path, BM25_POSTINGS_DIR)
-    tgt = "/" + os.path.abspath(target).lstrip("/")
-    if any(tgt in f for f in postings.inputFiles()):
+    if scan_reads_path(postings, target):
         # load → append → save back to the SAME folder (the natural
         # daily maintenance cycle): the overwrite deletes the very
         # part files the postings plan still scans — materialize first
@@ -163,14 +164,12 @@ def bm25_index_save(
     )
     posts.write.mode("overwrite").partitionBy(BM25_TGROUP_COL).parquet(target)
     sdir = os.path.join(path, BM25_STATS_DIR)
-    stgt = "/" + os.path.abspath(sdir).lstrip("/")
-    if any(stgt in f for f in stats.inputFiles()):
+    if scan_reads_path(stats, sdir):
         stats = stats.localCheckpoint(eager=True)  # one row
     stats.write.mode("overwrite").parquet(sdir)
     if doclens is not None:
         ddir = os.path.join(path, BM25_DOCLENS_DIR)
-        dtgt = "/" + os.path.abspath(ddir).lstrip("/")
-        if any(dtgt in f for f in doclens.inputFiles()):
+        if scan_reads_path(doclens, ddir):
             doclens = doclens.localCheckpoint(eager=True)
         doclens.write.mode("overwrite").parquet(ddir)
     # a fresh save REBUILDS the layout — a leftover ingest sidecar
@@ -190,11 +189,20 @@ def bm25_index_load(spark: SparkSession, path: str) -> "tuple[DataFrame, DataFra
     The postings keep their ``BM25_TGROUP_COL`` partition column —
     ``bm25_topk`` detects it and extends the query-term join to the
     group key, so the scan touches only the query terms' partition
-    directories (file prune, not a full-layout read)."""
-    return (
-        spark.read.parquet(os.path.join(path, BM25_POSTINGS_DIR)),
-        spark.read.parquet(os.path.join(path, BM25_STATS_DIR)),
+    directories (file prune, not a full-layout read).
+
+    The one-row stats frame is PINNED at load (eager localCheckpoint):
+    ``stream_bm25_ingest`` overwrites the stats parquet on every
+    trigger, so a lazily-read stats row in a serving session racing a
+    live ingest loop would re-scan a replaced (or mid-overwrite
+    deleted) file on every query. One row — the pin is free. The
+    postings stay lazy on purpose: they are the layout's bulk, the
+    ingest loop only APPENDS new files under them, and a serving query
+    plan lists files per probe anyway."""
+    stats = spark.read.parquet(os.path.join(path, BM25_STATS_DIR)).localCheckpoint(
+        eager=True
     )
+    return (spark.read.parquet(os.path.join(path, BM25_POSTINGS_DIR)), stats)
 
 
 def bm25_index_append(
@@ -581,6 +589,17 @@ def rrf_fuse(
     retrievers."""
     if k <= 0:
         raise ValueError("k must be greater than 0")
+    for i, df in enumerate(ranked):
+        if not isinstance(df, DataFrame):
+            # the r12 N-ary signature made k keyword-only: a legacy
+            # rrf_fuse(a, b, 10) call now lands 10 HERE — fail with the
+            # cause, not a downstream "'int' has no .select"
+            raise TypeError(
+                f"rrf_fuse positional argument {i + 1} is "
+                f"{type(df).__name__}, not a DataFrame — every "
+                "positional argument is a ranked list; k/k0 are "
+                "keyword-only (pass k=...)"
+            )
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least 2 ranked lists")
 

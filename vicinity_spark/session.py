@@ -115,3 +115,32 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's parquet tables (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def scan_reads_path(df, target: str) -> bool:
+    """True when ``df``'s file scan reads from under ``target`` — the
+    predicate behind every save-over-own-source guard (store.save,
+    bm25_index_save): an overwrite of a folder the plan still scans
+    deletes the part files mid-read, so the callers materialize first.
+
+    Both sides resolve through the Hadoop ``FileSystem``
+    (``makeQualified``), NOT ``os.path.abspath``: abspath mangles
+    scheme-qualified URIs (``s3a://bucket/x`` becomes a nonsense local
+    path), so on object storage the old string guard never matched and
+    the documented load→append→save-to-the-same-folder cycle would
+    delete the files the postings plan still scans (r12 ADVICE). The
+    local-FS behavior is unchanged — Hadoop's LocalFileSystem
+    qualifies relative paths against the JVM working directory, the
+    same base abspath used."""
+    files = df.inputFiles()
+    if not files:
+        return False
+    jvm = df.sparkSession._jvm
+    conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualify(p: str) -> str:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(conf).makeQualified(jp).toString()
+
+    prefix = _qualify(target).rstrip("/") + "/"
+    return any(_qualify(f).startswith(prefix) for f in files)

@@ -470,13 +470,15 @@ class VectorStore:
         if os.path.exists(os.path.join(folder, META_FILE)) and not overwrite:
             raise ValueError(f"Store already exists at {folder} (pass overwrite=True)")
         os.makedirs(folder, exist_ok=True)
+        from vicinity_spark.session import scan_reads_path
+
         target = os.path.join(folder, STORE_DIR)
-        tgt = "/" + os.path.abspath(target).lstrip("/")
-        if overwrite and any(tgt in f for f in self.df.inputFiles()):
+        if overwrite and scan_reads_path(self.df, target):
             # re-saving over the folder this store was LOADED from: the
             # overwrite deletes the very part files self.df's scan (and
             # save_extra's postings write) still reference — materialize
-            # first to sever that lineage (r11; executor-storage cost,
+            # first to sever that lineage (r11; URI-safe predicate in
+            # session.scan_reads_path since r13; executor-storage cost,
             # so at large scale prefer saving to a fresh folder)
             self._set_df(self.df.localCheckpoint(eager=True))
         writer = self.df.write.mode("overwrite")

@@ -523,23 +523,40 @@ def stream_bm25_ingest(
             got = None
         if got is None:
             # first ingest against this layout: seed the running
-            # totals from the saved stats row (n·avgdl is exact —
-            # avgdl was computed as sum/count)
-            row = spark.read.parquet(stats_dir).collect()[0]
-            n = float(row["n_docs"] or 0.0)
-            a = row["avgdl"]
-            return {"batch": -1, "n_docs": n, "sum_dl": n * float(a or 0.0)}
+            # totals from the doclens artifact itself — the same
+            # one-pass column-pruned scan the crash-recovery path
+            # does. NOT n_docs·avgdl from the stats row: avgdl was
+            # stored as sum/count, and n·(sum/n) ≠ sum in IEEE
+            # doubles in general, which would drift the
+            # byte-identical-to-rebuild stats contract by an ulp on
+            # corpora whose average is not exactly representable
+            # (r12 ADVICE).
+            row = (
+                spark.read.parquet(doclens_dir)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+                .collect()[0]
+            )
+            return {
+                "batch": -1,
+                "n_docs": float(row["n"]),
+                "sum_dl": float(row["s"] or 0.0),
+            }
         stored_run = got.get("run_id")
         marks = {
             "batch": int(got.get("batch", -1)),
             "n_docs": float(got.get("n_docs", 0.0)),
             "sum_dl": float(got.get("sum_dl", 0.0)),
         }
-        if run_id is not None and stored_run is not None and stored_run != run_id:
-            # reset checkpoint: batch ids restart at 0 and must never
-            # short-circuit new data; the TOTALS describe the artifact,
-            # not the run, and stay (re-fed old docs hit the presence
-            # filters, which force the exact recompute below)
+        if run_id is None or stored_run is None or stored_run != run_id:
+            # distrust the high-water mark unless the sidecar's run id
+            # CERTIFIES it belongs to this run: a reset checkpoint
+            # restarts batch ids at 0 (stored_run != run_id), and when
+            # either side is unreadable a stale mark would silently
+            # drop genuinely new batches. Replays are safe without the
+            # short-circuit — the row-level presence filters make the
+            # appends idempotent (r12 ADVICE). The TOTALS describe the
+            # artifact, not the run, and stay (re-fed old docs hit the
+            # presence filters, which force the exact recompute below).
             marks["batch"] = -1
         return marks
 
