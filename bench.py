@@ -905,6 +905,48 @@ def semdedup_200k(spark, sf_dir):
     return run
 
 
+def cluster_curate_200k(spark, sf_dir):
+    """r13 (VERDICT r12 item 8): the composed one-call curation
+    pipeline at the semdedup_200k tier — same 200k × 64-d corpus, 64
+    preset centroids, 2k planted dups — plus the runaway-cluster
+    guard pass (max_cluster_rows, one extra assignment + k-row
+    groupBy), the per-cluster md5 balanced cut to 1024 rows, and the
+    broadcast payload join-back. Prices the composition against its
+    dominant stage (semdedup_200k): the delta IS the guard + cut +
+    join cost. Output reduced to (clusters, rows) so the driver never
+    collects the curated slice."""
+    from vicinity_spark.operators.cluster import cluster_curate
+
+    base = _synth_vectors(spark, n=200_000, dim=64, parts=32)
+    dup = F.when(
+        (F.col("id") % 100 == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs = (
+        spark.range(0, 200_000, 1, 32)
+        .select(F.col("id"), dup.alias("__src"))
+        .join(base.select(F.col("id").alias("__src"), "vector"), "__src")
+        .select("id", "vector")
+        .cache()
+    )
+    docs.count()
+    cents = [
+        r["vector"]
+        for r in base.where(F.col("id") < 64).orderBy("id").collect()
+    ]
+
+    def run(s, d):
+        out = cluster_curate(
+            docs, cents, 1e-9, 1024, max_cluster_rows=50_000
+        )
+        return out.agg(
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+
+    run(spark, sf_dir).count()  # untimed warm-up (plan + codegen)
+    return run
+
+
 def pca_projection_1024(spark, sf_dir):
     """r10 (VERDICT r9 item 1): PCA at the module's production shape —
     fit + apply over 200k × 1024-d → 128-d. Timed work = the full
@@ -1390,6 +1432,8 @@ BENCH = {
     "bm25_serve_2m": bm25_serve_2m,
     "bigram_xent_2m": bigram_xent_2m,
     "semdedup_200k": semdedup_200k,
+    # r13 additions, appended (same rule as above)
+    "cluster_curate_200k": cluster_curate_200k,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

@@ -221,3 +221,78 @@ def test_cluster_stats(spark):
     assert got == {0: (3, 3.0, 9.0), 1: (1, 0.0, 0.0)}
     with pytest.raises(ValueError):
         cluster_stats(df, [])
+
+
+def test_semdedup_runaway_cluster_guard(spark):
+    """r13 (VERDICT r12 item 6): `max_cluster_rows` turns the
+    documented k-sizing contract into an enforced one — a planted
+    catch-all cluster fails BEFORE any quadratic pair work, naming
+    the cluster and its size; a sufficient budget runs normally and
+    matches the unguarded answer."""
+    rows = [(i, [0.0 + i * 1e-6, 0.0]) for i in range(40)]  # runaway cluster 0
+    rows += [(100, [10.0, 10.0]), (101, [10.0, 10.0])]  # small cluster 1
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    with pytest.raises(ValueError, match=r"cluster 0: 40 rows"):
+        semdedup(df, cents, max_distance=0.01, max_cluster_rows=10)
+    # the farthest path assigns through a different kernel — guard too
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup(
+            df, cents, max_distance=0.01, keep="farthest", max_cluster_rows=10
+        )
+    want = sorted(
+        map(tuple, semdedup(df, cents, max_distance=0.01).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            semdedup(
+                df, cents, max_distance=0.01, max_cluster_rows=40
+            ).collect(),
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="must be >= 2"):
+        semdedup(df, cents, max_distance=0.01, max_cluster_rows=1)
+
+
+def test_cluster_curate_composition(spark):
+    """r13 (VERDICT r12 item 8): the one-call pipeline — preset
+    centroids, planted in-cluster dups, a head cluster bigger than
+    n_per_cluster. Expected = canonical rows of each cluster cut to
+    n_per_cluster by the portable md5 key, with payload columns
+    joined back."""
+    from vicinity_spark.operators.cluster import cluster_curate
+
+    # cluster 0: distinct ANGLES (cosine cares about direction — a
+    # shared direction would make every row one dup group)
+    rows = [(i, [1.0, 0.001 * i], f"p{i}") for i in range(8)]
+    rows.append((50, [1.0, 0.0], "dup"))  # exact dup of id 0 → not canonical
+    rows += [(60, [0.0, 1.0], "q0"), (61, [0.0, 1.0], "q1")]  # cluster 1 dups
+    df = spark.createDataFrame(rows, "id long, vector array<double>, payload string")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = cluster_curate(df, cents, 1e-9, 3, max_cluster_rows=50)
+    rows_got = got.collect()
+    assert set(got.columns) == {"id", "vector", "payload", "cluster_id"}
+    by_cluster = {}
+    for r in rows_got:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["id"])
+    # dup ids 50 and 61 can never appear (not canonical)
+    assert 50 not in by_cluster.get(0, set())
+    assert 61 not in by_cluster.get(1, set())
+    assert len(by_cluster[0]) == 3  # head cluster cut to n_per_cluster
+    assert by_cluster[1] == {60}  # lone canonical survives
+    # replay the expected md5 cut for cluster 0 (ids 0..7 canonical)
+    import hashlib
+
+    keyed = sorted(
+        (hashlib.md5(f"cluster_sample:{i}".encode()).hexdigest(), i)
+        for i in range(8)
+    )
+    assert by_cluster[0] == {i for _, i in keyed[:3]}
+    # int form fits k-means first (smoke: runs and returns rows)
+    fitted = cluster_curate(df, 2, 1e-9, 3, seed=11)
+    assert fitted.count() > 0
+    # the guard propagates through the composed form
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        cluster_curate(df, cents, 1e-9, 3, max_cluster_rows=5)

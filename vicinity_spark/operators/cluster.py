@@ -216,6 +216,7 @@ def semdedup(
     vector_col: str = "vector",
     id_col: str = "id",
     keep: str = "min_id",
+    max_cluster_rows: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup: (id, cluster_id, rep_id, is_canonical) — semantic
     dedup with the pair search confined to embedding clusters. Rows
@@ -243,9 +244,25 @@ def semdedup(
     centroid (Abbas et al. §3: low-similarity-to-centroid examples
     preserve diversity), ties to the lower id. The re-pick is one
     window per duplicate group (group sizes are edge-bounded), on
-    the centroid distance the assignment kernel already computed."""
+    the centroid distance the assignment kernel already computed.
+
+    ``max_cluster_rows`` ENFORCES the k-sizing contract instead of
+    just documenting it: the fold materializes one whole cluster per
+    block row, so a runaway cluster (a catch-all centroid) OOMs its
+    task quadratically in ITS size. When set, a k-row size pass (the
+    `cluster_stats` shape — one map-side-combined groupBy, k rows to
+    the driver) runs BEFORE any pair work and raises naming the
+    offending clusters, so the failure is a one-line re-fit-with-
+    larger-k message rather than an executor OOM mid-fold. Costs one
+    extra assignment pass over the corpus — opt-in for that reason
+    (the dedup family's hot-bucket cap got the same treatment in
+    r10)."""
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    if max_cluster_rows is not None and max_cluster_rows < 2:
+        raise ValueError(
+            f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
+        )
     base = df.select(
         F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
     )
@@ -263,6 +280,26 @@ def semdedup(
         )
     else:
         asg = assign_clusters(base, centroids)
+    if max_cluster_rows is not None:
+        over = (
+            asg.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .where(F.col("n_rows") > max_cluster_rows)
+            .orderBy(F.col("n_rows").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(
+                f"cluster {r['cluster_id']}: {r['n_rows']} rows" for r in over
+            )
+            raise ValueError(
+                f"semdedup: cluster(s) exceed max_cluster_rows="
+                f"{max_cluster_rows} ({worst}) — the per-cluster fold "
+                "materializes one whole cluster per task and pair work is "
+                "quadratic in ITS size; re-fit with a larger k "
+                "(cluster_stats has the size/inertia report)"
+            )
     folded = asg.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
         F.collect_list("vector").alias("__vecs"),
@@ -331,6 +368,64 @@ def cluster_balanced_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_cluster)
         .drop("__rn")
+    )
+
+
+def cluster_curate(
+    df: DataFrame,
+    centroids,
+    max_distance: float,
+    n_per_cluster: int,
+    *,
+    metric: str = "cosine",
+    vector_col: str = "vector",
+    id_col: str = "id",
+    keep: str = "min_id",
+    max_cluster_rows: "int | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The one-call cluster-curation pipeline (the composed entry
+    point the dedup family got in r8 with `neardup_dedup`): assign →
+    SemDeDup within clusters → keep each duplicate group's canonical
+    row → cluster-balanced subset. Returns ``df``'s surviving rows
+    with their ``cluster_id`` attached — the curated, diversity-
+    preserving training slice.
+
+    ``centroids`` is either a preset k×dim list (the replayable form —
+    pass this when an oracle or a rerun must reproduce the exact
+    output) or an int k, in which case `kmeans_centroids` fits on
+    ``df`` first (iterative, NOT SQL-replayable; deterministic given
+    (data, k, seed)). ``max_cluster_rows`` applies the semdedup
+    runaway-cluster guard before any quadratic work.
+
+    Plan: narrow assignment → one groupBy(cluster) fold + matrix
+    kernel → component closure → canonical filter → one per-cluster
+    window cut on the portable md5 key → one broadcast-size join back
+    to ``df`` for the payload columns (the kept set is at most
+    k × n_per_cluster ids). Every stage is the already-benched shape
+    of its standalone operator; nothing new shuffles."""
+    if isinstance(centroids, int):
+        centroids = kmeans_centroids(
+            df, centroids, vector_col=vector_col, seed=seed
+        )
+    sem = semdedup(
+        df,
+        centroids,
+        max_distance,
+        metric=metric,
+        vector_col=vector_col,
+        id_col=id_col,
+        keep=keep,
+        max_cluster_rows=max_cluster_rows,
+    )
+    kept = cluster_balanced_sample(
+        sem.where(F.col("is_canonical")).select("id", "cluster_id"),
+        n_per_cluster,
+        cluster_col="cluster_id",
+        id_col="id",
+    )
+    return df.join(
+        F.broadcast(kept.withColumnRenamed("id", id_col)), id_col
     )
 
 

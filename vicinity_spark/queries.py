@@ -4956,6 +4956,75 @@ def docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("id").alias("vec_id"), "cluster_id")
 
 
+_CURATE_N = 25
+
+_CLUSTER_CURATE_SQL = f"""
+WITH RECURSIVE
+{_cluster_asg_ctes()},
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN asg x ON x.vec_id = a.vec_id
+  JOIN asg y ON y.vec_id = b.vec_id AND y.cluster_id = x.cluster_id
+  WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+),
+canon AS MATERIALIZED (
+  SELECT g.id AS vec_id, a.cluster_id
+  FROM reach g JOIN asg a ON a.vec_id = g.id
+  GROUP BY g.id, a.cluster_id
+  HAVING min(g.rep) = g.id
+),
+keyed AS (
+  SELECT vec_id, cluster_id,
+         md5('cluster_sample:' || vec_id::VARCHAR) AS k
+  FROM canon
+),
+r AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY k, vec_id) AS rn
+  FROM keyed
+)
+SELECT r.vec_id, r.cluster_id, e.label
+FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+WHERE rn <= {_CURATE_N}
+"""
+
+
+@register("emb_cluster_curate", _CLUSTER_CURATE_SQL)
+def emb_cluster_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (VERDICT r12 item 8): the one-call cluster-curation
+    pipeline `cluster_curate` (operators/cluster.py) — assign →
+    SemDeDup within clusters → keep canonical rows → cluster-balanced
+    subset → payload join-back, the composed entry point the dedup
+    family got in r8 with `neardup_dedup`. Preset data-point
+    centroids keep it oracle-replayable; the oracle chains the
+    emb_semdedup closure with the docs_cluster_sample md5 cut over
+    CANONICAL rows only, then joins the label payload back — so one
+    green row certifies the composition end-to-end (and, in-window,
+    the r13-touched `semdedup` body its standalone row certifies from
+    the tail)."""
+    from vicinity_spark.operators.cluster import cluster_curate
+
+    out = cluster_curate(
+        _emb_corpus(spark, sf_dir),
+        _preset_centroids(spark, sf_dir),
+        _NEARDUP_T,
+        _CURATE_N,
+    )
+    return out.select(F.col("id").alias("vec_id"), "cluster_id", "label")
+
+
 # ----------------------------------------------------------------------
 # GATE-WINDOW ORDERING — read before registering a new query.
 #
@@ -4980,92 +5049,33 @@ def docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r12 rotation (VERDICT r11 item 3) ----------------------------
-    # Window design (37 + 2 + 11 = 50): (a) ALL 37 rows not green in
-    # r11 — the 33-row r11 tail plus the four r11 mid-section rows
-    # (dedup_exact, dedup_minhash_onepass, dedup_minhash_affine,
-    # emb_random_projection) — come back, keeping the
-    # at-most-one-round-unchecked promise (r11 ∪ r12 covers all
+    # --- r13 rotation (VERDICT r12 item 3) ----------------------------
+    # Window design (41 + 1 + 8 = 50): (a) ALL 41 rows not green in
+    # r12 — exactly the r12 tail — come back, keeping the
+    # at-most-one-round-unchecked promise (r12 ∪ r13 covers all
     # registered queries, the invariant held since r9∪r10); (b2) the
-    # TWO queries NEW in r12 (never green, must sit inside the
-    # window); (b) the remaining 11 slots go to r11-green rows whose
-    # code r12 TOUCHED: grid.corpus_blocks' default block count moved
-    # off the .rdd probe (consumers: pq/sq backends, the knn grid
-    # route, neardup_join → ann_pq_knn, ann_sq_knn,
-    # threshold_grid_routing, neardup_pairs, semantic_dedup,
-    # ann_recall_summary's pq/sq branches); retrieval.py (qterms
-    # distinct, N-ary rrf_fuse, index lifecycle → docs_bm25_topk,
-    # docs_hybrid_rrf, and docs_hard_negatives for the file);
-    # textops.py unigram/bigram scorer validation (docs_unigram_xent,
-    # docs_bigram_xent). Everything in _ROTATE_OUT below is r11-green
-    # with its specific operator code untouched in r12.
-    # (a) not green in r11 (the 37-row r11 tail):
-    "dedup_exact",
-    "dedup_minhash_onepass",
-    "dedup_minhash_affine",
-    "emb_random_projection",
-    "vector_norms",
-    "text_token_stats",
-    "text_quality",
-    "text_fingerprint",
-    "vector_stats_by_label",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "regional_revenue",
-    "events_hourly",
-    "events_sessionize",
-    "top_parts_per_brand",
-    "docs_stats_by_lang",
-    "text_subword_tokens",
-    "text_langid",
-    "dedup_simhash",
-    "vocab_top_tokens",
-    "docs_clean_pipeline",
-    "text_pmi_bigrams",
-    "lineitem_quantiles",
-    "orders_running_revenue",
-    "dedup_simhash_exploded",
-    "dedup_simhash_pairs",
-    "dedup_jaccard_variants",
-    "docs_curation_pipeline",
-    "docs_decontaminate",
-    "multimodal_knn",
-    "knn_all_metrics",
-    "text_repetition",
-    "ann_graph_knn",
-    "knn_filtered_label",
-    "docs_strip_shared_spans",
-    "docs_dsir_select",
-    "docs_dsir_hashed",
-    # (b2) NEW in r12 (never green — must sit inside the window):
-    "docs_bm25_loaded",
-    "docs_bm25_append",
-    "emb_semdedup",
-    "docs_cluster_sample",
-    # (b) r11-green, r12-touched code paths (9). Two rows yielded
-    # their slots to the new cluster-family rows and move to the
-    # tail r11-green: docs_hard_negatives (hard_negatives itself is
-    # byte-untouched in r12 — only other functions in its file
-    # changed) and docs_unigram_xent (the r12 touch is the
-    # supplied-lm validation branch, which the oracle's default-fit
-    # path never enters; the branch is pinned by
-    # test_logprob_batch_entry_points_require_unk_floor instead):
-    "ann_pq_knn",
-    "ann_sq_knn",
-    "threshold_grid_routing",
-    "neardup_pairs",
-    "semantic_dedup",
-    "ann_recall_summary",
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "docs_bigram_xent",
-]
-
-# r12 tail: 41 rows, every one green in CORRECTNESS_r11.json with its
-# specific operator code untouched this round (scripts/verified_ledger
-# enforces that nothing never-green sits here; VERIFIED.md records the
-# skip).
-_ROTATE_OUT: "list[str]" = [
+    # ONE query NEW in r13 (never green, must sit inside the window);
+    # (b) the remaining 8 slots go to r12-green rows whose code r13
+    # TOUCHED: grid.corpus_blocks' block count moved again, from the
+    # fixed shuffle-partitions default to payload-density sizing
+    # (consumers: pq/sq backends, the knn grid route, neardup_join →
+    # ann_pq_knn, ann_sq_knn, threshold_grid_routing, neardup_pairs,
+    # semantic_dedup, ann_recall_summary's pq/sq branches); and
+    # retrieval.py's index lifecycle (bm25_index_load now PINS the
+    # one-row stats frame; bm25_index_save's self-overwrite guards
+    # moved to the URI-safe scan_reads_path → docs_bm25_loaded,
+    # docs_bm25_append). Three r13-touched rows stay in the tail
+    # r12-green under the r12 docs_unigram_xent precedent — the touch
+    # is a validation/guard branch their oracle path never enters,
+    # each pinned by a unit test instead: docs_hybrid_rrf (rrf_fuse's
+    # non-DataFrame TypeError, test_rrf_fuse_rejects_non_dataframe),
+    # emb_semdedup and docs_cluster_sample (semdedup's opt-in
+    # max_cluster_rows guard, default off on the oracle path,
+    # test_semdedup_runaway_cluster_guard — and the new IN-window
+    # emb_cluster_curate row runs the identical semdedup + balanced-
+    # sample program composed, so the touched bodies still get an
+    # oracle row this round).
+    # (a) not green in r12 (the 41-row r12 tail):
     "docs_hard_negatives",
     "docs_unigram_xent",
     "events_asof_join",
@@ -5107,6 +5117,69 @@ _ROTATE_OUT: "list[str]" = [
     "ann_lsh_knn",
     "emb_covariance",
     "emb_projection_arrow",
+    # (b2) NEW in r13 (never green — must sit inside the window):
+    "emb_cluster_curate",
+    # (b) r12-green, r13-touched code paths (8):
+    "ann_pq_knn",
+    "ann_sq_knn",
+    "threshold_grid_routing",
+    "neardup_pairs",
+    "semantic_dedup",
+    "ann_recall_summary",
+    "docs_bm25_loaded",
+    "docs_bm25_append",
+]
+
+# r13 tail: 42 rows, every one green in CORRECTNESS_r12.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip). docs_hybrid_rrf / emb_semdedup / docs_cluster_sample carry
+# r13 touches that are oracle-path-invisible — see the _CHECK_FIRST
+# header for the unit tests and the in-window composed row that cover
+# them.
+_ROTATE_OUT: "list[str]" = [
+    "dedup_exact",
+    "dedup_minhash_onepass",
+    "dedup_minhash_affine",
+    "emb_random_projection",
+    "vector_norms",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "vector_stats_by_label",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "regional_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "top_parts_per_brand",
+    "docs_stats_by_lang",
+    "text_subword_tokens",
+    "text_langid",
+    "dedup_simhash",
+    "vocab_top_tokens",
+    "docs_clean_pipeline",
+    "text_pmi_bigrams",
+    "lineitem_quantiles",
+    "orders_running_revenue",
+    "dedup_simhash_exploded",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_variants",
+    "docs_curation_pipeline",
+    "docs_decontaminate",
+    "multimodal_knn",
+    "knn_all_metrics",
+    "text_repetition",
+    "ann_graph_knn",
+    "knn_filtered_label",
+    "docs_strip_shared_spans",
+    "docs_dsir_select",
+    "docs_dsir_hashed",
+    "emb_semdedup",
+    "docs_cluster_sample",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "docs_bigram_xent",
 ]
 
 def _reorder_registry() -> None:
