@@ -32,6 +32,20 @@ _CCHUNK = 8_192  # corpus rows scored per in-kernel slice
 _CTARGET = 65_536  # corpus rows per hash block (density default)
 
 
+def _has_python_stage(df: DataFrame) -> bool:
+    """True when df's optimized plan contains a Python-worker stage
+    (MapInPandas / ArrowEvalPython / BatchEvalPython / FlatMap*Pandas)
+    — the lineages for which an extra count() pass is expensive. Plan
+    INSPECTION only (no job runs); unreadable plans report True, the
+    conservative side (one bounded checkpoint beats a silent double
+    kernel pass)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return ("Python" in plan) or ("Pandas" in plan)
+
+
 def query_blocks(queries: DataFrame, qblock: int = _QBLOCK) -> DataFrame:
     """(__qb, __qids, __qvecs) — the query table folded into
     ceil(nq/qblock) block rows by hashing query_id. Built with one
@@ -73,10 +87,30 @@ def corpus_blocks(
     not with a static conf. Callers that already know their count or
     payload width pass n_blocks directly, or tune target_rows (pq's
     payload is m-byte codes, so it affords denser blocks than the
-    dim×8-byte dense decode paths)."""
-    ncb = max(1, n_blocks or math.ceil(corpus.count() / max(1, target_rows)))
+    dim×8-byte dense decode paths).
+
+    The count is taken so it never doubles the corpus work: a cached
+    or file-scan corpus counts directly (column-pruned, ~free), but a
+    lineage with Python-worker stages (mapInPandas codecs, Arrow
+    UDFs) would re-run the whole kernel chain for the count — there
+    the compact (id, payload) projection is materialized once
+    (eager localCheckpoint, the payload the fold is about to shuffle
+    anyway) and both the count and the fold read the checkpoint
+    (caught live: a 200k BMP decode→feature→grid-knn chain ran its
+    decode twice, 3.3s → 7.4s, when the count hit the raw lineage).
+    At 100 TB the split matters in both directions: checkpointing a
+    raw parquet corpus would copy the full payload into executor
+    storage for no reason, while re-running a decode lineage for a
+    count burns a full Python-worker pass."""
+    compact = corpus.select("id", payload_col)
+    if n_blocks is None:
+        cached = corpus.storageLevel.useMemory or corpus.storageLevel.useDisk
+        if not cached and _has_python_stage(compact):
+            compact = compact.localCheckpoint(eager=True)
+        n_blocks = math.ceil(compact.count() / max(1, target_rows))
+    ncb = max(1, n_blocks)
     return (
-        corpus.select("id", payload_col)
+        compact
         .withColumn("__cb", F.pmod(F.xxhash64("id"), F.lit(ncb)).cast("int"))
         .groupBy("__cb")
         .agg(
