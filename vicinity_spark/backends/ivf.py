@@ -94,17 +94,23 @@ class IVFStrategy(IndexStrategy):
 
     def _assign_udf(self):
         """array<float> vector → nearest centroid id (argmin squared
-        euclidean, ties to the lower cluster id — np.argmin keeps the
-        first minimum, matching `ORDER BY dist, cid` in SQL)."""
+        euclidean, ties to the lower cluster id — first minimum,
+        matching `ORDER BY dist, cid` in SQL). BLAS-form kernel with
+        exact tie repair (grid.nearest_centroids, r13): one matmul
+        instead of an nq×nlist×dim broadcast, so assignment cost stays
+        flat as nlist grows to production scale."""
         from pyspark.sql.types import IntegerType
 
+        from vicinity_spark.operators.grid import nearest_centroids
+
         C = self.centroids
+        Csq = (C * C).sum(axis=1)
 
         @F.pandas_udf(IntegerType())
         def assign(v: pd.Series) -> pd.Series:
             Q = np.vstack(v.to_numpy()).astype(np.float64)
-            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+            idx, _ = nearest_centroids(Q, C, 1, Csq)
+            return pd.Series(idx[:, 0].astype(np.int32))
 
         return assign
 
@@ -128,12 +134,15 @@ class IVFStrategy(IndexStrategy):
         C = self.centroids
         nprobe = min(self.params["nprobe"], len(C))
 
+        from vicinity_spark.operators.grid import nearest_centroids
+
+        Csq = (C * C).sum(axis=1)
+
         @F.pandas_udf(ArrayType(IntegerType()))
         def probe(v: pd.Series) -> pd.Series:
             Q = np.vstack(v.to_numpy()).astype(np.float64)
-            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argsort(D, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-            return pd.Series(list(nearest))
+            sel, _ = nearest_centroids(Q, C, nprobe, Csq)
+            return pd.Series(list(sel.astype(np.int32)))
 
         return queries.select(
             "query_id", *extra_cols, F.explode(probe(F.col("qvec"))).alias(CLUSTER_COL)

@@ -352,12 +352,6 @@ class IVFPQStrategy(PQStrategy):
         return out.drop("__tvec")
 
     # ---- query -------------------------------------------------------
-    def _probe_sets(self, Q: np.ndarray) -> np.ndarray:
-        C = np.asarray(self.params["centroids"], dtype=np.float64)
-        nprobe = min(self.params["nprobe"], len(C))
-        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
-
     def _candidates(
         self, corpus: DataFrame, queries: DataFrame, k: int, metric: Metric
     ) -> DataFrame:
@@ -376,13 +370,18 @@ class IVFPQStrategy(PQStrategy):
         from pyspark.sql.types import ArrayType, IntegerType
 
         from vicinity_spark.backends.pq import _cell_arrays
-        from vicinity_spark.operators.grid import cell_topk, query_blocks
+        from vicinity_spark.operators.grid import (
+            cell_topk,
+            nearest_centroids,
+            query_blocks,
+        )
 
         m = self.params["m"]
         kk = max(k * self.params["refine"], k)
         residual = self._use_residual(metric)
         strat = self
         C = np.asarray(self.params["centroids"], dtype=np.float64)
+        Csq = (C * C).sum(axis=1)
         nprobe = min(self.params["nprobe"], len(C))
 
         cb = (
@@ -405,8 +404,7 @@ class IVFPQStrategy(PQStrategy):
             for vecs in qv:
                 Q = np.vstack([np.asarray(v) for v in vecs]).astype(np.float64)
                 P = _probe_space(Q)
-                D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                ps = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+                ps, _ = nearest_centroids(P, C, nprobe, Csq)
                 out.append(np.unique(ps).astype(np.int32))
             return pd.Series(out)
 
@@ -426,8 +424,7 @@ class IVFPQStrategy(PQStrategy):
                     ids, codes, qids, Q = _cell_arrays(pdf, i)
                     cluster = int(pdf[CLUSTER_COL].iloc[i])
                     P = _probe_space(Q)
-                    D = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    probes = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+                    probes, _ = nearest_centroids(P, C, nprobe, Csq)
                     mask = (probes == cluster).any(axis=1)
                     if not mask.any():
                         continue

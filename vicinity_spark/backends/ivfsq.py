@@ -86,6 +86,7 @@ class IVFSQStrategy(SQStrategy):
         from vicinity_spark.operators.grid import (
             cell_arrays,
             dense_cell_topk,
+            nearest_centroids,
             query_blocks,
         )
 
@@ -93,6 +94,7 @@ class IVFSQStrategy(SQStrategy):
         scales = np.asarray(self.params["scales"])
         kk = max(k * self.params["refine"], k)
         C = np.asarray(self.params["centroids"], dtype=np.float64)
+        Csq = (C * C).sum(axis=1)
         nprobe = min(self.params["nprobe"], len(C))
 
         cb = (
@@ -109,8 +111,7 @@ class IVFSQStrategy(SQStrategy):
             out = []
             for vecs in qv:
                 Q = np.vstack([np.asarray(v) for v in vecs]).astype(np.float64)
-                D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                ps = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+                ps, _ = nearest_centroids(Q, C, nprobe, Csq)
                 out.append(np.unique(ps).astype(np.int32))
             return pd.Series(out)
 
@@ -127,8 +128,7 @@ class IVFSQStrategy(SQStrategy):
                 for i in range(len(pdf)):
                     ids, codes, qids, Q = cell_arrays(pdf, i)
                     cluster = int(pdf[CLUSTER_COL].iloc[i])
-                    D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    probes = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+                    probes, _ = nearest_centroids(Q, C, nprobe, Csq)
                     mask = (probes == cluster).any(axis=1)
                     if not mask.any():
                         continue

@@ -79,19 +79,23 @@ def kmeans_centroids(
 
 def _assign_udf(centroids):
     """array<numeric> vector → nearest centroid id (argmin squared
-    euclidean, ties to the lower centroid index — np.argmin keeps the
-    first minimum, matching `ORDER BY dist, cid` in SQL). Identical
-    kernel to backends/ivf.py:95 so cluster semantics match the IVF
-    layout's."""
+    euclidean, ties to the lower centroid index — first minimum,
+    matching `ORDER BY dist, cid` in SQL). Identical semantics to
+    backends/ivf.py so cluster labels match the IVF layout's;
+    BLAS-form kernel (grid.nearest_centroids) so cost is one matmul,
+    not an nq×k×dim broadcast."""
     from pyspark.sql.types import IntegerType
 
+    from vicinity_spark.operators.grid import nearest_centroids
+
     C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C * C).sum(axis=1)
 
     @F.pandas_udf(IntegerType())
     def assign(v: pd.Series) -> pd.Series:
         Q = np.vstack(v.to_numpy()).astype(np.float64)
-        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+        idx, _ = nearest_centroids(Q, C, 1, Csq)
+        return pd.Series(idx[:, 0].astype(np.int32))
 
     return assign
 
@@ -102,7 +106,10 @@ def _assign_dist_udf(centroids):
     "farthest" keep rule ranks on."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
+    from vicinity_spark.operators.grid import nearest_centroids
+
     C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C * C).sum(axis=1)
     schema = StructType(
         [
             StructField("cluster_id", IntegerType()),
@@ -113,12 +120,11 @@ def _assign_dist_udf(centroids):
     @F.pandas_udf(schema)
     def assign(v: pd.Series) -> pd.DataFrame:
         Q = np.vstack(v.to_numpy()).astype(np.float64)
-        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argmin(D, axis=1)
+        idx, best = nearest_centroids(Q, C, 1, Csq)
         return pd.DataFrame(
             {
-                "cluster_id": idx.astype(np.int32),
-                "cdist": D[np.arange(len(idx)), idx],
+                "cluster_id": idx[:, 0].astype(np.int32),
+                "cdist": best[:, 0],
             }
         )
 

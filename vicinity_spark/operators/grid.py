@@ -32,6 +32,56 @@ _CCHUNK = 8_192  # corpus rows scored per in-kernel slice
 _CTARGET = 65_536  # corpus rows per hash block (density default)
 
 
+def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
+    """(idx nq×n, dist nq×n) — each row's n nearest centroids in exact
+    (squared-l2, index) order, BLAS-computed.
+
+    The distance matrix comes from the expansion
+    ‖q‖² + ‖c‖² − 2·q·cᵀ — ONE matmul producing nq×k doubles. The
+    broadcasting form ((Q[:,None,:]−C[None,:,:])²).sum(2) every
+    centroid-argmin kernel in this engine used before r13
+    materializes nq×k×dim doubles instead: ~670 MB per 4096-row Arrow
+    batch at k=320/dim=64 (measured: a 1M-row SemDeDup assignment ran
+    29× its constant-density scaling target), and at the SemDeDup
+    paper's k in the tens of thousands it is simply impossible.
+
+    Exactness contract (the oracles replay selection as
+    `ORDER BY exact_sqdist, cid`): the expansion can wobble distances
+    by an ulp, so rows whose selection BOUNDARY has candidates within
+    a relative tolerance band are re-resolved by exact per-candidate
+    recomputation (tiny sets — only real ties and ulp-near ties pay).
+    For n == 1 the returned distance is additionally recomputed
+    exactly for every row (one k-free vectorized pass — SemDeDup's
+    'farthest' keep rule ranks on it); for n > 1 distances beyond the
+    boundary repair stay BLAS-valued and callers use only the index
+    MEMBERSHIP (probe sets)."""
+    if Csq is None:
+        Csq = (C * C).sum(axis=1)
+    n = min(n, C.shape[0])
+    D = (Q * Q).sum(axis=1)[:, None] + Csq[None, :] - 2.0 * (Q @ C.T)
+    np.maximum(D, 0.0, out=D)
+    if n == 1:
+        sel = np.argmin(D, axis=1)[:, None]
+    else:
+        sel = np.argsort(D, axis=1, kind="stable")[:, :n]
+    kth = np.take_along_axis(D, sel[:, -1:], axis=1)[:, 0]
+    dist = np.take_along_axis(D, sel, axis=1)
+    tol = 1e-9 * (1.0 + np.abs(kth))
+    multi = (D <= (kth + tol)[:, None]).sum(axis=1) > n
+    for r in np.nonzero(multi)[0]:
+        cand = np.nonzero(D[r] <= kth[r] + tol[r])[0]  # ascending cid
+        d_exact = ((Q[r][None, :] - C[cand]) ** 2).sum(axis=1)
+        order = np.argsort(d_exact, kind="stable")[:n]
+        sel[r] = cand[order]
+        dist[r] = d_exact[order]
+    if n == 1:
+        clean = ~multi
+        if clean.any():
+            diff = Q[clean] - C[sel[clean, 0]]
+            dist[clean, 0] = (diff * diff).sum(axis=1)
+    return sel, dist
+
+
 def _has_python_stage(df: DataFrame) -> bool:
     """True when df's optimized plan contains a Python-worker stage
     (MapInPandas / ArrowEvalPython / BatchEvalPython / FlatMap*Pandas)

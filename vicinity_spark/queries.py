@@ -5056,25 +5056,31 @@ _CHECK_FIRST = [
     # registered queries, the invariant held since r9∪r10); (b2) the
     # ONE query NEW in r13 (never green, must sit inside the window);
     # (b) the remaining 8 slots go to r12-green rows whose code r13
-    # TOUCHED: grid.corpus_blocks' block count moved again, from the
-    # fixed shuffle-partitions default to payload-density sizing
-    # (consumers: pq/sq backends, the knn grid route, neardup_join →
-    # ann_pq_knn, ann_sq_knn, threshold_grid_routing, neardup_pairs,
-    # semantic_dedup, ann_recall_summary's pq/sq branches); and
-    # retrieval.py's index lifecycle (bm25_index_load now PINS the
-    # one-row stats frame; bm25_index_save's self-overwrite guards
-    # moved to the URI-safe scan_reads_path → docs_bm25_loaded,
-    # docs_bm25_append). Three r13-touched rows stay in the tail
-    # r12-green under the r12 docs_unigram_xent precedent — the touch
-    # is a validation/guard branch their oracle path never enters,
-    # each pinned by a unit test instead: docs_hybrid_rrf (rrf_fuse's
-    # non-DataFrame TypeError, test_rrf_fuse_rejects_non_dataframe),
-    # emb_semdedup and docs_cluster_sample (semdedup's opt-in
-    # max_cluster_rows guard, default off on the oracle path,
-    # test_semdedup_runaway_cluster_guard — and the new IN-window
-    # emb_cluster_curate row runs the identical semdedup + balanced-
-    # sample program composed, so the touched bodies still get an
-    # oracle row this round).
+    # TOUCHED: grid.corpus_blocks' block count moved from the fixed
+    # shuffle-partitions default to payload-density sizing with a
+    # Python-stage-aware count (consumers: pq/sq backends, the knn
+    # grid route, neardup_join → ann_pq_knn, ann_sq_knn,
+    # threshold_grid_routing, neardup_pairs, ann_recall_summary's
+    # pq/sq branches); the centroid-argmin kernels moved to the
+    # BLAS-form grid.nearest_centroids with exact tie repair
+    # (cluster.py assignment → emb_semdedup, docs_cluster_sample;
+    # ivf/ivfsq/ivfpq probe kernels → the ann_ivf* family and
+    # ann_recall_summary's IVF branch, all ALREADY in-window in
+    # section (a)); and bm25_index_load now PINS the one-row stats
+    # frame → docs_bm25_loaded. Three r13-touched rows stay in the
+    # tail r12-green under the r12 docs_unigram_xent precedent (the
+    # touch is invisible to their oracle path and pinned by a unit
+    # test or an in-window row running the same program):
+    # docs_hybrid_rrf (rrf_fuse's non-DataFrame TypeError — a pre-plan
+    # validation loop, test_rrf_fuse_rejects_non_dataframe);
+    # docs_bm25_append (bm25_index_save's overwrite guards moved to
+    # the URI-safe scan_reads_path — local-path behavior identical,
+    # pinned by test_scan_reads_path_uri_safe +
+    # test_bm25_index_resave_over_same_folder, and the save path also
+    # runs in-window under docs_bm25_loaded's layout build);
+    # semantic_dedup (a composition of neardup_join — whose program
+    # is in-window as neardup_pairs — with the untouched
+    # connected_components closure).
     # (a) not green in r12 (the 41-row r12 tail):
     "docs_hard_negatives",
     "docs_unigram_xent",
@@ -5124,19 +5130,19 @@ _CHECK_FIRST = [
     "ann_sq_knn",
     "threshold_grid_routing",
     "neardup_pairs",
-    "semantic_dedup",
+    "emb_semdedup",
+    "docs_cluster_sample",
     "ann_recall_summary",
     "docs_bm25_loaded",
-    "docs_bm25_append",
 ]
 
 # r13 tail: 42 rows, every one green in CORRECTNESS_r12.json with its
 # specific operator code untouched this round (scripts/verified_ledger
 # enforces that nothing never-green sits here; VERIFIED.md records the
-# skip). docs_hybrid_rrf / emb_semdedup / docs_cluster_sample carry
-# r13 touches that are oracle-path-invisible — see the _CHECK_FIRST
-# header for the unit tests and the in-window composed row that cover
-# them.
+# skip). docs_hybrid_rrf / docs_bm25_append / semantic_dedup carry r13
+# touches that are oracle-path-invisible or in-window-subsumed — see
+# the _CHECK_FIRST header for the unit tests and in-window rows that
+# cover them.
 _ROTATE_OUT: "list[str]" = [
     "dedup_exact",
     "dedup_minhash_onepass",
@@ -5175,8 +5181,8 @@ _ROTATE_OUT: "list[str]" = [
     "docs_strip_shared_spans",
     "docs_dsir_select",
     "docs_dsir_hashed",
-    "emb_semdedup",
-    "docs_cluster_sample",
+    "semantic_dedup",
+    "docs_bm25_append",
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_bigram_xent",
