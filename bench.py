@@ -905,6 +905,65 @@ def semdedup_200k(spark, sf_dir):
     return run
 
 
+def semdedup_inc_20k_vs_200k(spark, sf_dir):
+    """r13: incremental SemDeDup — a 20k new batch labeled against the
+    200k-corpus snapshot (same 64 preset centroids). 200 of the new
+    rows are planted copies of snapshot vectors, 198 are within-batch
+    dup pairs. Prices the batch-bounded claim beside semdedup_200k:
+    pair work is Σ nb_c × (ns_c + nb_c) — one-tenth the full rebuild's
+    Σ (ns_c + nb_c)² — and the snapshot never self-mines. Timed work =
+    batch assignment, snapshot prune + fold, the cross kernel, and the
+    component closure; output reduced to (flagged, to_snapshot)."""
+    from vicinity_spark.operators.cluster import semdedup_incremental
+
+    base = _synth_vectors(spark, n=200_000, dim=64, parts=32)
+    snap = base.cache()
+    snap.count()
+    fresh = _synth_vectors(spark, n=20_000, dim=64, parts=32).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.reverse("vector").alias("vector"),  # decorrelate from base
+    )
+    dup_cond = (F.col("id") % 100 == 51) & (F.col("id") >= 1_000_200)
+    batch = (
+        fresh.select(
+            "id",
+            F.when(dup_cond, F.col("id") - 1).otherwise(F.col("id")).alias("__fsrc"),
+        )
+        .join(
+            fresh.select(F.col("id").alias("__fsrc"), F.col("vector").alias("__fv")),
+            "__fsrc",
+        )
+        .withColumn(
+            "__bsrc", F.when(F.col("id") < 1_000_200, F.col("id") - 1_000_000)
+        )
+        .join(
+            base.select(F.col("id").alias("__bsrc"), F.col("vector").alias("__sv")),
+            "__bsrc",
+            "left",
+        )
+        .select("id", F.coalesce("__sv", "__fv").alias("vector"))
+        .cache()
+    )
+    batch.count()
+    cents = [
+        r["vector"] for r in base.where(F.col("id") < 64).orderBy("id").collect()
+    ]
+
+    def run(s, d):
+        out = semdedup_incremental(batch, snap, cents, max_distance=1e-9)
+        return out.agg(
+            F.sum((~F.col("is_canonical")).cast("long")).alias("flagged"),
+            F.sum(
+                ((~F.col("is_canonical")) & (F.col("rep_id") < 1_000_000)).cast(
+                    "long"
+                )
+            ).alias("to_snapshot"),
+        )
+
+    run(spark, sf_dir).count()  # untimed warm-up
+    return run
+
+
 def cluster_curate_200k(spark, sf_dir):
     """r13 (VERDICT r12 item 8): the composed one-call curation
     pipeline at the semdedup_200k tier — same 200k × 64-d corpus, 64
@@ -1434,6 +1493,7 @@ BENCH = {
     "semdedup_200k": semdedup_200k,
     # r13 additions, appended (same rule as above)
     "cluster_curate_200k": cluster_curate_200k,
+    "semdedup_inc_20k_vs_200k": semdedup_inc_20k_vs_200k,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

@@ -296,3 +296,111 @@ def test_cluster_curate_composition(spark):
     # the guard propagates through the composed form
     with pytest.raises(ValueError, match="max_cluster_rows"):
         cluster_curate(df, cents, 1e-9, 3, max_cluster_rows=5)
+
+
+def test_semdedup_incremental_closed_form(spark):
+    """r13: batch-vs-snapshot labels — a new copy of a snapshot row
+    resolves to the snapshot id (min-id rep across the component), a
+    new-new dup group keeps its own min id, and an unmatched new row
+    is canonical. Snapshot-snapshot pairs are never mined."""
+    from vicinity_spark.operators.cluster import semdedup_incremental
+
+    snap = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (12, [0.9, -0.3]), (20, [0.0, 1.0])],
+        "id long, vector array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),     # exact copy of snapshot 10
+            (101, [0.6, 0.8]),     # novel direction
+            (102, [0.6, 0.8]),     # new-new dup of 101
+            (103, [-1.0, -0.2]),   # lone novel row
+        ],
+        "id long, vector array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    rows = {
+        r["id"]: (r["rep_id"], r["is_canonical"])
+        for r in semdedup_incremental(new, snap, cents, 1e-9).collect()
+    }
+    assert set(rows) == {100, 101, 102, 103}  # new rows only
+    assert rows[100] == (10, False)  # resolved to the snapshot rep
+    assert rows[101] == (101, True)
+    assert rows[102] == (101, False)
+    assert rows[103] == (103, True)
+
+
+def test_semdedup_incremental_matches_full_on_clean_snapshot(spark):
+    """When the snapshot has no internal near-pairs (it is the
+    canonical survivor set by construction), every edge of the full
+    rebuild is new-involved — so the incremental labels for the new
+    rows must EQUAL the full semdedup's labels over snapshot ∪ batch
+    restricted to the batch."""
+    import numpy as np
+
+    from vicinity_spark.operators.cluster import semdedup, semdedup_incremental
+
+    rng = np.random.default_rng(17)
+    snap_rows = [(i, list(map(float, rng.normal(size=8)))) for i in range(30)]
+    new_rows = [(100 + i, list(map(float, rng.normal(size=8)))) for i in range(15)]
+    new_rows[3] = (103, snap_rows[7][1])          # dup of snapshot 7
+    new_rows[9] = (109, new_rows[8][1])           # new-new dup of 108
+    snap = spark.createDataFrame(snap_rows, "id long, vector array<double>")
+    new = spark.createDataFrame(new_rows, "id long, vector array<double>")
+    cents = [[0.0] * 8, [2.0] * 8]
+    t = 1e-9
+    inc = {
+        (r["id"], r["rep_id"], r["is_canonical"])
+        for r in semdedup_incremental(new, snap, cents, t).collect()
+    }
+    full = {
+        (r["id"], r["rep_id"], r["is_canonical"])
+        for r in semdedup(snap.unionByName(new), cents, t).collect()
+        if r["id"] >= 100
+    }
+    assert inc == full
+    # precomputed-cluster path (the partition-pruned reload shape)
+    from vicinity_spark.operators.cluster import assign_clusters
+
+    snap_asg = assign_clusters(snap, cents)
+    inc2 = {
+        (r["id"], r["rep_id"], r["is_canonical"])
+        for r in semdedup_incremental(
+            new, snap_asg, cents, t, snapshot_cluster_col="cluster_id"
+        ).collect()
+    }
+    assert inc2 == inc
+
+
+def test_semdedup_incremental_guard_and_cross_cluster_trade(spark):
+    """The union-sized runaway guard fires; an equally-near pair
+    straddling two clusters stays unflagged (the documented SemDeDup
+    trade, unchanged by the incremental form)."""
+    from vicinity_spark.operators.cluster import semdedup_incremental
+
+    snap = spark.createDataFrame(
+        [(i, [0.0 + i * 1e-6, 0.0]) for i in range(30)],
+        "id long, vector array<double>",
+    )
+    new = spark.createDataFrame(
+        [(100, [0.703, 0.71]), (101, [0.0001, 0.0])],
+        "id long, vector array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup_incremental(new, snap, cents, 0.01, max_cluster_rows=10)
+    # new 100 lands in cluster 1; its cosine-near snapshot rows all sit
+    # in cluster 0 — the straddling near-pair is missed by design
+    near = spark.createDataFrame(
+        [(200, [0.71, 0.703])], "id long, vector array<double>"
+    )
+    rows = {
+        r["id"]: r["is_canonical"]
+        for r in semdedup_incremental(
+            near, spark.createDataFrame(
+                [(1, [0.703, 0.71])], "id long, vector array<double>"
+            ).crossJoin(spark.range(1).drop("id")).select("id", "vector"),
+            cents, 0.01,
+        ).collect()
+    }
+    assert rows == {200: True}

@@ -213,6 +213,73 @@ def _cluster_pairs_kernel(metric: str, max_distance: float):
     return fn
 
 
+def _cluster_cross_pairs_kernel(metric: str, max_distance: float):
+    """The incremental twin of `_cluster_pairs_kernel`: block rows
+    additionally carry __sides (1 = new batch, 0 = snapshot), and the
+    kernel mines only NEW-involved pairs — each chunk of new rows
+    scores against ALL cluster members (new×(ns+nb) FLOPs, never the
+    snapshot's own ns² — snapshot-snapshot pairs were settled when the
+    snapshot was built). Emits each unordered pair once: new-vs-new
+    keeps the id_a < id_b orientation, new-vs-snapshot is oriented
+    (new, snapshot) and cannot double-emit because only new rows drive
+    the rows of the distance matrix. Distance math is byte-identical
+    to the within-cluster kernel (same normalize/expansion paths, same
+    NaN contract for zero vectors under cosine)."""
+    if metric not in ("cosine", "euclidean", "l2sq"):
+        raise ValueError(
+            f"semdedup supports cosine/euclidean/l2sq, got {metric!r}"
+        )
+
+    def fn(it):
+        for pdf in it:
+            for i in range(len(pdf)):
+                ids = np.asarray(pdf["__ids"].iloc[i], dtype=np.int64)
+                sides = np.asarray(pdf["__sides"].iloc[i], dtype=np.int8)
+                m = len(ids)
+                if m < 2 or not (sides == 1).any():
+                    continue
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids, V, sides = ids[order], V[order], sides[order]
+                if metric == "cosine":
+                    nrm = np.linalg.norm(V, axis=1)
+                    nrm[nrm == 0.0] = np.nan
+                    W = V / nrm[:, None]
+                else:
+                    W = V
+                    sq = (V * V).sum(axis=1)
+                new_idx = np.nonzero(sides == 1)[0]
+                out_a, out_b = [], []
+                for s in range(0, len(new_idx), _PCHUNK):
+                    rows = new_idx[s : s + _PCHUNK]
+                    if metric == "cosine":
+                        D = 1.0 - W[rows] @ W.T
+                    else:
+                        D = sq[rows, None] + sq[None, :] - 2.0 * (W[rows] @ W.T)
+                        if metric == "euclidean":
+                            D = np.sqrt(np.maximum(D, 0.0))
+                    with np.errstate(invalid="ignore"):
+                        ii, jj = np.nonzero(D <= max_distance)
+                    gi = rows[ii]
+                    other_new = sides[jj] == 1
+                    # new-new once (lower id drives); new-snapshot always
+                    keep = np.where(other_new, gi < jj, gi != jj)
+                    if keep.any():
+                        out_a.append(ids[gi[keep]])
+                        out_b.append(ids[jj[keep]])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                        }
+                    )
+
+    return fn
+
+
 def semdedup(
     df: DataFrame,
     centroids,
@@ -340,6 +407,119 @@ def semdedup(
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.col("rep").cast("long").alias("rep_id"),
         (F.col("id") == F.col("rep")).alias("is_canonical"),
+    )
+
+
+def semdedup_incremental(
+    new_df: DataFrame,
+    snapshot: DataFrame,
+    centroids,
+    max_distance: float,
+    *,
+    metric: str = "cosine",
+    vector_col: str = "vector",
+    id_col: str = "id",
+    snapshot_cluster_col: "str | None" = None,
+    max_cluster_rows: "int | None" = None,
+) -> DataFrame:
+    """Incremental SemDeDup — the cluster family's batch-vs-snapshot
+    lifecycle step, mirroring the dedup family's
+    `minhash_lsh_pairs_incremental` (r7) and the BM25 layout's append
+    (r12): label a NEW batch against an existing corpus of canonical
+    rows without ever re-mining the corpus against itself.
+
+    Returns (id, cluster_id, rep_id, is_canonical) for the NEW rows
+    only. Edges are new-vs-snapshot and new-vs-new pairs within shared
+    clusters at ``metric`` distance ≤ ``max_distance``; the component
+    closure runs over the new rows plus the touched clusters' snapshot
+    rows, and ``rep_id`` is the component minimum id — so with
+    time-ordered ids (snapshot older = lower) a new near-copy of a
+    snapshot row resolves to the snapshot id and ``is_canonical`` is
+    False. Id spaces must be disjoint across the two frames (same
+    contract as the dedup snapshot path).
+
+    The incremental trade, documented like minhash-vs-snapshot's: the
+    snapshot holds only CANONICAL rows, so a new row that would have
+    bridged two already-merged corpus duplicates cannot re-split
+    history, and snapshot-snapshot pairs are never re-examined —
+    Σ_touched (nb_c × (ns_c + nb_c)) FLOPs, batch-bounded, never the
+    corpus's ns².
+
+    Scale shape: the batch assigns narrowly; the snapshot is pruned to
+    the BATCH's clusters by a broadcast semi-join BEFORE the fold —
+    pass ``snapshot_cluster_col`` naming a precomputed cluster column
+    (e.g. a reload of rows written ``partitionBy(cluster_id)``, the
+    IVF layout discipline) and that semi-join prunes whole partition
+    directories at the file scan, so a trickle batch touching 3 of
+    50k clusters reads 3 directories, not the corpus. Without it the
+    snapshot is assigned on the fly (one narrow pass over the
+    snapshot — correct, but no file pruning). ``max_cluster_rows``
+    guards the fold on the UNION sizes (the enforced k-sizing
+    contract, as in `semdedup`)."""
+    if max_cluster_rows is not None and max_cluster_rows < 2:
+        raise ValueError(
+            f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
+        )
+    nb = assign_clusters(
+        new_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
+        centroids,
+    ).withColumn("__side", F.lit(1).cast("tinyint"))
+    if snapshot_cluster_col is not None:
+        sb = snapshot.select(
+            F.col(id_col).alias("id"),
+            F.col(vector_col).alias("vector"),
+            F.col(snapshot_cluster_col).cast("int").alias("cluster_id"),
+        )
+    else:
+        sb = assign_clusters(
+            snapshot.select(
+                F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+            ),
+            centroids,
+        )
+    bcl = nb.select("cluster_id").distinct()
+    sb = sb.join(F.broadcast(bcl), "cluster_id").withColumn(
+        "__side", F.lit(0).cast("tinyint")
+    )
+    un = nb.unionByName(sb.select(*nb.columns))
+    if max_cluster_rows is not None:
+        over = (
+            un.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .where(F.col("n_rows") > max_cluster_rows)
+            .orderBy(F.col("n_rows").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(
+                f"cluster {r['cluster_id']}: {r['n_rows']} rows" for r in over
+            )
+            raise ValueError(
+                f"semdedup_incremental: cluster(s) exceed max_cluster_rows="
+                f"{max_cluster_rows} ({worst}) — re-fit with a larger k "
+                "(cluster_stats has the size/inertia report)"
+            )
+    folded = un.groupBy("cluster_id").agg(
+        F.collect_list("id").alias("__ids"),
+        F.collect_list("vector").alias("__vecs"),
+        F.collect_list("__side").alias("__sides"),
+    )
+    pairs = folded.mapInPandas(
+        _cluster_cross_pairs_kernel(metric, float(max_distance)),
+        "id_a long, id_b long",
+    )
+    from vicinity_spark.operators.dedup import connected_components
+
+    comp = connected_components(un.select("id"), pairs)
+    return (
+        nb.join(comp, "id")
+        .select(
+            "id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("rep").cast("long").alias("rep_id"),
+            (F.col("id") == F.col("rep")).alias("is_canonical"),
+        )
     )
 
 

@@ -4956,6 +4956,84 @@ def docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("id").alias("vec_id"), "cluster_id")
 
 
+_SDI_T = _NEARDUP_T  # same family threshold; the %5 role split
+# yields real cross-role near-pairs at this t (checked at both gate
+# scales — a trivially-all-canonical fixture would prove nothing)
+
+_SEMDEDUP_INC_SQL = f"""
+WITH RECURSIVE
+{_cluster_asg_ctes()},
+newb AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0),
+bcl AS MATERIALIZED (
+  SELECT DISTINCT a.cluster_id FROM asg a JOIN newb n ON n.vec_id = a.vec_id
+),
+univ AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster_id,
+         (a.vec_id % 5 = 0) AS is_new
+  FROM asg a JOIN bcl b ON b.cluster_id = a.cluster_id
+),
+pairs AS MATERIALIZED (
+  SELECT u.vec_id AS id_a, v.vec_id AS id_b
+  FROM univ u
+  JOIN univ v ON u.cluster_id = v.cluster_id AND u.vec_id < v.vec_id
+  JOIN embeddings ea ON ea.vec_id = u.vec_id
+  JOIN embeddings eb ON eb.vec_id = v.vec_id
+  WHERE (u.is_new OR v.is_new)
+    AND {sql_distance('cosine', 'ea.embedding', 'eb.embedding')} <= {_SDI_T}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT vec_id, vec_id FROM univ
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+)
+SELECT g.id AS vec_id,
+       u.cluster_id,
+       CAST(min(g.rep) AS BIGINT) AS rep_id,
+       (min(g.rep) = g.id) AS is_canonical
+FROM reach g
+JOIN univ u ON u.vec_id = g.id
+WHERE u.is_new
+GROUP BY g.id, u.cluster_id
+"""
+
+
+@register("emb_semdedup_incremental", _SEMDEDUP_INC_SQL)
+def emb_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: incremental SemDeDup (operators/cluster.py
+    semdedup_incremental) — the cluster family's batch-vs-snapshot
+    lifecycle step (the dedup family's minhash_incremental shape,
+    r7): a NEW batch (vec_id % 5 = 0, the dedup_minhash_incremental
+    role split) is labeled against the remaining corpus as the
+    snapshot — new-vs-snapshot and new-vs-new pairs within shared
+    clusters only, snapshot-vs-snapshot never re-mined, component
+    reps resolve to the snapshot id when a new row duplicates
+    history. The snapshot is pruned to the batch's clusters by a
+    broadcast semi-join BEFORE the fold (file-prunable when the
+    snapshot is a cluster-partitioned layout). Oracle: preset
+    centroids + new-involved within-cluster pairs + recursive-CTE
+    closure over the batch-cluster universe, labels for new rows
+    only."""
+    from vicinity_spark.operators.cluster import semdedup_incremental
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = semdedup_incremental(
+        e.where(F.col("id") % 5 == 0),
+        e.where(F.col("id") % 5 != 0),
+        _preset_centroids(spark, sf_dir),
+        _SDI_T,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", "rep_id", "is_canonical"
+    )
+
+
 _CURATE_N = 25
 
 _CLUSTER_CURATE_SQL = f"""
@@ -5050,11 +5128,11 @@ def emb_cluster_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_FIRST = [
     # --- r13 rotation (VERDICT r12 item 3) ----------------------------
-    # Window design (41 + 1 + 8 = 50): (a) ALL 41 rows not green in
+    # Window design (41 + 2 + 7 = 50): (a) ALL 41 rows not green in
     # r12 — exactly the r12 tail — come back, keeping the
     # at-most-one-round-unchecked promise (r12 ∪ r13 covers all
     # registered queries, the invariant held since r9∪r10); (b2) the
-    # ONE query NEW in r13 (never green, must sit inside the window);
+    # TWO queries NEW in r13 (never green, must sit inside the window);
     # (b) the remaining 8 slots go to r12-green rows whose code r13
     # TOUCHED: grid.corpus_blocks' block count moved from the fixed
     # shuffle-partitions default to payload-density sizing with a
@@ -5125,24 +5203,29 @@ _CHECK_FIRST = [
     "emb_projection_arrow",
     # (b2) NEW in r13 (never green — must sit inside the window):
     "emb_cluster_curate",
-    # (b) r12-green, r13-touched code paths (8):
+    "emb_semdedup_incremental",
+    # (b) r12-green, r13-touched code paths (7). ann_recall_summary
+    # yielded its slot to the second new row and moves to the tail
+    # r12-green: every kernel its branches touched this round is
+    # in-window through a sibling running the SAME code — pq/sq ADC
+    # scans via ann_pq_knn/ann_sq_knn, the IVF probe kernel via
+    # ann_ivf_knn + the ivf* family rows in section (a):
     "ann_pq_knn",
     "ann_sq_knn",
     "threshold_grid_routing",
     "neardup_pairs",
     "emb_semdedup",
     "docs_cluster_sample",
-    "ann_recall_summary",
     "docs_bm25_loaded",
 ]
 
-# r13 tail: 42 rows, every one green in CORRECTNESS_r12.json with its
+# r13 tail: 43 rows, every one green in CORRECTNESS_r12.json with its
 # specific operator code untouched this round (scripts/verified_ledger
 # enforces that nothing never-green sits here; VERIFIED.md records the
-# skip). docs_hybrid_rrf / docs_bm25_append / semantic_dedup carry r13
-# touches that are oracle-path-invisible or in-window-subsumed — see
-# the _CHECK_FIRST header for the unit tests and in-window rows that
-# cover them.
+# skip). docs_hybrid_rrf / docs_bm25_append / semantic_dedup /
+# ann_recall_summary carry r13 touches that are oracle-path-invisible
+# or in-window-subsumed — see the _CHECK_FIRST header for the unit
+# tests and in-window sibling rows that cover them.
 _ROTATE_OUT: "list[str]" = [
     "dedup_exact",
     "dedup_minhash_onepass",
@@ -5186,6 +5269,7 @@ _ROTATE_OUT: "list[str]" = [
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_bigram_xent",
+    "ann_recall_summary",
 ]
 
 def _reorder_registry() -> None:
