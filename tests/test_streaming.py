@@ -1949,3 +1949,127 @@ def test_stream_bm25_ingest_first_seed_exact_on_inexact_avgdl(spark, tmp_path):
     )
     _, rs = bm25_index(full)
     assert ls.collect() == rs.collect()  # byte-identical, no ulp drift
+
+
+def _semdedup_stream_fixture(spark, tmp_path, tag):
+    """Saved canonical snapshot (4 rows, 2 clusters) + two stream
+    batches as one-file-per-trigger parquet dirs: batch 0 has one dup
+    of history + one novel row; batch 1 has a dup of batch 0's
+    survivor, a new-new dup pair, and a novel row."""
+    import datetime as dt
+
+    from vicinity_spark.operators.cluster import (
+        assign_clusters,
+        cluster_snapshot_save,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    snap_rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, -0.3]),
+        (2, [0.0, 1.0]),
+        (3, [0.2, 0.9]),
+    ]
+    snap = spark.createDataFrame(snap_rows, "id long, vector array<double>")
+    layout = str(tmp_path / f"sd_ing_{tag}")
+    cluster_snapshot_save(assign_clusters(snap, cents), cents, layout)
+    b0 = [(100, [1.0, 0.0]), (101, [0.6, 0.8])]          # dup-of-0, novel
+    b1 = [
+        (200, [0.6, 0.8]),   # dup of batch-0 survivor 101
+        (201, [-0.9, 0.35]), # novel (cluster 1 side)
+        (202, [-0.9, 0.35]), # new-new dup of 201
+    ]
+    src = str(tmp_path / f"sd_src_{tag}")
+    t0 = dt.datetime(2024, 1, 1)
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, "id long, vector array<double>").withColumn(
+            "ts", F.lit(t0 + dt.timedelta(minutes=i)).cast("timestamp")
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    return layout, src, cents, snap
+
+
+def _run_semdedup_ingest_once(spark, src, layout, **kw):
+    from vicinity_spark.streaming.query import stream_semdedup_ingest
+
+    stream = (
+        spark.readStream.schema("id long, vector array<double>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream_semdedup_ingest(stream, layout, 1e-9, **kw)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_semdedup_ingest_grows_snapshot(spark, tmp_path):
+    """r13: after two streamed batches the layout holds exactly the
+    canonical survivors (dups of history and within-batch dups
+    appended nothing), equal to folding semdedup_incremental
+    sequentially; the sink saw every label."""
+    from vicinity_spark.operators.cluster import cluster_snapshot_load
+
+    layout, src, cents, snap = _semdedup_stream_fixture(spark, tmp_path, "grow")
+    seen = []
+    _run_semdedup_ingest_once(
+        spark, src, layout,
+        sink=lambda df, bid: seen.append(
+            (bid, sorted((r["id"], r["rep_id"], r["is_canonical"]) for r in df.collect()))
+            if df is not None else (bid, None)
+        ),
+    )
+    assert seen == [
+        (0, [(100, 0, False), (101, 101, True)]),
+        (1, [(200, 101, False), (201, 201, True), (202, 201, False)]),
+    ]
+    members, loaded_cents = cluster_snapshot_load(spark, layout)
+    assert loaded_cents == cents
+    got_ids = sorted(r["id"] for r in members.collect())
+    assert got_ids == [0, 1, 2, 3, 101, 201]  # snapshot + the two survivors
+
+
+def test_stream_semdedup_ingest_replay_appends_nothing(spark, tmp_path):
+    """Fresh-checkpoint redelivery: batch ids restart, the run-scoped
+    mark is distrusted, and the presence filter drops every
+    already-appended id BEFORE mining — so nothing is re-appended AND
+    no replayed survivor is wrongly flagged against itself."""
+    from vicinity_spark.operators.cluster import cluster_snapshot_load
+
+    layout, src, cents, snap = _semdedup_stream_fixture(spark, tmp_path, "replay")
+    _run_semdedup_ingest_once(spark, src, layout)
+    m1, _ = cluster_snapshot_load(spark, layout)
+    rows1 = sorted(map(tuple, m1.collect()))
+    _run_semdedup_ingest_once(spark, src, layout)  # fresh checkpoint
+    m2, _ = cluster_snapshot_load(spark, layout)
+    assert sorted(map(tuple, m2.collect())) == rows1
+
+
+def test_stream_semdedup_ingest_guards(spark, tmp_path):
+    """Missing layout is rejected with the save-first message; a fresh
+    cluster_snapshot_save invalidates a leftover ingest sidecar (the
+    bm25_index_save rule)."""
+    from vicinity_spark.operators.cluster import (
+        CLUSTER_INGEST_MARKER,
+        assign_clusters,
+        cluster_snapshot_save,
+    )
+    from vicinity_spark.operators.dedup import _read_sidecar
+    from vicinity_spark.streaming.query import stream_semdedup_ingest
+
+    (tmp_path / "empty_src").mkdir()
+    stream = (
+        spark.readStream.schema("id long, vector array<double>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "empty_src"))
+    )
+    with pytest.raises(ValueError, match="save one first"):
+        stream_semdedup_ingest(stream, str(tmp_path / "no_layout"), 0.1)
+    layout, src, cents, snap = _semdedup_stream_fixture(spark, tmp_path, "inv")
+    _run_semdedup_ingest_once(spark, src, layout)
+    marker = layout + "/" + CLUSTER_INGEST_MARKER
+    assert _read_sidecar(spark, marker)["batch"] == 1
+    cluster_snapshot_save(assign_clusters(snap, cents), cents, layout)
+    with pytest.raises(ValueError):
+        _read_sidecar(spark, marker)  # sidecar invalidated by the save

@@ -615,6 +615,83 @@ def cluster_curate(
     )
 
 
+CLUSTER_MEMBERS_DIR = "cluster_members"
+CLUSTER_CENTROIDS_DIR = "cluster_centroids"
+CLUSTER_INGEST_MARKER = "_semdedup_ingest.json"
+
+
+def cluster_snapshot_save(
+    snapshot: DataFrame,
+    centroids,
+    path: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+) -> None:
+    """Persist a canonical-member snapshot layout: (id, vector,
+    cluster_id) rows written ``partitionBy(cluster_id)`` — one
+    directory per cluster, so an incremental batch touching 3 of 50k
+    clusters READS 3 directories (static partition prune on the
+    batch's cluster literals, the IVF store layout discipline) — plus
+    the centroid table as its own parquet artifact (k×dim — the
+    assignment contract that produced ``cluster_id``; a layout without
+    its centroids cannot assign new batches consistently). A fresh
+    save REBUILDS the layout, so a leftover streaming-ingest sidecar
+    is invalidated (the bm25_index_save rule). Save-over-own-source is
+    guarded by the URI-safe scan_reads_path."""
+    import os
+
+    from vicinity_spark.session import scan_reads_path
+
+    spark = snapshot.sparkSession
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
+    members = snapshot.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("vector"),
+        F.col(cluster_col).cast("int").alias("cluster_id"),
+    )
+    mdir = os.path.join(path, CLUSTER_MEMBERS_DIR)
+    if scan_reads_path(members, mdir):
+        members = members.localCheckpoint(eager=True)
+    members.write.mode("overwrite").partitionBy("cluster_id").parquet(mdir)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, CLUSTER_CENTROIDS_DIR)
+    )
+    jmarker = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + CLUSTER_INGEST_MARKER
+    )
+    fs = jmarker.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jmarker):
+        fs.delete(jmarker, False)
+
+
+def cluster_snapshot_load(
+    spark, path: str
+) -> "tuple[DataFrame, list[list[float]]]":
+    """(members, centroids) back from a ``cluster_snapshot_save``
+    folder. The members frame keeps its ``cluster_id`` partition
+    column lazy — consumers filter it with the batch's cluster
+    literals and the scan prunes whole directories; the centroid
+    table is collected (k×dim, closure-small by the module's design
+    contract — it rides in every assignment kernel's closure
+    anyway)."""
+    import os
+
+    members = spark.read.parquet(os.path.join(path, CLUSTER_MEMBERS_DIR))
+    cents = [
+        list(map(float, r["cvec"]))
+        for r in spark.read.parquet(os.path.join(path, CLUSTER_CENTROIDS_DIR))
+        .orderBy("cid")
+        .collect()
+    ]
+    return members, cents
+
+
 def cluster_stats(
     df: DataFrame,
     centroids,

@@ -19,6 +19,7 @@ from vicinity_spark.streaming.neardup import (
 from vicinity_spark.streaming.query import (
     stream_knn,
     stream_knn_foreachbatch,
+    stream_semdedup_ingest,
     stream_threshold,
     unpersist_serving_cache,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "stream_events",
     "stream_clean",
     "stream_daily_ingest",
+    "stream_semdedup_ingest",
     "stream_exact_dedup",
     "stream_knn",
     "stream_knn_foreachbatch",

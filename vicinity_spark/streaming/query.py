@@ -649,3 +649,140 @@ def stream_bm25_ingest(
             sink(new_dl, batch_id)
 
     return doc_stream.writeStream.foreachBatch(_process)
+
+
+def stream_semdedup_ingest(
+    emb_stream: DataFrame,
+    layout_path: str,
+    max_distance: float,
+    sink=None,
+    *,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    max_cluster_rows: "int | None" = None,
+):
+    """Grow a canonical-member snapshot from an embedding stream —
+    the cluster family's streaming lifecycle step, mirroring
+    ``stream_bm25_ingest`` (r12) and ``stream_daily_ingest``: per
+    micro-batch, new embeddings are labeled by
+    ``semdedup_incremental`` against the persisted snapshot at
+    ``layout_path`` (``cluster_snapshot_save`` — the layout's OWN
+    centroids drive assignment, so labels are consistent across the
+    layout's whole life) and the batch's CANONICAL survivors are
+    appended to the cluster-partitioned member layout. Duplicates of
+    history resolve to snapshot ids and append nothing.
+
+    Scale shape per trigger: batch assignment is narrow; the batch's
+    distinct clusters are collected (bounded by min(k, batch rows))
+    and inlined as literals, so the member scan statically prunes to
+    the touched clusters' partition DIRECTORIES — a trickle batch
+    against a 50k-cluster corpus reads only its own clusters. Pair
+    work is the incremental kernel's Σ nb_c × (ns_c + nb_c).
+
+    Exactly-once at row level, the established discipline: a
+    run-id-scoped committed-batch sidecar short-circuits certified
+    replays; otherwise a presence filter drops batch ids the touched
+    partitions already hold BEFORE mining (an already-appended
+    survivor replayed into the miner would be distance-0 to itself in
+    the snapshot and wrongly flagged), so a crash between the append
+    and the sidecar write replays to zero duplicate rows. Batch rows
+    duplicated WITHIN a trigger are dropped before labeling. Ids must
+    be globally unique and time-ordered for the snapshot-precedence
+    rep rule (the semdedup_incremental contract). Single writer per
+    layout.
+
+    ``sink(labels_df, batch_id)`` (optional) receives the batch's
+    full label frame (id, cluster_id, rep_id, is_canonical) — the
+    is_canonical=False rows ARE the dedup decisions a pipeline logs.
+    Returns the DataStreamWriter — call ``.trigger(...).start()``."""
+    import os
+
+    from vicinity_spark.operators.cluster import (
+        CLUSTER_INGEST_MARKER,
+        CLUSTER_MEMBERS_DIR,
+        assign_clusters,
+        cluster_snapshot_load,
+        semdedup_incremental,
+    )
+    from vicinity_spark.operators.dedup import _read_sidecar, _write_sidecar
+    from vicinity_spark.streaming.neardup import _streaming_run_id
+
+    members_dir = os.path.join(layout_path, CLUSTER_MEMBERS_DIR)
+    marker = layout_path.rstrip("/") + "/" + CLUSTER_INGEST_MARKER
+    if not os.path.isdir(members_dir):
+        raise ValueError(
+            f"no snapshot layout at {members_dir!r} — save one first with "
+            "cluster_snapshot_save(snapshot, centroids, path) (an empty "
+            "canonical set is a valid start)"
+        )
+
+    def _read_marks(spark, run_id):
+        try:
+            got = _read_sidecar(spark, marker)
+        except ValueError:
+            return {"batch": -1}
+        stored_run = got.get("run_id")
+        if run_id is None or stored_run is None or stored_run != run_id:
+            # an uncertifiable high-water mark must never skip new
+            # batches; replays are safe through the presence filter
+            return {"batch": -1}
+        return {"batch": int(got.get("batch", -1))}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        run_id = _streaming_run_id(spark)
+        if batch_id <= _read_marks(spark, run_id)["batch"]:
+            return  # fully committed in this run — certified replay
+        members, cents = cluster_snapshot_load(spark, layout_path)
+        batch = batch_df.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+        ).dropDuplicates(["id"])
+        asg_b = assign_clusters(batch, cents).localCheckpoint(eager=True)
+        bclusters = [
+            int(r["cluster_id"])
+            for r in asg_b.select("cluster_id").distinct().collect()
+        ]
+        touched = members.where(F.col("cluster_id").isin(bclusters))
+        # presence filter: ids a partially-committed prior attempt
+        # already appended (column-pruned scan of the touched
+        # partitions only)
+        existing = touched.select("id").join(
+            F.broadcast(asg_b.select("id")), "id"
+        )
+        fresh = asg_b.join(
+            F.broadcast(existing), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.take(1):
+            labels = semdedup_incremental(
+                fresh.select("id", "vector"),
+                touched,
+                cents,
+                max_distance,
+                metric=metric,
+                snapshot_cluster_col="cluster_id",
+                max_cluster_rows=max_cluster_rows,
+            ).localCheckpoint(eager=True)  # sever the member-scan
+            # lineage BEFORE appending into the folder it read
+            survivors = fresh.join(
+                F.broadcast(
+                    labels.where(F.col("is_canonical")).select("id")
+                ),
+                "id",
+            )
+            if survivors.take(1):
+                survivors.select("id", "vector", "cluster_id").write.mode(
+                    "append"
+                ).partitionBy("cluster_id").parquet(members_dir)
+        else:
+            labels = None
+        out = {"batch": batch_id}
+        if run_id is not None:
+            out["run_id"] = run_id
+        _write_sidecar(spark, marker, out)
+        if sink is not None:
+            sink(labels, batch_id)
+
+    return emb_stream.writeStream.foreachBatch(_process)
