@@ -404,3 +404,33 @@ def test_semdedup_incremental_guard_and_cross_cluster_trade(spark):
         ).collect()
     }
     assert rows == {200: True}
+
+
+def test_cluster_snapshot_pruned_scan(spark, tmp_path):
+    """The layout's 100 TB claim, plan-checked: filtering the member
+    scan with a batch's cluster literals reads ONLY the touched
+    partition directories' files (static partition pruning), and the
+    save → load roundtrip preserves rows and centroids exactly."""
+    from pyspark.sql import functions as F
+
+    from vicinity_spark.operators.cluster import (
+        assign_clusters,
+        cluster_snapshot_load,
+        cluster_snapshot_save,
+    )
+
+    cents = [[float(i), 0.0] for i in range(8)]
+    rows = [(i, [float(i % 8), 0.001 * i]) for i in range(80)]
+    snap = spark.createDataFrame(rows, "id long, vector array<double>")
+    layout = str(tmp_path / "snap")
+    cluster_snapshot_save(assign_clusters(snap, cents), cents, layout)
+    members, loaded = cluster_snapshot_load(spark, layout)
+    assert loaded == cents
+    assert members.count() == 80
+    touched = members.where(F.col("cluster_id").isin([2, 5]))
+    plan = touched._jdf.queryExecution().executedPlan().toString()
+    # the cluster literals land in PartitionFilters — directory-level
+    # pruning at the scan, not a post-scan row filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster_id" in pf[0], plan
+    assert touched.count() == 20
