@@ -1001,3 +1001,49 @@ def test_corpus_blocks_density_default(spark):
         .count()
     )
     assert total == 2_000
+
+
+def test_nearest_centroids_matches_exact_brute_force():
+    """Property test for grid.nearest_centroids (r13): across random
+    shapes — including planted EXACT ties and ulp-near ties — the
+    selected membership and order must equal the exact-arithmetic
+    (squared-l2, index) ranking the SQL oracles compute. Pure numpy,
+    no Spark session."""
+    import numpy as np
+
+    from vicinity_spark.operators.grid import nearest_centroids
+
+    rng = np.random.default_rng(1234)
+    for trial in range(40):
+        k = int(rng.integers(2, 40))
+        dim = int(rng.integers(2, 48))
+        nq = int(rng.integers(1, 60))
+        n = int(rng.integers(1, k + 1))
+        C = rng.normal(size=(k, dim)) * rng.choice([1e-3, 1.0, 1e3])
+        Q = rng.normal(size=(nq, dim)) * rng.choice([1e-3, 1.0, 1e3])
+        # plant exact ties: duplicate centroids
+        if k >= 4:
+            C[1] = C[0]
+            C[3] = C[2]
+        # plant queries ON centroids (distance 0) and ulp-near pairs
+        Q[0] = C[0]
+        if k >= 6 and nq >= 2:
+            C[5] = C[4] * (1.0 + 1e-15)
+            Q[1] = C[4]
+        sel, dist = nearest_centroids(Q, C, n)
+        # exact reference: per-row stable sort on (exact sqdist, cid)
+        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        ref = np.argsort(D, axis=1, kind="stable")[:, :n]
+        if n == 1:
+            # n=1 is fully exact: the argmin index AND its distance
+            # (cluster assignment + the 'farthest' keep rule hang on
+            # both)
+            assert (sel == ref).all(), (trial, k, dim, nq, n)
+            refd = D[np.arange(nq), ref[:, 0]]
+            assert np.array_equal(dist[:, 0], refd), (trial, "exact dist")
+        else:
+            # n>1 contract is MEMBERSHIP (every consumer explodes /
+            # uniques / masks the probe set); order within the set may
+            # ulp-wobble and is not load-bearing
+            for r in range(nq):
+                assert set(sel[r]) == set(ref[r]), (trial, r, k, n)

@@ -33,8 +33,16 @@ _CTARGET = 65_536  # corpus rows per hash block (density default)
 
 
 def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
-    """(idx nq×n, dist nq×n) — each row's n nearest centroids in exact
-    (squared-l2, index) order, BLAS-computed.
+    """(idx nq×n, dist nq×n) — each row's n nearest centroids,
+    BLAS-computed, with exact-arithmetic SELECTION: the returned SET
+    always equals the exact (squared-l2, index) top-n (the SQL
+    oracles' ranking); for n == 1 the single index and its distance
+    are fully exact, while for n > 1 the ORDER of two ulp-near
+    entries WITHIN the set may follow the BLAS values — every
+    consumer treats the probe set as a set (explode / unique /
+    membership mask), so selection, not order, is the contract
+    (property-pinned in test_nearest_centroids_matches_exact_brute_
+    force).
 
     The distance matrix comes from the expansion
     ‖q‖² + ‖c‖² − 2·q·cᵀ — ONE matmul producing nq×k doubles. The
