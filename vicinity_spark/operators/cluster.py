@@ -477,10 +477,21 @@ def semdedup_incremental(
             ),
             centroids,
         )
+    # prune the snapshot to the batch's clusters. Up to 4096 distinct
+    # clusters are inlined as LITERALS (bounded driver collect) so a
+    # cluster-partitioned snapshot scan prunes partition directories
+    # STATICALLY — measured on a 1M-row layout: the broadcast
+    # semi-join alone left the narrow-batch scan reading the full
+    # layout (13.6s) where the literal filter reads only the touched
+    # directories; above the cap, fall back to the semi-join (the
+    # bm25_topk ≤4096-term inline discipline, retrieval.py)
     bcl = nb.select("cluster_id").distinct()
-    sb = sb.join(F.broadcast(bcl), "cluster_id").withColumn(
-        "__side", F.lit(0).cast("tinyint")
-    )
+    bclusters = [int(r["cluster_id"]) for r in bcl.limit(4097).collect()]
+    if len(bclusters) <= 4096:
+        sb = sb.where(F.col("cluster_id").isin(bclusters))
+    else:
+        sb = sb.join(F.broadcast(bcl), "cluster_id")
+    sb = sb.withColumn("__side", F.lit(0).cast("tinyint"))
     un = nb.unionByName(sb.select(*nb.columns))
     if max_cluster_rows is not None:
         over = (
