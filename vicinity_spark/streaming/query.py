@@ -694,7 +694,9 @@ def stream_semdedup_ingest(
 
     ``sink(labels_df, batch_id)`` (optional) receives the batch's
     full label frame (id, cluster_id, rep_id, is_canonical) — the
-    is_canonical=False rows ARE the dedup decisions a pipeline logs.
+    is_canonical=False rows ARE the dedup decisions a pipeline logs —
+    or ``None`` when the presence filter left nothing to label (a
+    replayed batch whose every id the layout already holds).
     Returns the DataStreamWriter — call ``.trigger(...).start()``."""
     import os
 
