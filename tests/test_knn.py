@@ -1047,3 +1047,30 @@ def test_nearest_centroids_matches_exact_brute_force():
             # ulp-wobble and is not load-bearing
             for r in range(nq):
                 assert set(sel[r]) == set(ref[r]), (trial, r, k, n)
+
+
+def test_det_topk_idx_matches_exact_cut():
+    """Property test for grid.det_topk_idx (the deterministic top-k
+    every grid kernel cuts with): across random matrices with PLANTED
+    duplicate values (boundary ties are the whole point) and
+    NaN-poisoned rows, the selected index SET must equal the exact
+    (value, index) stable-sort cut. Pure numpy, no Spark session."""
+    import numpy as np
+
+    from vicinity_spark.operators.grid import det_topk_idx
+
+    rng = np.random.default_rng(77)
+    for trial in range(60):
+        n = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 60))
+        cap = int(rng.integers(1, w + 1))
+        # low-cardinality values force boundary ties in most rows
+        D = rng.choice([0.0, 1.0, 2.0, 3.0, 4.5], size=(n, w)).astype(float)
+        if trial % 3 == 0 and w >= 2:
+            D[0, rng.integers(0, w)] = np.nan  # poisoned row
+        sel = det_topk_idx(D, cap)
+        ref = np.argsort(D, axis=1, kind="stable")[:, :cap]
+        for r in range(n):
+            assert set(map(int, sel[r])) == set(map(int, ref[r])), (
+                trial, r, cap, D[r].tolist(),
+            )
