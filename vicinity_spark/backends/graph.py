@@ -238,17 +238,21 @@ class GraphStrategy(IndexStrategy):
         frac = min(1.0, self.params["train_sample"] / max(n, 1))
         sample = vectors.select("vector").sample(fraction=frac, seed=self.params["seed"])
         S = np.vstack(sample.toPandas()["vector"].to_numpy()).astype(np.float64)
+        from vicinity_spark.operators.grid import nearest_centroids
+
         C = _kmeans_np(self._seed_space(S, angular), self.params["seed_nlist"], self.params["seed"])
         nlist = len(C)
         space = self._seed_space
+        Csq = (C * C).sum(axis=1)
 
         @F.pandas_udf("__scl int, __sd double")
         def assign(v: pd.Series) -> pd.DataFrame:
+            # BLAS argmin (grid.py:35) — never the nq×k×dim broadcasting
+            # form; n=1 distances are exact (the member cut ranks on them)
             Q = space(np.vstack(v.to_numpy()).astype(np.float64), angular)
-            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            cl = D.argmin(axis=1)
+            sel, dist = nearest_centroids(Q, C, n=1, Csq=Csq)
             return pd.DataFrame(
-                {"__scl": cl.astype(np.int32), "__sd": D[np.arange(len(cl)), cl]}
+                {"__scl": sel[:, 0].astype(np.int32), "__sd": dist[:, 0]}
             )
 
         a = vectors.select("id", assign(F.col("vector")).alias("s")).select(
@@ -274,17 +278,22 @@ class GraphStrategy(IndexStrategy):
         the member table is nlist×seed_members rows — broadcast."""
         from pyspark.sql.types import ArrayType, IntegerType
 
+        from vicinity_spark.operators.grid import nearest_centroids
+
         C = np.asarray(self.params["seed_centroids"], dtype=np.float64)
         p = min(self.params["seed_probe"], len(C))
         angular = bool(self.params.get("seed_angular"))
         space = self._seed_space
+        Csq = (C * C).sum(axis=1)
 
         @F.pandas_udf(ArrayType(IntegerType()))
         def probe(v: pd.Series) -> pd.Series:
+            # BLAS top-p (grid.py:35); the probed set feeds a distinct
+            # member join, so the n>1 set contract is exactly what the
+            # consumer needs
             Q = space(np.vstack(v.to_numpy()).astype(np.float64), angular)
-            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            nearest = np.argsort(D, axis=1, kind="stable")[:, :p].astype(np.int32)
-            return pd.Series(list(nearest))
+            sel, _ = nearest_centroids(Q, C, n=p, Csq=Csq)
+            return pd.Series(list(sel.astype(np.int32)))
 
         probed = queries.select("query_id", F.explode(probe(F.col("qvec"))).alias("__scl"))
         rows = [

@@ -66,7 +66,8 @@ def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
     if Csq is None:
         Csq = (C * C).sum(axis=1)
     n = min(n, C.shape[0])
-    D = (Q * Q).sum(axis=1)[:, None] + Csq[None, :] - 2.0 * (Q @ C.T)
+    Qsq = (Q * Q).sum(axis=1)
+    D = Qsq[:, None] + Csq[None, :] - 2.0 * (Q @ C.T)
     np.maximum(D, 0.0, out=D)
     if n == 1:
         sel = np.argmin(D, axis=1)[:, None]
@@ -74,7 +75,12 @@ def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
         sel = np.argsort(D, axis=1, kind="stable")[:, :n]
     kth = np.take_along_axis(D, sel[:, -1:], axis=1)[:, 0]
     dist = np.take_along_axis(D, sel, axis=1)
-    tol = 1e-9 * (1.0 + np.abs(kth))
+    # the expansion's cancellation error scales with eps*(|q|²+|c|²),
+    # not with the (possibly tiny) distance itself — a band sized only
+    # by kth misses genuine near-ties on large-norm vectors whose
+    # nearest distances are small relative to their norms, so the band
+    # is sized by the computation's magnitude per row
+    tol = 1e-9 * (1.0 + Qsq + (float(Csq.max()) if Csq.size else 0.0))
     multi = (D <= (kth + tol)[:, None]).sum(axis=1) > n
     for r in np.nonzero(multi)[0]:
         cand = np.nonzero(D[r] <= kth[r] + tol[r])[0]  # ascending cid
