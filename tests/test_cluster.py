@@ -434,3 +434,170 @@ def test_cluster_snapshot_pruned_scan(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cluster_id" in pf[0], plan
     assert touched.count() == 20
+
+def test_semdedup_incremental_batch_cluster_col(spark):
+    """r14 (VERDICT r13 item 8): passing precomputed batch labels via
+    batch_cluster_col yields identical labels to the assign-on-the-fly
+    path, and with BOTH cluster columns precomputed the plan contains
+    no Arrow assignment stage at all — the streaming twin's
+    one-assignment-per-trigger contract."""
+    import numpy as np
+
+    from vicinity_spark.operators.cluster import semdedup_incremental
+
+    rng = np.random.default_rng(23)
+    snap_rows = [(i, list(map(float, rng.normal(size=6)))) for i in range(20)]
+    new_rows = [(100 + i, list(map(float, rng.normal(size=6)))) for i in range(10)]
+    new_rows[2] = (102, snap_rows[5][1])  # dup of snapshot 5
+    snap = spark.createDataFrame(snap_rows, "id long, vector array<double>")
+    new = spark.createDataFrame(new_rows, "id long, vector array<double>")
+    cents = [[0.0] * 6, [2.0] * 6]
+    base = {
+        (r["id"], r["rep_id"], r["is_canonical"])
+        for r in semdedup_incremental(new, snap, cents, 1e-9).collect()
+    }
+    new_asg = assign_clusters(new, cents)
+    snap_asg = assign_clusters(snap, cents)
+    pre = semdedup_incremental(
+        new_asg,
+        snap_asg,
+        cents,
+        1e-9,
+        snapshot_cluster_col="cluster_id",
+        batch_cluster_col="cluster_id",
+    )
+    got = {(r["id"], r["rep_id"], r["is_canonical"]) for r in pre.collect()}
+    assert got == base
+    # checkpoint both inputs so the plan holds only semdedup_incremental's
+    # own stages, then assert it added NO Arrow assignment pass
+    pre2 = semdedup_incremental(
+        new_asg.localCheckpoint(eager=True),
+        snap_asg.localCheckpoint(eager=True),
+        cents,
+        1e-9,
+        snapshot_cluster_col="cluster_id",
+        batch_cluster_col="cluster_id",
+    )
+    plan = pre2._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_cluster_snapshot_empty_bootstrap(spark, tmp_path):
+    """r14 (ADVICE r13): a ZERO-row snapshot is the documented valid
+    start — save writes the schema sidecar, load returns an empty
+    members frame of the layout's shape, and semdedup_incremental
+    against it labels every new row canonical."""
+    from vicinity_spark.operators.cluster import (
+        cluster_snapshot_load,
+        cluster_snapshot_save,
+        semdedup_incremental,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    empty = spark.createDataFrame([], "id long, vector array<double>, cluster_id int")
+    layout = str(tmp_path / "empty_snap")
+    cluster_snapshot_save(empty, cents, layout)
+    members, loaded = cluster_snapshot_load(spark, layout)
+    assert loaded == cents
+    assert members.columns == ["id", "vector", "cluster_id"]
+    assert members.count() == 0
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "id long, vector array<double>",
+    )
+    rows = {
+        r["id"]: (r["rep_id"], r["is_canonical"])
+        for r in semdedup_incremental(
+            new, members, cents, 1e-9, snapshot_cluster_col="cluster_id"
+        ).collect()
+    }
+    assert rows == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_cluster_snapshot_compact(spark, tmp_path):
+    """r14 (VERDICT r13 item 5): compaction rewrites ONLY overgrown
+    cluster directories back to one file, preserves every row and the
+    static partition prune, and leaves under-threshold directories'
+    files untouched (dynamic partition overwrite)."""
+    import os
+
+    from vicinity_spark.operators.cluster import (
+        assign_clusters,
+        cluster_snapshot_compact,
+        cluster_snapshot_load,
+        cluster_snapshot_save,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "id long, vector array<double>"
+    )
+    layout = str(tmp_path / "compact_snap")
+    cluster_snapshot_save(assign_clusters(base, cents), cents, layout)
+    mdir = os.path.join(layout, "cluster_members")
+    # 6 trickle appends into cluster 0 only — one file set each
+    for i in range(6):
+        spark.createDataFrame(
+            [(10 + i, [1.0, 0.001 * (i + 1)], 0)],
+            "id long, vector array<double>, cluster_id int",
+        ).coalesce(1).write.mode("append").partitionBy("cluster_id").parquet(mdir)
+
+    def data_files(cl):
+        d = os.path.join(mdir, f"cluster_id={cl}")
+        return sorted(
+            f for f in os.listdir(d) if not f.startswith(("_", "."))
+        )
+
+    assert len(data_files(0)) == 7
+    before1 = data_files(1)
+    members, _ = cluster_snapshot_load(spark, layout)
+    rows_before = sorted(map(tuple, members.collect()))
+    assert cluster_snapshot_compact(spark, layout, max_files_per_dir=4) == 1
+    assert len(data_files(0)) == 1          # overgrown dir rewritten
+    assert data_files(1) == before1          # untouched dir keeps its files
+    members2, _ = cluster_snapshot_load(spark, layout)
+    assert sorted(map(tuple, members2.collect())) == rows_before
+    # the prune survives compaction
+    plan = (
+        members2.where(F.col("cluster_id").isin([0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster_id" in pf[0], plan
+    assert cluster_snapshot_compact(spark, layout, max_files_per_dir=4) == 0
+    with pytest.raises(ValueError, match="max_files_per_dir"):
+        cluster_snapshot_compact(spark, layout, max_files_per_dir=0)
+    with pytest.raises(ValueError, match="no cluster snapshot layout"):
+        cluster_snapshot_compact(spark, str(tmp_path / "nope"))
+
+
+def test_cluster_curate_joinback_paths(spark, monkeypatch):
+    """r14 (VERDICT r13 item 6 + ADVICE): the join-back picks
+    broadcast vs plain equi-join from the ALGEBRAIC k x n_per_cluster
+    bound — both paths return identical rows even with the session's
+    auto-broadcast disabled — and a pre-existing cluster_id column on
+    df is replaced, not duplicated."""
+    import vicinity_spark.operators.cluster as cl
+    from vicinity_spark.operators.cluster import cluster_curate
+
+    rows = [(i, [1.0, 0.001 * i], f"p{i}") for i in range(8)]
+    rows += [(60, [0.0, 1.0], "q0"), (61, [0.0, 1.0], "q1")]
+    df = spark.createDataFrame(rows, "id long, vector array<double>, payload string")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = cluster_curate(df, cents, 1e-9, 3)
+        assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+        got_b = sorted((r["id"], r["cluster_id"]) for r in bcast.collect())
+        monkeypatch.setattr(cl, "_CURATE_BROADCAST_ROWS", 0)
+        plain = cluster_curate(df, cents, 1e-9, 3)
+        assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+        assert sorted((r["id"], r["cluster_id"]) for r in plain.collect()) == got_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # pre-existing cluster_id on df: replaced by the curation's own
+    pre = df.withColumn("cluster_id", F.lit(99))
+    out = cluster_curate(pre, cents, 1e-9, 3)
+    assert out.columns.count("cluster_id") == 1
+    assert {r["cluster_id"] for r in out.collect()} <= {0, 1}

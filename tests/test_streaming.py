@@ -2073,3 +2073,58 @@ def test_stream_semdedup_ingest_guards(spark, tmp_path):
     cluster_snapshot_save(assign_clusters(snap, cents), cents, layout)
     with pytest.raises(ValueError):
         _read_sidecar(spark, marker)  # sidecar invalidated by the save
+
+def test_stream_semdedup_ingest_empty_bootstrap(spark, tmp_path):
+    """r14 (ADVICE r13): starting from a ZERO-row saved snapshot — the
+    bootstrap the docstring promises — the first trigger loads the
+    empty layout via its schema sidecar and the stream grows the
+    canonical set from nothing."""
+    from vicinity_spark.operators.cluster import (
+        cluster_snapshot_load,
+        cluster_snapshot_save,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    layout = str(tmp_path / "sd_boot")
+    cluster_snapshot_save(
+        spark.createDataFrame([], "id long, vector array<double>, cluster_id int"),
+        cents,
+        layout,
+    )
+    import datetime as dt
+
+    b0 = [(100, [1.0, 0.0]), (101, [1.0, 0.0]), (102, [0.0, 1.0])]
+    src = str(tmp_path / "sd_boot_src")
+    spark.createDataFrame(b0, "id long, vector array<double>").withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    _run_semdedup_ingest_once(spark, src, layout)
+    members, _ = cluster_snapshot_load(spark, layout)
+    # 101 is a within-batch dup of 100 and appends nothing
+    assert sorted(r["id"] for r in members.collect()) == [100, 102]
+
+
+def test_stream_semdedup_ingest_compaction_cadence(spark, tmp_path):
+    """r14 (VERDICT r13 item 5): with compact_every_n_batches=1 every
+    committed trigger compacts overgrown cluster directories in-loop,
+    and the grown layout's rows equal the uncompacted run's."""
+    import os
+
+    from vicinity_spark.operators.cluster import cluster_snapshot_load
+
+    layout, src, cents, snap = _semdedup_stream_fixture(spark, tmp_path, "cmp")
+    _run_semdedup_ingest_once(
+        spark, src, layout,
+        compact_every_n_batches=1, compact_max_files_per_dir=1,
+    )
+    members, _ = cluster_snapshot_load(spark, layout)
+    assert sorted(r["id"] for r in members.collect()) == [0, 1, 2, 3, 101, 201]
+    mdir = os.path.join(layout, "cluster_members")
+    for d in os.listdir(mdir):
+        if d.startswith("cluster_id="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(mdir, d))
+                if not f.startswith(("_", "."))
+            ]
+            assert len(files) <= 1, (d, files)

@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 #: module's _CCHUNK discipline, operators/grid.py)
 _PCHUNK = 4_096
 
+#: cluster_curate join-back: broadcast the kept (id, cluster_id) set
+#: only when its ALGEBRAIC bound k × n_per_cluster fits this many
+#: rows (~tens of MB hashed); above it, a plain equi-join — the bound
+#: is known before any job runs, so the choice costs nothing
+_CURATE_BROADCAST_ROWS = 1_000_000
+
 
 def kmeans_centroids(
     df: DataFrame,
@@ -420,6 +426,7 @@ def semdedup_incremental(
     vector_col: str = "vector",
     id_col: str = "id",
     snapshot_cluster_col: "str | None" = None,
+    batch_cluster_col: "str | None" = None,
     max_cluster_rows: "int | None" = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the cluster family's batch-vs-snapshot
@@ -453,17 +460,29 @@ def semdedup_incremental(
     directories at the file scan, so a trickle batch touching 3 of
     50k clusters reads 3 directories, not the corpus. Without it the
     snapshot is assigned on the fly (one narrow pass over the
-    snapshot — correct, but no file pruning). ``max_cluster_rows``
-    guards the fold on the UNION sizes (the enforced k-sizing
-    contract, as in `semdedup`)."""
+    snapshot — correct, but no file pruning). ``batch_cluster_col``
+    is the batch-side twin: a caller that already assigned the batch
+    (stream_semdedup_ingest checkpoints its labels for the presence
+    filter) names that column and the batch skips its re-assignment
+    Arrow pass — the labels MUST come from this layout's own
+    centroids, same contract as ``snapshot_cluster_col``.
+    ``max_cluster_rows`` guards the fold on the UNION sizes (the
+    enforced k-sizing contract, as in `semdedup`)."""
     if max_cluster_rows is not None and max_cluster_rows < 2:
         raise ValueError(
             f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
         )
-    nb = assign_clusters(
-        new_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
-        centroids,
-    ).withColumn("__side", F.lit(1).cast("tinyint"))
+    if batch_cluster_col is not None:
+        nb = new_df.select(
+            F.col(id_col).alias("id"),
+            F.col(vector_col).alias("vector"),
+            F.col(batch_cluster_col).cast("int").alias("cluster_id"),
+        ).withColumn("__side", F.lit(1).cast("tinyint"))
+    else:
+        nb = assign_clusters(
+            new_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
+            centroids,
+        ).withColumn("__side", F.lit(1).cast("tinyint"))
     if snapshot_cluster_col is not None:
         sb = snapshot.select(
             F.col(id_col).alias("id"),
@@ -597,10 +616,18 @@ def cluster_curate(
 
     Plan: narrow assignment → one groupBy(cluster) fold + matrix
     kernel → component closure → canonical filter → one per-cluster
-    window cut on the portable md5 key → one broadcast-size join back
-    to ``df`` for the payload columns (the kept set is at most
-    k × n_per_cluster ids). Every stage is the already-benched shape
-    of its standalone operator; nothing new shuffles."""
+    window cut on the portable md5 key → a join back to ``df`` for
+    the payload columns. The kept set is at most k × n_per_cluster
+    ids — known ALGEBRAICALLY before any job runs — so the join-back
+    broadcasts only when that bound fits ``_CURATE_BROADCAST_ROWS``
+    and otherwise runs as a plain equi-join (AQE still broadcasts at
+    runtime if the actual kept set turns out small): at k=50k ×
+    n_per_cluster=1024 the bound is 51M ids, past any sane broadcast.
+    A pre-existing ``cluster_id`` column on ``df`` is REPLACED by the
+    curation's own assignment (the reserved-name contract
+    `assign_clusters` documents for ``cluster_col``). Every stage is
+    the already-benched shape of its standalone operator; nothing new
+    shuffles."""
     if isinstance(centroids, int):
         centroids = kmeans_centroids(
             df, centroids, vector_col=vector_col, seed=seed
@@ -620,15 +647,19 @@ def cluster_curate(
         n_per_cluster,
         cluster_col="cluster_id",
         id_col="id",
-    )
-    return df.join(
-        F.broadcast(kept.withColumnRenamed("id", id_col)), id_col
-    )
+    ).withColumnRenamed("id", id_col)
+    if "cluster_id" in df.columns and id_col != "cluster_id":
+        df = df.drop("cluster_id")
+    bound = len(centroids) * int(n_per_cluster)
+    if bound <= _CURATE_BROADCAST_ROWS:
+        kept = F.broadcast(kept)
+    return df.join(kept, id_col)
 
 
 CLUSTER_MEMBERS_DIR = "cluster_members"
 CLUSTER_CENTROIDS_DIR = "cluster_centroids"
 CLUSTER_INGEST_MARKER = "_semdedup_ingest.json"
+CLUSTER_SCHEMA_MARKER = "_members_schema.json"
 
 
 def cluster_snapshot_save(
@@ -650,9 +681,16 @@ def cluster_snapshot_save(
     its centroids cannot assign new batches consistently). A fresh
     save REBUILDS the layout, so a leftover streaming-ingest sidecar
     is invalidated (the bm25_index_save rule). Save-over-own-source is
-    guarded by the URI-safe scan_reads_path."""
+    guarded by the URI-safe scan_reads_path.
+
+    The members schema is persisted as a JSON sidecar: a ZERO-row
+    snapshot's partitionBy write emits no data files, so a later scan
+    has nothing to infer from — the sidecar makes the empty canonical
+    set the valid bootstrap the streaming ingest documents."""
+    import json as _json
     import os
 
+    from vicinity_spark.operators.dedup import _write_sidecar
     from vicinity_spark.session import scan_reads_path
 
     spark = snapshot.sparkSession
@@ -668,6 +706,11 @@ def cluster_snapshot_save(
     if scan_reads_path(members, mdir):
         members = members.localCheckpoint(eager=True)
     members.write.mode("overwrite").partitionBy("cluster_id").parquet(mdir)
+    _write_sidecar(
+        spark,
+        path.rstrip("/") + "/" + CLUSTER_SCHEMA_MARKER,
+        {"schema": _json.loads(members.schema.json())},
+    )
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -690,10 +733,29 @@ def cluster_snapshot_load(
     literals and the scan prunes whole directories; the centroid
     table is collected (k×dim, closure-small by the module's design
     contract — it rides in every assignment kernel's closure
-    anyway)."""
+    anyway). The members scan reads with the schema sidecar the save
+    wrote, so a zero-row layout (partitionBy wrote no data files —
+    the documented empty-canonical-set bootstrap) loads as an empty
+    frame of the right shape instead of failing schema inference;
+    pre-sidecar layouts fall back to plain inference."""
     import os
 
-    members = spark.read.parquet(os.path.join(path, CLUSTER_MEMBERS_DIR))
+    from pyspark.sql.types import StructType
+
+    from vicinity_spark.operators.dedup import _read_sidecar
+
+    mdir = os.path.join(path, CLUSTER_MEMBERS_DIR)
+    try:
+        sidecar = _read_sidecar(
+            spark, path.rstrip("/") + "/" + CLUSTER_SCHEMA_MARKER
+        )
+        schema = StructType.fromJson(sidecar["schema"])
+    except ValueError:
+        schema = None
+    if schema is not None:
+        members = spark.read.schema(schema).parquet(mdir)
+    else:
+        members = spark.read.parquet(mdir)
     cents = [
         list(map(float, r["cvec"]))
         for r in spark.read.parquet(os.path.join(path, CLUSTER_CENTROIDS_DIR))
@@ -701,6 +763,68 @@ def cluster_snapshot_load(
         .collect()
     ]
     return members, cents
+
+
+def cluster_snapshot_compact(
+    spark, path: str, max_files_per_dir: int = 4
+) -> int:
+    """Small-file maintenance for a ``cluster_snapshot_save`` layout:
+    every ``stream_semdedup_ingest`` trigger appends one file set to
+    each touched ``cluster_id=`` directory, so after ~100 trickle
+    triggers the incremental probe's pruned scan degrades to hundreds
+    of tiny files per directory — the exact hazard
+    ``bm25_index_compact`` (operators/retrieval.py) exists for, and
+    the same fix: rewrite ONLY the directories whose non-hidden file
+    count exceeds ``max_files_per_dir`` back to one id-sorted file
+    each (id order keeps the presence filter's id probes row-group-
+    prunable), through dynamic partition overwrite so untouched
+    directories, the centroid artifact, and the ingest sidecar are
+    never rewritten. Returns how many directories were compacted.
+    Offline maintenance: run between ingest batches (the streaming
+    loop's ``compact_every_n_batches`` hook does), never concurrently
+    with another writer of the same layout."""
+    import os
+
+    if max_files_per_dir < 1:
+        raise ValueError(f"max_files_per_dir must be >= 1, got {max_files_per_dir}")
+    target = os.path.join(path, CLUSTER_MEMBERS_DIR)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(target)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"no cluster snapshot layout at {target!r}")
+    to_compact = []
+    for cl_st in fs.listStatus(jpath):
+        if not cl_st.isDirectory() or not cl_st.getPath().getName().startswith(
+            "cluster_id="
+        ):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(cl_st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        )
+        if n_files > max_files_per_dir:
+            to_compact.append(cl_st.getPath().toString())
+    if not to_compact:
+        return 0
+    sub = (
+        spark.read.option("basePath", target)
+        .parquet(*to_compact)
+        .repartition(F.col("cluster_id"))
+        .sortWithinPartitions("id")
+        .localCheckpoint(eager=True)
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        sub.write.mode("overwrite").partitionBy("cluster_id").parquet(target)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return len(to_compact)
 
 
 def cluster_stats(

@@ -661,6 +661,8 @@ def stream_semdedup_ingest(
     id_col: str = "id",
     vector_col: str = "vector",
     max_cluster_rows: "int | None" = None,
+    compact_every_n_batches: "int | None" = None,
+    compact_max_files_per_dir: int = 4,
 ):
     """Grow a canonical-member snapshot from an embedding stream —
     the cluster family's streaming lifecycle step, mirroring
@@ -673,12 +675,22 @@ def stream_semdedup_ingest(
     appended to the cluster-partitioned member layout. Duplicates of
     history resolve to snapshot ids and append nothing.
 
-    Scale shape per trigger: batch assignment is narrow; the batch's
+    Scale shape per trigger: the batch is assigned ONCE (the labels
+    feed the presence filter AND pass straight into
+    ``semdedup_incremental`` via ``batch_cluster_col``); the batch's
     distinct clusters are collected (bounded by min(k, batch rows))
-    and inlined as literals, so the member scan statically prunes to
-    the touched clusters' partition DIRECTORIES — a trickle batch
+    and — up to the engine's 4096-literal cap — inlined as literals,
+    so the member scan statically prunes to the touched clusters'
+    partition DIRECTORIES; a batch touching more clusters than the
+    cap falls back to a broadcast semi-join (the
+    ``semdedup_incremental`` discipline, cluster.py). A trickle batch
     against a 50k-cluster corpus reads only its own clusters. Pair
     work is the incremental kernel's Σ nb_c × (ns_c + nb_c).
+    ``compact_every_n_batches`` runs ``cluster_snapshot_compact``
+    after every Nth committed batch (each trigger appends one file
+    per touched cluster directory; without a cadence a long-lived
+    ingest degrades its own pruned scans to thousands of tiny files —
+    the ``stream_bm25_ingest`` maintenance hook, same rule).
 
     Exactly-once at row level, the established discipline: a
     run-id-scoped committed-batch sidecar short-circuits certified
@@ -704,6 +716,7 @@ def stream_semdedup_ingest(
         CLUSTER_INGEST_MARKER,
         CLUSTER_MEMBERS_DIR,
         assign_clusters,
+        cluster_snapshot_compact,
         cluster_snapshot_load,
         semdedup_incremental,
     )
@@ -743,11 +756,18 @@ def stream_semdedup_ingest(
             F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
         ).dropDuplicates(["id"])
         asg_b = assign_clusters(batch, cents).localCheckpoint(eager=True)
+        # ≤4096 distinct clusters inline as literals (static partition
+        # prune on the member scan); above the cap, a broadcast
+        # semi-join — the semdedup_incremental discipline, so a huge
+        # batch never builds an unbounded literal filter
+        bcl = asg_b.select("cluster_id").distinct()
         bclusters = [
-            int(r["cluster_id"])
-            for r in asg_b.select("cluster_id").distinct().collect()
+            int(r["cluster_id"]) for r in bcl.limit(4097).collect()
         ]
-        touched = members.where(F.col("cluster_id").isin(bclusters))
+        if len(bclusters) <= 4096:
+            touched = members.where(F.col("cluster_id").isin(bclusters))
+        else:
+            touched = members.join(F.broadcast(bcl), "cluster_id")
         # presence filter: ids a partially-committed prior attempt
         # already appended (column-pruned scan of the touched
         # partitions only)
@@ -759,12 +779,13 @@ def stream_semdedup_ingest(
         ).localCheckpoint(eager=True)
         if fresh.take(1):
             labels = semdedup_incremental(
-                fresh.select("id", "vector"),
+                fresh,
                 touched,
                 cents,
                 max_distance,
                 metric=metric,
                 snapshot_cluster_col="cluster_id",
+                batch_cluster_col="cluster_id",
                 max_cluster_rows=max_cluster_rows,
             ).localCheckpoint(eager=True)  # sever the member-scan
             # lineage BEFORE appending into the folder it read
@@ -784,6 +805,13 @@ def stream_semdedup_ingest(
         if run_id is not None:
             out["run_id"] = run_id
         _write_sidecar(spark, marker, out)
+        if (
+            compact_every_n_batches is not None
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ):
+            cluster_snapshot_compact(
+                spark, layout_path, max_files_per_dir=compact_max_files_per_dir
+            )
         if sink is not None:
             sink(labels, batch_id)
 
