@@ -601,3 +601,44 @@ def test_cluster_curate_joinback_paths(spark, monkeypatch):
     out = cluster_curate(pre, cents, 1e-9, 3)
     assert out.columns.count("cluster_id") == 1
     assert {r["cluster_id"] for r in out.collect()} <= {0, 1}
+
+
+def test_semdedup_chunked_oversize_fold(spark):
+    """r14 (VERDICT r13 item 7): a planted 10x over-budget cluster
+    completes under on_oversize='chunk' with labels EQUAL to the
+    unguarded all-pairs fold, for both keep rules — the guard degrades
+    gracefully instead of demanding a re-fit."""
+    import numpy as np
+
+    from vicinity_spark.operators.cluster import semdedup
+
+    rng = np.random.default_rng(31)
+    # cluster 0: 100 rows (10x the 10-row budget) with several planted
+    # dup groups; cluster 1: a handful of rows, one dup pair
+    rows = []
+    for i in range(100):
+        v = rng.normal(size=5) + np.array([50.0, 0, 0, 0, 0])
+        rows.append((i, list(map(float, v))))
+    for a, b in [(3, 57), (12, 80), (12, 99)]:  # dup groups span blocks
+        rows[b] = (rows[b][0], rows[a][1])
+    rows += [(200, [0.0, 30.0, 0.0, 0.0, 0.0]), (201, [0.0, 30.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    cents = [[50.0, 0.0, 0.0, 0.0, 0.0], [0.0, 30.0, 0.0, 0.0, 0.0]]
+    for keep in ("min_id", "farthest"):
+        exact = {
+            (r["id"], r["rep_id"], r["is_canonical"])
+            for r in semdedup(df, cents, 1e-9, keep=keep).collect()
+        }
+        chunked = {
+            (r["id"], r["rep_id"], r["is_canonical"])
+            for r in semdedup(
+                df, cents, 1e-9, keep=keep,
+                max_cluster_rows=10, on_oversize="chunk",
+            ).collect()
+        }
+        assert chunked == exact, keep
+    # raise mode still raises, and mentions the chunk escape hatch
+    with pytest.raises(ValueError, match="on_oversize='chunk'"):
+        semdedup(df, cents, 1e-9, max_cluster_rows=10)
+    with pytest.raises(ValueError, match="on_oversize"):
+        semdedup(df, cents, 1e-9, max_cluster_rows=10, on_oversize="nope")

@@ -286,6 +286,84 @@ def _cluster_cross_pairs_kernel(metric: str, max_distance: float):
     return fn
 
 
+def _cluster_block_pairs_kernel(metric: str, max_distance: float):
+    """The chunk-mode sibling of `_cluster_pairs_kernel`: task rows
+    carry ONE block pair (__ti, __tj) of an over-budget cluster —
+    rows of both blocks with their __blks tags. A diagonal task
+    (ti == tj) mines its block's upper triangle exactly like the
+    whole-cluster kernel; an off-diagonal task scores block ti's rows
+    against block tj's (every cross pair exists in exactly one task,
+    so nothing double-emits). Peak memory is two blocks' vectors +
+    a _PCHUNK × block_size distance slice — bounded by the block
+    budget, never the cluster size; total FLOPs stay Σ size²/2."""
+    if metric not in ("cosine", "euclidean", "l2sq"):
+        raise ValueError(
+            f"semdedup supports cosine/euclidean/l2sq, got {metric!r}"
+        )
+
+    def fn(it):
+        for pdf in it:
+            for i in range(len(pdf)):
+                ids = np.asarray(pdf["__ids"].iloc[i], dtype=np.int64)
+                blks = np.asarray(pdf["__blks"].iloc[i], dtype=np.int32)
+                ti = int(pdf["__ti"].iloc[i])
+                tj = int(pdf["__tj"].iloc[i])
+                m = len(ids)
+                if m < 2:
+                    continue
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids, V, blks = ids[order], V[order], blks[order]
+                if metric == "cosine":
+                    nrm = np.linalg.norm(V, axis=1)
+                    nrm[nrm == 0.0] = np.nan
+                    W = V / nrm[:, None]
+                else:
+                    W = V
+                    sq = (V * V).sum(axis=1)
+                if ti == tj:
+                    drive = np.arange(m)
+                    cols = np.arange(m)
+                else:
+                    drive = np.nonzero(blks == ti)[0]
+                    cols = np.nonzero(blks == tj)[0]
+                if not len(drive) or not len(cols):
+                    continue
+                out_a, out_b = [], []
+                for s in range(0, len(drive), _PCHUNK):
+                    rows = drive[s : s + _PCHUNK]
+                    if metric == "cosine":
+                        D = 1.0 - W[rows] @ W[cols].T
+                    else:
+                        D = (
+                            sq[rows, None]
+                            + sq[cols][None, :]
+                            - 2.0 * (W[rows] @ W[cols].T)
+                        )
+                        if metric == "euclidean":
+                            D = np.sqrt(np.maximum(D, 0.0))
+                    with np.errstate(invalid="ignore"):
+                        ii, jj = np.nonzero(D <= max_distance)
+                    gi, gj = rows[ii], cols[jj]
+                    if ti == tj:
+                        keep = gi < gj  # upper triangle: each pair once
+                        gi, gj = gi[keep], gj[keep]
+                    if len(gi):
+                        out_a.append(ids[gi])
+                        out_b.append(ids[gj])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                        }
+                    )
+
+    return fn
+
+
 def semdedup(
     df: DataFrame,
     centroids,
@@ -296,6 +374,7 @@ def semdedup(
     id_col: str = "id",
     keep: str = "min_id",
     max_cluster_rows: "int | None" = None,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """SemDeDup: (id, cluster_id, rep_id, is_canonical) — semantic
     dedup with the pair search confined to embedding clusters. Rows
@@ -335,9 +414,27 @@ def semdedup(
     larger-k message rather than an executor OOM mid-fold. Costs one
     extra assignment pass over the corpus — opt-in for that reason
     (the dedup family's hot-bucket cap got the same treatment in
-    r10)."""
+    r10).
+
+    ``on_oversize`` picks what happens to the clusters that size pass
+    flags: ``"raise"`` (default) keeps the re-fit-or-fail contract;
+    ``"chunk"`` degrades gracefully instead — the over-budget
+    clusters are split into ``max_cluster_rows``-row blocks by id
+    order and mined block-PAIR by block-pair (`_cluster_block_pairs_
+    kernel`), so peak task memory is two blocks, not the cluster,
+    while total FLOPs stay the same Σ size² and the emitted edge set
+    (hence the labels) is IDENTICAL to the unguarded all-pairs fold.
+    The cost of the degradation is shuffle duplication: each over-
+    budget row is shipped once per block of its cluster (size/B
+    copies) — acceptable for a handful of runaways, which is exactly
+    the failure mode; a corpus where MOST clusters chunk needs a
+    bigger k, and `cluster_stats` still shows it."""
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    if on_oversize not in ("raise", "chunk"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'chunk', got {on_oversize!r}"
+        )
     if max_cluster_rows is not None and max_cluster_rows < 2:
         raise ValueError(
             f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
@@ -359,27 +456,99 @@ def semdedup(
         )
     else:
         asg = assign_clusters(base, centroids)
+    over = []
     if max_cluster_rows is not None:
-        over = (
+        over_q = (
             asg.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .where(F.col("n_rows") > max_cluster_rows)
-            .orderBy(F.col("n_rows").desc())
-            .limit(5)
-            .collect()
         )
-        if over:
-            worst = ", ".join(
-                f"cluster {r['cluster_id']}: {r['n_rows']} rows" for r in over
+        if on_oversize == "chunk":
+            # ALL flagged clusters, with sizes for the block counts —
+            # driver-bounded by n / max_cluster_rows rows
+            over = over_q.collect()
+        else:
+            over = over_q.orderBy(F.col("n_rows").desc()).limit(5).collect()
+            if over:
+                worst = ", ".join(
+                    f"cluster {r['cluster_id']}: {r['n_rows']} rows" for r in over
+                )
+                raise ValueError(
+                    f"semdedup: cluster(s) exceed max_cluster_rows="
+                    f"{max_cluster_rows} ({worst}) — the per-cluster fold "
+                    "materializes one whole cluster per task and pair work is "
+                    "quadratic in ITS size; re-fit with a larger k "
+                    "(cluster_stats has the size/inertia report, or pass "
+                    "on_oversize='chunk' to mine them block-pair-wise)"
+                )
+    asg_ok = asg
+    pairs_over = None
+    if over:
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        B = int(max_cluster_rows)
+        sizes = spark.createDataFrame(
+            [
+                (int(r["cluster_id"]), int(-(-int(r["n_rows"]) // B)))
+                for r in over
+            ],
+            "cluster_id int, __m int",
+        )
+        over_ids = [int(r["cluster_id"]) for r in over]
+        if len(over_ids) <= 4096:
+            asg_ok = asg.where(~F.col("cluster_id").isin(over_ids))
+            asg_ov = asg.where(F.col("cluster_id").isin(over_ids))
+        else:
+            asg_ok = asg.join(
+                F.broadcast(sizes.select("cluster_id")), "cluster_id", "left_anti"
             )
-            raise ValueError(
-                f"semdedup: cluster(s) exceed max_cluster_rows="
-                f"{max_cluster_rows} ({worst}) — the per-cluster fold "
-                "materializes one whole cluster per task and pair work is "
-                "quadratic in ITS size; re-fit with a larger k "
-                "(cluster_stats has the size/inertia report)"
+            asg_ov = asg.join(F.broadcast(sizes.select("cluster_id")), "cluster_id")
+        # deterministic B-row blocks in id order: block i's ids all
+        # precede block j's (i < j), so the task space is the upper
+        # block triangle and every unordered pair lives in exactly one
+        # task — (blk_a, blk_b) with blk_a <= blk_b
+        wblk = Window.partitionBy("cluster_id").orderBy("id")
+        tasks = (
+            asg_ov.select("cluster_id", "id", "vector")
+            .join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__blk", ((F.row_number().over(wblk) - 1) / F.lit(B)).cast("int")
             )
-    folded = asg.groupBy("cluster_id").agg(
+            .select(
+                "cluster_id",
+                "id",
+                "vector",
+                "__blk",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__m") - 1),
+                        lambda o: F.struct(
+                            F.least(F.col("__blk"), o).alias("ti"),
+                            F.greatest(F.col("__blk"), o).alias("tj"),
+                        ),
+                    )
+                ).alias("__t"),
+            )
+            .select(
+                "cluster_id",
+                F.col("__t.ti").alias("__ti"),
+                F.col("__t.tj").alias("__tj"),
+                "id",
+                "vector",
+                "__blk",
+            )
+        )
+        folded_ov = tasks.groupBy("cluster_id", "__ti", "__tj").agg(
+            F.collect_list("id").alias("__ids"),
+            F.collect_list("vector").alias("__vecs"),
+            F.collect_list("__blk").alias("__blks"),
+        )
+        pairs_over = folded_ov.mapInPandas(
+            _cluster_block_pairs_kernel(metric, float(max_distance)),
+            "id_a long, id_b long",
+        )
+    folded = asg_ok.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
         F.collect_list("vector").alias("__vecs"),
     )
@@ -387,6 +556,8 @@ def semdedup(
         _cluster_pairs_kernel(metric, float(max_distance)),
         "id_a long, id_b long",
     )
+    if pairs_over is not None:
+        pairs = pairs.unionByName(pairs_over)
     from vicinity_spark.operators.dedup import connected_components
 
     comp = connected_components(asg.select("id"), pairs)
@@ -598,6 +769,7 @@ def cluster_curate(
     id_col: str = "id",
     keep: str = "min_id",
     max_cluster_rows: "int | None" = None,
+    on_oversize: str = "raise",
     seed: int = 42,
 ) -> DataFrame:
     """The one-call cluster-curation pipeline (the composed entry
@@ -641,6 +813,7 @@ def cluster_curate(
         id_col=id_col,
         keep=keep,
         max_cluster_rows=max_cluster_rows,
+        on_oversize=on_oversize,
     )
     kept = cluster_balanced_sample(
         sem.where(F.col("is_canonical")).select("id", "cluster_id"),
