@@ -69,11 +69,30 @@ def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
     Qsq = (Q * Q).sum(axis=1)
     D = Qsq[:, None] + Csq[None, :] - 2.0 * (Q @ C.T)
     np.maximum(D, 0.0, out=D)
+    # O(k) selection (argpartition, never a full sort) + O(1)-column
+    # boundary probe: "count(D <= kth+tol) > n" is equivalent to
+    # "(n+1)th smallest <= kth+tol", and argpartition pins exactly
+    # those two order statistics — so tie DETECTION costs one column
+    # compare instead of an nq×k boolean matrix and a full argsort
+    # (the constant the r13 kernel swap had added to the ivfsq probe
+    # path, ~1.25× on ann_ivfsq_batch)
     if n == 1:
         sel = np.argmin(D, axis=1)[:, None]
-    else:
-        sel = np.argsort(D, axis=1, kind="stable")[:, :n]
-    kth = np.take_along_axis(D, sel[:, -1:], axis=1)[:, 0]
+        kth = np.take_along_axis(D, sel, axis=1)[:, 0]
+        nxt = (
+            np.partition(D, 1, axis=1)[:, 1]
+            if C.shape[0] > 1
+            else np.full_like(kth, np.inf)
+        )
+    elif n < C.shape[0]:
+        part = np.argpartition(D, (n - 1, n), axis=1)
+        sel = part[:, :n]
+        kth = np.take_along_axis(D, part[:, n - 1 : n], axis=1)[:, 0]
+        nxt = np.take_along_axis(D, part[:, n : n + 1], axis=1)[:, 0]
+    else:  # n == k: the set is every centroid — nothing to repair
+        sel = np.broadcast_to(np.arange(n), (Q.shape[0], n)).copy()
+        kth = D.max(axis=1)
+        nxt = np.full_like(kth, np.inf)
     dist = np.take_along_axis(D, sel, axis=1)
     # the expansion's cancellation error scales with eps*(|q|²+|c|²),
     # not with the (possibly tiny) distance itself — a band sized only
@@ -81,7 +100,7 @@ def nearest_centroids(Q: np.ndarray, C: np.ndarray, n: int = 1, Csq=None):
     # nearest distances are small relative to their norms, so the band
     # is sized by the computation's magnitude per row
     tol = 1e-9 * (1.0 + Qsq + (float(Csq.max()) if Csq.size else 0.0))
-    multi = (D <= (kth + tol)[:, None]).sum(axis=1) > n
+    multi = nxt <= kth + tol
     for r in np.nonzero(multi)[0]:
         cand = np.nonzero(D[r] <= kth[r] + tol[r])[0]  # ascending cid
         d_exact = ((Q[r][None, :] - C[cand]) ** 2).sum(axis=1)
