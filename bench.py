@@ -1627,11 +1627,17 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "reps": reps_out,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failed:
         out["failed"] = failed
+    # the driver records only the LAST 2000 chars of stdout: with the
+    # per-rep arrays inline the full-suite line outgrew that window and
+    # r10-r13 artifacts kept an unparseable tail (VERDICT r13 nit) —
+    # so stdout carries the compact min-of-reps line (≈1.2k chars for
+    # the full suite) and the rep detail goes to stderr, where every
+    # per-entry line already narrates it
+    print("# reps: " + json.dumps(reps_out), file=sys.stderr)
     os.write(real_stdout_fd, (json.dumps(out) + "\n").encode())
     os.close(real_stdout_fd)
 

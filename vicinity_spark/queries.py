@@ -4911,6 +4911,38 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_semdedup_chunked", _SEMDEDUP_SQL)
+def emb_semdedup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 item 7): the SAME SemDeDup program forced
+    through the over-budget block-pair fold — max_cluster_rows=16 puts
+    every ~62-row preset cluster 'oversize' at both gate scales
+    (embeddings is 500 rows / 8 preset centroids), so
+    ``on_oversize='chunk'`` splits it into 16-row blocks mined
+    block-PAIR by block-pair (`_cluster_block_pairs_kernel`,
+    operators/cluster.py): peak task memory is two blocks, total
+    FLOPs stay Σ size², and the emitted edge set — hence every label —
+    is identical to the whole-cluster fold. The oracle is therefore
+    `emb_semdedup`'s SQL verbatim: same preset centroids, same argmin
+    assignment, same within-cluster pair predicate, same closure —
+    the chunked fold is an EXECUTION strategy, not a semantics
+    change, and this row certifies exactly that."""
+    from vicinity_spark.operators.cluster import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = semdedup(
+        e,
+        _preset_centroids(spark, sf_dir),
+        max_distance=_NEARDUP_T,
+        max_cluster_rows=16,
+        on_oversize="chunk",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", "rep_id", "is_canonical"
+    )
+
+
 _CLUSTER_SAMPLE_N = 50
 
 _CLUSTER_SAMPLE_SQL = f"""
@@ -5127,106 +5159,34 @@ def emb_cluster_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry window.
 
 _CHECK_FIRST = [
-    # --- r13 rotation (VERDICT r12 item 3) ----------------------------
-    # Window design (41 + 2 + 7 = 50): (a) ALL 41 rows not green in
-    # r12 — exactly the r12 tail — come back, keeping the
-    # at-most-one-round-unchecked promise (r12 ∪ r13 covers all
-    # registered queries, the invariant held since r9∪r10); (b2) the
-    # TWO queries NEW in r13 (never green, must sit inside the window);
-    # (b) the remaining 8 slots go to r12-green rows whose code r13
-    # TOUCHED: grid.corpus_blocks' block count moved from the fixed
-    # shuffle-partitions default to payload-density sizing with a
-    # Python-stage-aware count (consumers: pq/sq backends, the knn
-    # grid route, neardup_join → ann_pq_knn, ann_sq_knn,
-    # threshold_grid_routing, neardup_pairs, ann_recall_summary's
-    # pq/sq branches); the centroid-argmin kernels moved to the
-    # BLAS-form grid.nearest_centroids with exact tie repair
-    # (cluster.py assignment → emb_semdedup, docs_cluster_sample;
-    # ivf/ivfsq/ivfpq probe kernels → the ann_ivf* family and
-    # ann_recall_summary's IVF branch, all ALREADY in-window in
-    # section (a)); and bm25_index_load now PINS the one-row stats
-    # frame → docs_bm25_loaded. Three r13-touched rows stay in the
-    # tail r12-green under the r12 docs_unigram_xent precedent (the
-    # touch is invisible to their oracle path and pinned by a unit
-    # test or an in-window row running the same program):
-    # docs_hybrid_rrf (rrf_fuse's non-DataFrame TypeError — a pre-plan
-    # validation loop, test_rrf_fuse_rejects_non_dataframe);
-    # docs_bm25_append (bm25_index_save's overwrite guards moved to
-    # the URI-safe scan_reads_path — local-path behavior identical,
-    # pinned by test_scan_reads_path_uri_safe +
-    # test_bm25_index_resave_over_same_folder, and the save path also
-    # runs in-window under docs_bm25_loaded's layout build);
-    # semantic_dedup (a composition of neardup_join — whose program
-    # is in-window as neardup_pairs — with the untouched
-    # connected_components closure).
-    # (a) not green in r12 (the 41-row r12 tail):
-    "docs_hard_negatives",
-    "docs_unigram_xent",
-    "events_asof_join",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "threshold_radius",
-    "docs_pack_sequences",
-    "docs_mix_sources",
-    "docs_training_stream",
-    "docs_pii_redact",
-    "docs_source_cap",
-    "docs_token_budget",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
-    "docs_quality_tiers",
-    "docs_splits",
-    "docs_line_dedup",
-    "rollup_revenue",
-    "part_string_functions",
-    "events_json_extract",
-    "orders_by_month",
-    "customers_without_orders",
-    "lineitem_stats",
-    "supplier_stats_by_nation",
-    "ann_ivf_knn",
-    "ann_ivfpq_knn",
-    "ann_ivfsq_knn",
-    "ann_ivfpqr_knn",
-    "dedup_keep_best",
-    "dedup_connected_components",
-    "dedup_shared_grams",
-    "dedup_minhash_lsh",
-    "dedup_minhash_capped",
-    "dedup_minhash_tokenroll",
-    "dedup_minhash_incremental",
-    "dedup_minhash_snapshot",
-    "dedup_minhash_compacted",
-    "dedup_neardup_e2e",
-    "ann_lsh_knn",
-    "emb_covariance",
-    "emb_projection_arrow",
-    # (b2) NEW in r13 (never green — must sit inside the window):
-    "emb_cluster_curate",
-    "emb_semdedup_incremental",
-    # (b) r12-green, r13-touched code paths (7). ann_recall_summary
-    # yielded its slot to the second new row and moves to the tail
-    # r12-green: every kernel its branches touched this round is
-    # in-window through a sibling running the SAME code — pq/sq ADC
-    # scans via ann_pq_knn/ann_sq_knn, the IVF probe kernel via
-    # ann_ivf_knn + the ivf* family rows in section (a):
-    "ann_pq_knn",
-    "ann_sq_knn",
-    "threshold_grid_routing",
-    "neardup_pairs",
-    "emb_semdedup",
-    "docs_cluster_sample",
-    "docs_bm25_loaded",
-]
-
-# r13 tail: 43 rows, every one green in CORRECTNESS_r12.json with its
-# specific operator code untouched this round (scripts/verified_ledger
-# enforces that nothing never-green sits here; VERIFIED.md records the
-# skip). docs_hybrid_rrf / docs_bm25_append / semantic_dedup /
-# ann_recall_summary carry r13 touches that are oracle-path-invisible
-# or in-window-subsumed — see the _CHECK_FIRST header for the unit
-# tests and in-window sibling rows that cover them.
-_ROTATE_OUT: "list[str]" = [
+    # --- r14 rotation (VERDICT r13 item 3) ----------------------------
+    # Window design (43 + 1 + 6 = 50) over the 94-query registry (93
+    # r13-registered + 1 new): (a) ALL 43 rows not green in r13 —
+    # exactly the r13 tail — come back, keeping the
+    # at-most-one-round-unchecked promise (r13 ∪ r14 covers every
+    # registered query, the invariant held since r9∪r10 and
+    # independently re-proven by the judge's r13 tail re-run); (b2)
+    # the ONE query NEW in r14 (never green, must sit inside the
+    # window); (b) the remaining 6 slots go to r13-green rows whose
+    # code r14 TOUCHED: grid.nearest_centroids' selection moved from
+    # full argsort + band-matrix tie detection to argpartition + an
+    # O(1)-column boundary probe with a magnitude-scaled tolerance
+    # (consumers: every centroid kernel), and operators/cluster.py
+    # restructured semdedup's guard path (on_oversize), grew
+    # semdedup_incremental's batch_cluster_col, and made
+    # cluster_curate's join-back bound-aware — so the cluster family
+    # (emb_semdedup, emb_semdedup_incremental, emb_cluster_curate,
+    # docs_cluster_sample = the n=1 assignment path) and two IVF-probe
+    # rows (ann_ivf_knn, ann_ivfsq_knn = the n>1 probe path, ivfsq
+    # being the entry the rewrite was benched on) re-verify in-window.
+    # Two r13-green r14-touched rows stay in the tail under the r12
+    # docs_unigram_xent precedent (the touch runs in-window through a
+    # sibling executing the SAME kernel): ann_ivfpq_knn and
+    # ann_ivfpqr_knn share the exact nearest_centroids n>1 probe that
+    # ann_ivf_knn/ann_ivfsq_knn certify (plus ann_graph_knn's seed
+    # probe in section (a)); their pq-specific ADC decode is untouched
+    # this round and was r13-green.
+    # (a) not green in r13 (the 43-row r13 tail):
     "dedup_exact",
     "dedup_minhash_onepass",
     "dedup_minhash_affine",
@@ -5270,6 +5230,69 @@ _ROTATE_OUT: "list[str]" = [
     "docs_hybrid_rrf",
     "docs_bigram_xent",
     "ann_recall_summary",
+    # (b2) NEW in r14 (never green — must sit inside the window):
+    "emb_semdedup_chunked",
+    # (b) r13-green, r14-touched code paths (6):
+    "ann_ivf_knn",
+    "ann_ivfsq_knn",
+    "emb_semdedup",
+    "emb_semdedup_incremental",
+    "emb_cluster_curate",
+    "docs_cluster_sample",
+]
+
+# r14 tail: 44 rows, every one green in CORRECTNESS_r13.json with its
+# specific operator code untouched this round (scripts/verified_ledger
+# enforces that nothing never-green sits here; VERIFIED.md records the
+# skip). ann_ivfpq_knn / ann_ivfpqr_knn carry the r14
+# nearest_centroids touch that is in-window-subsumed by
+# ann_ivf_knn/ann_ivfsq_knn/ann_graph_knn running the same kernel —
+# see the _CHECK_FIRST header.
+_ROTATE_OUT: "list[str]" = [
+    "docs_hard_negatives",
+    "docs_unigram_xent",
+    "events_asof_join",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "threshold_radius",
+    "docs_pack_sequences",
+    "docs_mix_sources",
+    "docs_training_stream",
+    "docs_pii_redact",
+    "docs_source_cap",
+    "docs_token_budget",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_quality_tiers",
+    "docs_splits",
+    "docs_line_dedup",
+    "rollup_revenue",
+    "part_string_functions",
+    "events_json_extract",
+    "orders_by_month",
+    "customers_without_orders",
+    "lineitem_stats",
+    "supplier_stats_by_nation",
+    "ann_ivfpq_knn",
+    "ann_ivfpqr_knn",
+    "dedup_keep_best",
+    "dedup_connected_components",
+    "dedup_shared_grams",
+    "dedup_minhash_lsh",
+    "dedup_minhash_capped",
+    "dedup_minhash_tokenroll",
+    "dedup_minhash_incremental",
+    "dedup_minhash_snapshot",
+    "dedup_minhash_compacted",
+    "dedup_neardup_e2e",
+    "ann_lsh_knn",
+    "emb_covariance",
+    "emb_projection_arrow",
+    "ann_pq_knn",
+    "ann_sq_knn",
+    "threshold_grid_routing",
+    "neardup_pairs",
+    "docs_bm25_loaded",
 ]
 
 def _reorder_registry() -> None:
