@@ -4943,6 +4943,130 @@ def emb_semdedup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_asgd_cte() -> str:
+    """The `_cluster_asg_ctes` variant that KEEPS each row's squared-l2
+    distance to its assigned centroid (`cdist`) — the quantity
+    semdedup's 'farthest' keep rule ranks on and cluster_stats
+    aggregates. Spark computes it exactly in the assignment kernel
+    (nearest_centroids' n=1 exact recompute); ulp-level summation-order
+    differences between the engines only matter where two DIFFERENT
+    rows' distances collide, and exact-duplicate rows collide exactly
+    in both engines."""
+    return f"""
+cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_CLUSTER_K}),
+asgd AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS cdist FROM (
+    SELECT e.vec_id, c.cid, {sql_l2sq('e.embedding', 'c.cv')} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_l2sq('e.embedding', 'c.cv')}, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+_SEMDEDUP_FARTHEST_SQL = f"""
+WITH RECURSIVE
+{_cluster_asgd_cte()},
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN asgd x ON x.vec_id = a.vec_id
+  JOIN asgd y ON y.vec_id = b.vec_id AND y.cluster_id = x.cluster_id
+  WHERE {sql_distance('cosine', 'a.embedding', 'b.embedding')} <= {_NEARDUP_T}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM pairs
+),
+reach(id, rep) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id, r.rep FROM edges e JOIN reach r ON r.id = e.nbr
+),
+comp AS MATERIALIZED (
+  SELECT id, min(rep) AS comp0 FROM reach GROUP BY id
+),
+best AS MATERIALIZED (
+  SELECT comp0, vec_id AS rep2 FROM (
+    SELECT c.comp0, a.vec_id,
+           row_number() OVER (
+             PARTITION BY c.comp0 ORDER BY a.cdist DESC, a.vec_id ASC
+           ) AS rn
+    FROM comp c JOIN asgd a ON a.vec_id = c.id
+  ) WHERE rn = 1
+)
+SELECT c.id AS vec_id,
+       a.cluster_id,
+       CAST(b.rep2 AS BIGINT) AS rep_id,
+       (b.rep2 = c.id) AS is_canonical
+FROM comp c
+JOIN asgd a ON a.vec_id = c.id
+JOIN best b ON b.comp0 = c.comp0
+"""
+
+
+@register("emb_semdedup_farthest", _SEMDEDUP_FARTHEST_SQL)
+def emb_semdedup_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: SemDeDup with the PAPER's keep rule (Abbas et al. §3) —
+    each duplicate group keeps the member FARTHEST from its cluster
+    centroid (low-similarity-to-centroid examples preserve diversity),
+    ties to the lower id. Same clusters, pairs, and component closure
+    as `emb_semdedup`; the re-pick is one window per duplicate group
+    over the centroid distance the assignment kernel computed exactly
+    (nearest_centroids' n=1 exact recompute — the reason that kernel
+    guarantees exact distances). Oracle: the min-id closure re-keyed
+    by component, then ORDER BY cdist DESC, vec_id per component."""
+    from vicinity_spark.operators.cluster import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = semdedup(
+        e,
+        _preset_centroids(spark, sf_dir),
+        max_distance=_NEARDUP_T,
+        keep="farthest",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", "rep_id", "is_canonical"
+    )
+
+
+_CLUSTER_STATS_SQL = f"""
+WITH
+{_cluster_asgd_cte()}
+SELECT cluster_id,
+       COUNT(*) AS n_rows,
+       ROUND(AVG(cdist), 6) AS mean_sq_dist,
+       ROUND(MAX(cdist), 6) AS max_sq_dist
+FROM asgd
+GROUP BY cluster_id
+"""
+
+
+@register("emb_cluster_stats", _CLUSTER_STATS_SQL)
+def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the k-sizing observability report (operators/cluster.py
+    cluster_stats) — per-cluster size and inertia (mean/max squared-l2
+    to the assigned centroid), the detector for the runaway-cluster
+    failure mode every quadratic fold in the module guards against.
+    One narrow Arrow assignment pass + one map-side-combined groupBy;
+    output bounded by k rows at any corpus size. Oracle: the argmin
+    assignment CTE with its distance kept, aggregated per cluster,
+    6-dp-rounded on both sides."""
+    from vicinity_spark.operators.cluster import cluster_stats
+
+    return cluster_stats(
+        _t(spark, sf_dir, "embeddings"),
+        _preset_centroids(spark, sf_dir),
+        vector_col="embedding",
+    )
+
+
 _CLUSTER_SAMPLE_N = 50
 
 _CLUSTER_SAMPLE_SQL = f"""
@@ -5160,32 +5284,34 @@ def emb_cluster_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_FIRST = [
     # --- r14 rotation (VERDICT r13 item 3) ----------------------------
-    # Window design (43 + 1 + 6 = 50) over the 94-query registry (93
-    # r13-registered + 1 new): (a) ALL 43 rows not green in r13 —
+    # Window design (43 + 3 + 4 = 50) over the 96-query registry (93
+    # r13-registered + 3 new): (a) ALL 43 rows not green in r13 —
     # exactly the r13 tail — come back, keeping the
     # at-most-one-round-unchecked promise (r13 ∪ r14 covers every
     # registered query, the invariant held since r9∪r10 and
     # independently re-proven by the judge's r13 tail re-run); (b2)
-    # the ONE query NEW in r14 (never green, must sit inside the
-    # window); (b) the remaining 6 slots go to r13-green rows whose
+    # the THREE queries NEW in r14 (never green, must sit inside the
+    # window); (b) the remaining 4 slots go to r13-green rows whose
     # code r14 TOUCHED: grid.nearest_centroids' selection moved from
     # full argsort + band-matrix tie detection to argpartition + an
     # O(1)-column boundary probe with a magnitude-scaled tolerance
     # (consumers: every centroid kernel), and operators/cluster.py
     # restructured semdedup's guard path (on_oversize), grew
     # semdedup_incremental's batch_cluster_col, and made
-    # cluster_curate's join-back bound-aware — so the cluster family
-    # (emb_semdedup, emb_semdedup_incremental, emb_cluster_curate,
-    # docs_cluster_sample = the n=1 assignment path) and two IVF-probe
-    # rows (ann_ivf_knn, ann_ivfsq_knn = the n>1 probe path, ivfsq
-    # being the entry the rewrite was benched on) re-verify in-window.
-    # Two r13-green r14-touched rows stay in the tail under the r12
-    # docs_unigram_xent precedent (the touch runs in-window through a
-    # sibling executing the SAME kernel): ann_ivfpq_knn and
-    # ann_ivfpqr_knn share the exact nearest_centroids n>1 probe that
-    # ann_ivf_knn/ann_ivfsq_knn certify (plus ann_graph_knn's seed
-    # probe in section (a)); their pq-specific ADC decode is untouched
-    # this round and was r13-green.
+    # cluster_curate's join-back bound-aware — emb_semdedup,
+    # emb_semdedup_incremental, emb_cluster_curate, and ann_ivfsq_knn
+    # (the n>1 probe path — the entry the rewrite was A/B-benched on)
+    # re-verify in-window. Four r13-green r14-touched rows stay in the
+    # tail under the r12 docs_unigram_xent precedent (the touch runs
+    # in-window through a sibling executing the SAME kernel):
+    # ann_ivf_knn / ann_ivfpq_knn / ann_ivfpqr_knn share the exact
+    # nearest_centroids n>1 probe that ann_ivfsq_knn certifies (plus
+    # ann_graph_knn's seed probe in section (a)), and their
+    # family-specific decode paths are untouched this round;
+    # docs_cluster_sample's only r14 touch is the n=1 assignment
+    # kernel, the identical _assign_udf program in-window via
+    # emb_semdedup / emb_cluster_curate / the two new cluster rows
+    # (its md5 cut is untouched).
     # (a) not green in r13 (the 43-row r13 tail):
     "dedup_exact",
     "dedup_minhash_onepass",
@@ -5232,22 +5358,22 @@ _CHECK_FIRST = [
     "ann_recall_summary",
     # (b2) NEW in r14 (never green — must sit inside the window):
     "emb_semdedup_chunked",
-    # (b) r13-green, r14-touched code paths (6):
-    "ann_ivf_knn",
+    "emb_semdedup_farthest",
+    "emb_cluster_stats",
+    # (b) r13-green, r14-touched code paths (4):
     "ann_ivfsq_knn",
     "emb_semdedup",
     "emb_semdedup_incremental",
     "emb_cluster_curate",
-    "docs_cluster_sample",
 ]
 
-# r14 tail: 44 rows, every one green in CORRECTNESS_r13.json with its
+# r14 tail: 46 rows, every one green in CORRECTNESS_r13.json with its
 # specific operator code untouched this round (scripts/verified_ledger
 # enforces that nothing never-green sits here; VERIFIED.md records the
-# skip). ann_ivfpq_knn / ann_ivfpqr_knn carry the r14
-# nearest_centroids touch that is in-window-subsumed by
-# ann_ivf_knn/ann_ivfsq_knn/ann_graph_knn running the same kernel —
-# see the _CHECK_FIRST header.
+# skip). ann_ivf_knn / ann_ivfpq_knn / ann_ivfpqr_knn and
+# docs_cluster_sample carry the r14 nearest_centroids touch that is
+# in-window-subsumed by ann_ivfsq_knn / ann_graph_knn / the cluster
+# family running the same kernels — see the _CHECK_FIRST header.
 _ROTATE_OUT: "list[str]" = [
     "docs_hard_negatives",
     "docs_unigram_xent",
@@ -5273,8 +5399,10 @@ _ROTATE_OUT: "list[str]" = [
     "customers_without_orders",
     "lineitem_stats",
     "supplier_stats_by_nation",
+    "ann_ivf_knn",
     "ann_ivfpq_knn",
     "ann_ivfpqr_knn",
+    "docs_cluster_sample",
     "dedup_keep_best",
     "dedup_connected_components",
     "dedup_shared_grams",
