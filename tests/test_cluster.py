@@ -642,3 +642,27 @@ def test_semdedup_chunked_oversize_fold(spark):
         semdedup(df, cents, 1e-9, max_cluster_rows=10)
     with pytest.raises(ValueError, match="on_oversize"):
         semdedup(df, cents, 1e-9, max_cluster_rows=10, on_oversize="nope")
+
+
+def test_cluster_snapshot_load_without_schema_sidecar(spark, tmp_path):
+    """A pre-r14 layout (no schema sidecar) still loads through plain
+    inference — the fallback path of cluster_snapshot_load."""
+    import os
+
+    from vicinity_spark.operators.cluster import (
+        CLUSTER_SCHEMA_MARKER,
+        assign_clusters,
+        cluster_snapshot_load,
+        cluster_snapshot_save,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    snap = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "id long, vector array<double>"
+    )
+    layout = str(tmp_path / "legacy_snap")
+    cluster_snapshot_save(assign_clusters(snap, cents), cents, layout)
+    os.remove(os.path.join(layout, CLUSTER_SCHEMA_MARKER))
+    members, loaded = cluster_snapshot_load(spark, layout)
+    assert loaded == cents
+    assert sorted(r["id"] for r in members.collect()) == [0, 1]
