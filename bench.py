@@ -1355,6 +1355,44 @@ def rank_tiers_2m(spark, sf_dir):
     return run
 
 
+def quality_clf_2m(spark, sf_dir):
+    """r14: the trained quality filter at the 2M tier — score every
+    doc with `quality_classifier_score` (sigmoid over the five in-row
+    features, preset weights inlined as literals: one narrow
+    whole-stage-codegen projection, zero UDFs) and keep the passers.
+    Text is synthesized executor-side from `range`: variable token
+    count (5-44), rotating 12-word vocab mixing stopwords and digit
+    tokens so every feature varies. The filter predicate consumes
+    quality_keep, so the count cannot column-prune the projection
+    away."""
+    from vicinity_spark.operators.textops import quality_classifier_score
+
+    words = ["the", "a", "of", "and", "to", "cat", "dog", "tree",
+             "42", "1999", "house", "river"]
+    n = 2_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("id") % 40) + F.lit(5)),
+                lambda i: F.elt(
+                    (F.pmod(F.col("id") * 7 + i, F.lit(12)) + 1).cast("int"),
+                    *[F.lit(w) for w in words],
+                ),
+            ),
+        ).alias("text"),
+    )
+    w = [0.8, 4.0, -0.2, 10.0, -8.0]
+
+    def run(s, d):
+        return quality_classifier_score(docs, w, -4.6).where(
+            F.col("quality_keep")
+        )
+
+    return run
+
+
 def curation_pipeline_2m(spark, sf_dir):
     """The ENTIRE curation chain (the docs_curation_pipeline oracle
     row) at the 2M tier: exact dedup (10k planted exact copies) →
@@ -1494,6 +1532,8 @@ BENCH = {
     # r13 additions, appended (same rule as above)
     "cluster_curate_200k": cluster_curate_200k,
     "semdedup_inc_20k_vs_200k": semdedup_inc_20k_vs_200k,
+    # r14 additions, appended (same rule as above)
+    "quality_clf_2m": quality_clf_2m,
 }
 
 # r7: the 2M long-doc tier is a single ~270s entry — opt-in so the

@@ -215,3 +215,100 @@ def test_logprob_batch_entry_points_require_unk_floor(spark):
     # valid supplied tables still score
     assert unigram_logprob(docs, lm=lm).count() == 2
     assert bigram_logprob(docs, lm_uni=lm, lm_bi=fit_bigram_lm(docs)).count() == 2
+
+
+def test_quality_classifier_score_closed_form(spark):
+    """r14: quality_classifier_score is sigmoid(w·f + b) over the five
+    documented features, replayed here in numpy; a zero-token doc
+    yields NULL prob and NULL keep (the malformed-row contract); the
+    keep cut compares the ROUNDED prob (oracle boundary agreement)."""
+    import math
+
+    from vicinity_spark.operators.textops import (
+        EN_STOPWORDS,
+        quality_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and then the cat left 42 times"),
+            (2, "aaa aaa aaa aaa"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    w = [0.5, 2.0, -0.3, 3.0, -5.0]
+    b = -1.0
+    got = {
+        r["doc_id"]: (r["quality_prob"], r["quality_keep"])
+        for r in quality_classifier_score(docs, w, b).collect()
+    }
+
+    def feats(text):
+        toks = [t for t in text.lower().split(" ")]
+        nt = len(toks)  # split(' ') semantics: '' -> ['']
+        if text == "":
+            nt_eff = 1  # split('') -> [''] — one empty token
+        nc = len(text)
+        if nc == 0:
+            return None
+        ttr = len(set(toks)) / nt
+        sw = sum(1 for t in toks if t in EN_STOPWORDS) / nt
+        dg = sum(1 for c in text if c.isdigit()) / nc
+        return [math.log1p(nt), ttr, nc / nt, sw, dg]
+
+    for did, text in [(1, "the cat sat of the mat and then the cat left 42 times"),
+                      (2, "aaa aaa aaa aaa")]:
+        f = feats(text)
+        z = b + sum(wi * fi for wi, fi in zip(w, f))
+        p = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(got[did][0] - p) < 1e-9, (did, got[did], p)
+        assert got[did][1] == (p >= 0.5)
+    assert got[3] == (None, None)  # empty text: NULL features poison it
+    with pytest.raises(ValueError, match="expected 5 weights"):
+        quality_classifier_score(docs, [1.0, 2.0], 0.0)
+
+
+def test_quality_classifier_fit_separates_planted_rule(spark):
+    """r14: the distributed fit learns a planted separable rule —
+    digit-heavy short docs labeled 0, wordy stopword-bearing docs
+    labeled 1 — and its returned (weights, intercept) reproduce the
+    labels through quality_classifier_score at high accuracy. The fit
+    is iterative (kmeans posture): certified here, not by an oracle."""
+    import numpy as np
+
+    from vicinity_spark.operators.textops import (
+        fit_quality_classifier,
+        quality_classifier_score,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        if i % 2:
+            n = int(rng.integers(25, 40))
+            words = rng.choice(
+                ["the", "a", "of", "and", "to", "cat", "dog", "house", "tree"],
+                size=n,
+            )
+            rows.append((i, " ".join(words), 1))
+        else:
+            n = int(rng.integers(3, 8))
+            nums = rng.integers(0, 99999, size=n)
+            rows.append((i, " ".join(str(x) for x in nums), 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = fit_quality_classifier(docs, "label")
+    assert len(w) == 5
+    scored = quality_classifier_score(docs, w, b)
+    acc = (
+        scored.join(docs.select("doc_id", "label"), "doc_id")
+        .where(
+            F.col("quality_keep").cast("int") == F.col("label")
+        )
+        .count()
+    ) / 120.0
+    assert acc >= 0.95, acc
+    # the scoring plan is a pure narrow projection: no Python stages,
+    # no shuffle
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan

@@ -636,3 +636,119 @@ def bigram_logprob(
             ).alias("xent"),
         )
     )
+
+
+# ---- trained linear quality classifier (r14) -------------------------
+# The heuristic filters above (quality_scores, repetition_scores,
+# langid) are fixed rules; production corpus curation (CCNet, FineWeb,
+# the fastText quality filters) LEARNS a linear model over exactly
+# this kind of feature vector and scores the whole corpus with it.
+# Spark-first split: the FIT is Spark ML logistic regression
+# (distributed, iterative — certified by closed-form tests, like
+# kmeans_centroids); the SCORE is a pure Catalyst projection with the
+# dim-5 weight vector inlined as literals — closure-small, replayable
+# by a SQL oracle (the preset-centroids discipline), zero UDFs, fully
+# inside whole-stage codegen at any corpus size.
+
+#: the classifier's feature vector, in order. A single shared
+#: definition (the clean_toks rule): every consumer — fit, score, and
+#: the DuckDB oracle — must agree on it positionally.
+QUALITY_CLF_FEATURES = (
+    "log1p_tokens",     # ln(1 + n_tokens)
+    "ttr",              # type-token ratio
+    "chars_per_token",  # length / n_tokens
+    "stopword_ratio",   # EN_STOPWORDS hits / n_tokens
+    "digit_ratio",      # digit chars / chars
+)
+
+
+def quality_clf_feature_cols(text_col: str = "text") -> "list[Column]":
+    """The QUALITY_CLF_FEATURES expressions as in-row Columns (one per
+    name, same order). Zero-token docs yield NULL features (guarded
+    divisions) and therefore a NULL score — the engine's established
+    malformed-row contract."""
+    toks = _toks(text_col)
+    nt = F.size(toks).cast("double")
+    ntz = F.when(nt > 0, nt)  # NULL when empty — poisons the row's score
+    nc = F.length(text_col).cast("double")
+    ncz = F.when(nc > 0, nc)
+    return [
+        F.log1p(nt).alias("log1p_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / ntz).alias("ttr"),
+        (nc / ntz).alias("chars_per_token"),
+        (_en_hits_expr(text_col).cast("double") / ntz).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double")
+            / ncz
+        ).alias("digit_ratio"),
+    ]
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> "tuple[list[float], float]":
+    """(weights, intercept) of a logistic-regression quality classifier
+    over QUALITY_CLF_FEATURES, fit distributed via Spark ML on rows
+    labeled 0/1 in ``label_col`` (zero-token rows are dropped — their
+    features are NULL by contract). The returned model is 6 floats —
+    closure-small at any corpus size, so scoring never joins or
+    shuffles. Iterative and NOT SQL-replayable (the kmeans_centroids
+    posture): pass PRESET weights to `quality_classifier_score` when a
+    pipeline must be oracle-replayable."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = docs.select(
+        F.col(label_col).cast("double").alias("__label"),
+        *quality_clf_feature_cols(text_col),
+    ).dropna()
+    asm = VectorAssembler(
+        inputCols=list(QUALITY_CLF_FEATURES), outputCol="__features"
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="__label",
+        maxIter=int(max_iter),
+        regParam=float(reg_param),
+        standardization=True,
+    )
+    model = lr.fit(asm.transform(feats))
+    return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights,
+    intercept: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, quality_prob, quality_keep) — sigmoid(w·f + b) over
+    QUALITY_CLF_FEATURES with the weights inlined as literals: a
+    NARROW whole-stage-codegen projection (no UDF, no join, no
+    shuffle), the 100 TB shape for corpus-wide scoring. quality_prob
+    is 6-dp rounded (the engine's float-parity discipline);
+    zero-token docs carry NULL prob and NULL keep."""
+    ws = [float(w) for w in weights]
+    if len(ws) != len(QUALITY_CLF_FEATURES):
+        raise ValueError(
+            f"expected {len(QUALITY_CLF_FEATURES)} weights "
+            f"({', '.join(QUALITY_CLF_FEATURES)}), got {len(ws)}"
+        )
+    feats = quality_clf_feature_cols(text_col)
+    z = F.lit(float(intercept))
+    for w, fc in zip(ws, feats):
+        z = z + F.lit(w) * fc
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(prob, 6).alias("quality_prob"),
+        (F.round(prob, 6) >= F.lit(float(threshold))).alias("quality_keep"),
+    )
