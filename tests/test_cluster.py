@@ -642,6 +642,8 @@ def test_semdedup_chunked_oversize_fold(spark):
         semdedup(df, cents, 1e-9, max_cluster_rows=10)
     with pytest.raises(ValueError, match="on_oversize"):
         semdedup(df, cents, 1e-9, max_cluster_rows=10, on_oversize="nope")
+    with pytest.raises(ValueError, match="needs max_cluster_rows"):
+        semdedup(df, cents, 1e-9, on_oversize="chunk")
 
 
 def test_cluster_snapshot_load_without_schema_sidecar(spark, tmp_path):

@@ -435,6 +435,11 @@ def semdedup(
         raise ValueError(
             f"on_oversize must be 'raise' or 'chunk', got {on_oversize!r}"
         )
+    if on_oversize == "chunk" and max_cluster_rows is None:
+        raise ValueError(
+            "on_oversize='chunk' needs max_cluster_rows — it is both the "
+            "oversize threshold and the block size"
+        )
     if max_cluster_rows is not None and max_cluster_rows < 2:
         raise ValueError(
             f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
