@@ -1361,10 +1361,10 @@ def quality_clf_2m(spark, sf_dir):
     features, preset weights inlined as literals: one narrow
     whole-stage-codegen projection, zero UDFs) and keep the passers.
     Text is synthesized executor-side from `range`: variable token
-    count (5-44), rotating 12-word vocab mixing stopwords and digit
-    tokens so every feature varies. The filter predicate consumes
-    quality_keep, so the count cannot column-prune the projection
-    away."""
+    count (6-45 — F.sequence is inclusive of both ends), rotating
+    12-word vocab mixing stopwords and digit tokens so every feature
+    varies. The filter predicate consumes quality_keep, so the count
+    cannot column-prune the projection away."""
     from vicinity_spark.operators.textops import quality_classifier_score
 
     words = ["the", "a", "of", "and", "to", "cat", "dog", "tree",
@@ -1615,8 +1615,11 @@ def main():
             # thresholds a slice warm-up cannot; several heavy
             # factories additionally warm untimed) and THREE further
             # timed reps give a true min-of-3 past the JIT knee.
-            # Per-rep times are emitted in the artifact ("reps") so a
-            # hot first rep is diagnosable from the driver record alone.
+            # Per-rep times are narrated per-entry on stderr (and as
+            # one "# reps:" JSON line at the end) — r14 moved them OFF
+            # the stdout artifact line so it fits the driver's
+            # 2000-char tail; diagnose hot first reps from the stderr
+            # log, the driver record keeps only the min.
             # r9 rep policy, learned the hard way across two same-code
             # full runs hours apart (BENCHNOTES "r9 drift"): the heavy
             # shuffle entries' reps are NOISY and non-monotonic

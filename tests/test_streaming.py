@@ -2066,6 +2066,9 @@ def test_stream_semdedup_ingest_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="save one first"):
         stream_semdedup_ingest(stream, str(tmp_path / "no_layout"), 0.1)
+    layout0, _, _, _ = _semdedup_stream_fixture(spark, tmp_path, "guard0")
+    with pytest.raises(ValueError, match="compact_every_n_batches"):
+        stream_semdedup_ingest(stream, layout0, 0.1, compact_every_n_batches=0)
     layout, src, cents, snap = _semdedup_stream_fixture(spark, tmp_path, "inv")
     _run_semdedup_ingest_once(spark, src, layout)
     marker = layout + "/" + CLUSTER_INGEST_MARKER

@@ -491,6 +491,12 @@ def semdedup(
     if over:
         from pyspark.sql import Window
 
+        # the chunk branch consumes asg from FOUR subtrees (the ok
+        # fold, the block-task explode, the component universe, the
+        # final label join) on top of the size pass — checkpoint once
+        # so the Arrow assignment kernel runs a single corpus pass
+        # instead of re-executing per subtree
+        asg = asg.localCheckpoint(eager=True)
         spark = df.sparkSession
         B = int(max_cluster_rows)
         sizes = spark.createDataFrame(
@@ -604,6 +610,7 @@ def semdedup_incremental(
     snapshot_cluster_col: "str | None" = None,
     batch_cluster_col: "str | None" = None,
     max_cluster_rows: "int | None" = None,
+    prune_snapshot: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup — the cluster family's batch-vs-snapshot
     lifecycle step, mirroring the dedup family's
@@ -636,7 +643,11 @@ def semdedup_incremental(
     directories at the file scan, so a trickle batch touching 3 of
     50k clusters reads 3 directories, not the corpus. Without it the
     snapshot is assigned on the fly (one narrow pass over the
-    snapshot — correct, but no file pruning). ``batch_cluster_col``
+    snapshot — correct, but no file pruning). A caller that ALREADY
+    restricted the snapshot to the batch's clusters (the streaming
+    twin filters the member scan itself) passes
+    ``prune_snapshot=False`` and skips this pass's distinct-cluster
+    collect + filter entirely. ``batch_cluster_col``
     is the batch-side twin: a caller that already assigned the batch
     (stream_semdedup_ingest checkpoints its labels for the presence
     filter) names that column and the batch skips its re-assignment
@@ -672,20 +683,22 @@ def semdedup_incremental(
             ),
             centroids,
         )
-    # prune the snapshot to the batch's clusters. Up to 4096 distinct
-    # clusters are inlined as LITERALS (bounded driver collect) so a
-    # cluster-partitioned snapshot scan prunes partition directories
-    # STATICALLY — measured on a 1M-row layout: the broadcast
-    # semi-join alone left the narrow-batch scan reading the full
-    # layout (13.6s) where the literal filter reads only the touched
-    # directories; above the cap, fall back to the semi-join (the
-    # bm25_topk ≤4096-term inline discipline, retrieval.py)
-    bcl = nb.select("cluster_id").distinct()
-    bclusters = [int(r["cluster_id"]) for r in bcl.limit(4097).collect()]
-    if len(bclusters) <= 4096:
-        sb = sb.where(F.col("cluster_id").isin(bclusters))
-    else:
-        sb = sb.join(F.broadcast(bcl), "cluster_id")
+    if prune_snapshot:
+        # prune the snapshot to the batch's clusters. Up to 4096
+        # distinct clusters are inlined as LITERALS (bounded driver
+        # collect) so a cluster-partitioned snapshot scan prunes
+        # partition directories STATICALLY — measured on a 1M-row
+        # layout: the broadcast semi-join alone left the narrow-batch
+        # scan reading the full layout (13.6s) where the literal
+        # filter reads only the touched directories; above the cap,
+        # fall back to the semi-join (the bm25_topk ≤4096-term inline
+        # discipline, retrieval.py)
+        bcl = nb.select("cluster_id").distinct()
+        bclusters = [int(r["cluster_id"]) for r in bcl.limit(4097).collect()]
+        if len(bclusters) <= 4096:
+            sb = sb.where(F.col("cluster_id").isin(bclusters))
+        else:
+            sb = sb.join(F.broadcast(bcl), "cluster_id")
     sb = sb.withColumn("__side", F.lit(0).cast("tinyint"))
     un = nb.unionByName(sb.select(*nb.columns))
     if max_cluster_rows is not None:

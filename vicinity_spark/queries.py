@@ -4875,21 +4875,27 @@ def docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_K = 8
 
 
-def _cluster_asg_ctes() -> str:
+def _cluster_asg_ctes(keep_dist: bool = False) -> str:
     """cent + asg CTEs: nearest-preset-centroid assignment, squared-l2
     argmin with ties to the lower centroid id — exactly the
     np.argmin(first-minimum) rule of operators/cluster.py:_assign_udf
     (centroid index ≡ vec_id because the preset list is the first
-    _CLUSTER_K rows in vec_id order)."""
+    _CLUSTER_K rows in vec_id order). ``keep_dist=True`` names the
+    CTE ``asgd`` and keeps each row's distance as ``cdist`` (the
+    quantity the 'farthest' keep rule ranks on and cluster_stats
+    aggregates) — ONE definition so the tie rule and the MATERIALIZED
+    discipline can never diverge between the oracles."""
     # MATERIALIZED: inside a WITH RECURSIVE list DuckDB otherwise
     # re-inlines this window-bearing chain into every recursive
     # iteration of the closure — measured blowing a 12GB cap on a
     # 500-row table; materialized, the whole oracle runs in <1s
+    name = "asgd" if keep_dist else "asg"
+    dist_out = ", d AS cdist" if keep_dist else ""
     return f"""
 cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_CLUSTER_K}),
-asg AS MATERIALIZED (
-  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM (
-    SELECT e.vec_id, c.cid,
+{name} AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id{dist_out} FROM (
+    SELECT e.vec_id, c.cid, {sql_l2sq('e.embedding', 'c.cv')} AS d,
            row_number() OVER (
              PARTITION BY e.vec_id
              ORDER BY {sql_l2sq('e.embedding', 'c.cv')}, c.cid
@@ -4998,26 +5004,13 @@ def emb_semdedup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_asgd_cte() -> str:
-    """The `_cluster_asg_ctes` variant that KEEPS each row's squared-l2
-    distance to its assigned centroid (`cdist`) — the quantity
-    semdedup's 'farthest' keep rule ranks on and cluster_stats
-    aggregates. Spark computes it exactly in the assignment kernel
+    """`_cluster_asg_ctes(keep_dist=True)` — the distance-keeping
+    form. Spark computes cdist exactly in the assignment kernel
     (nearest_centroids' n=1 exact recompute); ulp-level summation-order
     differences between the engines only matter where two DIFFERENT
     rows' distances collide, and exact-duplicate rows collide exactly
     in both engines."""
-    return f"""
-cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_CLUSTER_K}),
-asgd AS MATERIALIZED (
-  SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS cdist FROM (
-    SELECT e.vec_id, c.cid, {sql_l2sq('e.embedding', 'c.cv')} AS d,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {sql_l2sq('e.embedding', 'c.cv')}, c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN cent c
-  ) WHERE rn = 1
-)"""
+    return _cluster_asg_ctes(keep_dist=True)
 
 
 _SEMDEDUP_FARTHEST_SQL = f"""

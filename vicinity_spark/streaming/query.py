@@ -731,6 +731,10 @@ def stream_semdedup_ingest(
             "cluster_snapshot_save(snapshot, centroids, path) (an empty "
             "canonical set is a valid start)"
         )
+    if compact_every_n_batches is not None and compact_every_n_batches < 1:
+        raise ValueError(
+            f"compact_every_n_batches must be >= 1, got {compact_every_n_batches}"
+        )
 
     def _read_marks(spark, run_id):
         try:
@@ -787,6 +791,9 @@ def stream_semdedup_ingest(
                 snapshot_cluster_col="cluster_id",
                 batch_cluster_col="cluster_id",
                 max_cluster_rows=max_cluster_rows,
+                # `touched` is already restricted to the batch's
+                # clusters above — skip the miner's own collect+filter
+                prune_snapshot=False,
             ).localCheckpoint(eager=True)  # sever the member-scan
             # lineage BEFORE appending into the folder it read
             survivors = fresh.join(
