@@ -484,3 +484,39 @@ def test_bm25_index_load_pins_stats(spark, docs_df, tmp_path):
     assert stats.collect() == before  # pinned: still the load snapshot
     _, stats2 = bm25_index_load(spark, layout)
     assert stats2.collect()[0]["n_docs"] == 999.0  # fresh load sees it
+
+
+def test_bm25_adhoc_inline_filter_equals_join(spark, docs_df):
+    """r14 optimization: the ad-hoc path inlines the (bounded) query
+    vocabulary as a literal filter on the corpus tf aggregate — the
+    predicate pushes BELOW the aggregate (a broadcast join cannot), so
+    the corpus-sized (doc, term) hash-agg shrinks to query-matched
+    postings. Must be row-identical to the broadcast-join plan
+    (inline_terms_max=0 forces it), and the inline plan must carry one
+    FEWER BroadcastHashJoin (the qvocab join replaced by the pushed
+    filter)."""
+    qdf = docs_df.where("doc_id < 2")
+    new = bm25_topk(docs_df, qdf, k=5)
+    old = bm25_topk(docs_df, qdf, k=5, inline_terms_max=0)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    # the ad-hoc localCheckpoint hides pf's lineage from the final
+    # plan, so assert the shape on the LAZY injected-postings form
+    # (ad_hoc False → no checkpoint): the inline plan replaces the
+    # qvocab broadcast join with a filter PUSHED BELOW the tf
+    # aggregate (it must sit under the partial HashAggregate, next to
+    # the Generate that explodes the token stream)
+    from vicinity_spark.operators.retrieval import bm25_index
+
+    postings, stats = bm25_index(docs_df)
+    new_l = bm25_topk(None, qdf, k=5, postings=postings, stats=stats)
+    old_l = bm25_topk(None, qdf, k=5, postings=postings, stats=stats, inline_terms_max=0)
+    assert sorted(map(tuple, new_l.collect())) == sorted(map(tuple, old_l.collect()))
+    p_new = new_l._jdf.queryExecution().executedPlan().toString()
+    p_old = old_l._jdf.queryExecution().executedPlan().toString()
+    # pf feeds two consumers (df + score), so the join plan pays the
+    # qvocab broadcast join per consumer; the inline plan replaces
+    # every one of them with the pushed literal filter
+    assert p_new.count("BroadcastHashJoin") < p_old.count("BroadcastHashJoin"), p_new
+    filt = p_new.index("Filter tok#")
+    assert p_new.index("HashAggregate") < filt, p_new[:2000]
+    assert p_new.index("Generate explode", filt) > filt, p_new[:2000]

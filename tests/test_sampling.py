@@ -528,3 +528,34 @@ def test_dsir_from_lms_requires_unk_floor(spark):
         dsir_weights_from_lms(docs, doubled, lm, features="unigram")
     # validate=False skips the eager check (per-micro-batch callers)
     dsir_weights_from_lms(docs, lm, lm, features="unigram", validate=False)
+
+
+def test_dsir_hashed_inline_lm_equals_join_plan(spark):
+    """r14 optimization: the hashed_ngram in-row scorer (LM tables
+    collected into a constant-folded per-bucket delta array) is
+    row-identical to the generic explode + broadcast-join +
+    groupBy(doc_id) plan — including zero-token docs (n_tokens=0,
+    llr NULL) — and its scoring plan carries NO Exchange (one
+    whole-stage projection; the join plan shuffles the per-doc
+    aggregation)."""
+    from vicinity_spark.operators.sampling import (
+        dsir_weights_from_lms,
+        hashed_gram_stream,
+    )
+    from vicinity_spark.operators.textops import fit_unigram_lm
+
+    docs = _dsir_docs(spark).where(F.col("text").isNotNull()).drop("grp")
+    lm_r = fit_unigram_lm(docs, token_stream=hashed_gram_stream(docs)).cache()
+    lm_t = fit_unigram_lm(
+        docs.where(F.col("doc_id") < 3),
+        token_stream=hashed_gram_stream(docs.where(F.col("doc_id") < 3)),
+    ).cache()
+    lm_r.count(), lm_t.count()
+    new = dsir_weights_from_lms(docs, lm_r, lm_t, features="hashed_ngram")
+    old = dsir_weights_from_lms(
+        docs, lm_r, lm_t, features="hashed_ngram", inline_lm=False
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -250,7 +250,7 @@ def det_topk_idx(D: np.ndarray, cap: int) -> np.ndarray:
     return out
 
 
-def _merge_parts(qids, ids, parts_d, parts_i, kk: int) -> pd.DataFrame:
+def _merge_parts(qids, ids, parts_d, parts_i, kk: int, rescore=None) -> pd.DataFrame:
     Dall = np.concatenate(parts_d, axis=1)
     Iall = np.concatenate(parts_i, axis=1)
     cap = min(kk, Dall.shape[1])
@@ -264,6 +264,28 @@ def _merge_parts(qids, ids, parts_d, parts_i, kk: int) -> pd.DataFrame:
     sel = det_topk_idx(D2, cap)
     dd = np.take_along_axis(D2, sel, axis=1)
     ii = np.take_along_axis(I2, sel, axis=1)
+    if rescore is not None:
+        # layout-independent emitted distances (r14): BLAS matrix
+        # kernels are free to pick different micro-kernels for
+        # different batch SHAPES, so the same (query, vector) pair can
+        # score an ulp apart in different partitions/cells (observed
+        # live on this round's host: exact duplicates at 0.0 in one
+        # partition and 1.11e-16 in another — the downstream global
+        # (distance, id) window then cut the WRONG duplicate ids).
+        # Re-scoring only the emitted ≤ nq×cap winners with the
+        # per-pair kernel (whose reduction runs over each row alone —
+        # shape-independent) makes every emitted value a function of
+        # the pair only, restoring the deterministic cross-partition
+        # merge the r6 hardening promised. Selection inside a batch is
+        # untouched (within one batch, identical vectors score
+        # identically, so the per-batch (value, id) cut is already
+        # deterministic); cost is nq×cap pair scores per batch vs the
+        # nq×n matrix already computed.
+        Q, X, metric = rescore
+        from vicinity_spark.operators.knn import _np_pairwise
+
+        A = np.repeat(np.asarray(Q, dtype=np.float64), cap, axis=0)
+        dd = _np_pairwise(metric, A, X[ii.ravel()]).reshape(ii.shape)
     return pd.DataFrame(
         {
             "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),
@@ -292,7 +314,10 @@ def cell_topk(qids, ids, codes, tables, m: int, kk: int) -> pd.DataFrame:
 
 def dense_cell_topk(qids, ids, X: np.ndarray, Q: np.ndarray, metric, kk: int) -> pd.DataFrame:
     """Per-query top-kk of one grid cell over DENSE vectors (the SQ /
-    exact-grid sibling of cell_topk)."""
+    exact-grid sibling of cell_topk). Emitted distances are re-scored
+    per-pair so they are independent of cell/chunk shape — see the
+    rescore note in _merge_parts (cell_topk's ADC sums are already
+    shape-independent: fixed-m reductions per row)."""
     from vicinity_spark.operators.knn import _np_distances
 
     parts_d, parts_i = [], []
@@ -302,4 +327,4 @@ def dense_cell_topk(qids, ids, X: np.ndarray, Q: np.ndarray, metric, kk: int) ->
         idx = det_topk_idx(D, cap)  # ties cut by id (see cell_topk)
         parts_d.append(np.take_along_axis(D, idx, axis=1))
         parts_i.append(idx + s)
-    return _merge_parts(qids, ids, parts_d, parts_i, kk)
+    return _merge_parts(qids, ids, parts_d, parts_i, kk, rescore=(Q, X, metric))

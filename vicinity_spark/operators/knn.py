@@ -246,7 +246,17 @@ def _partial_topk(
             idx = det_topk_idx(D, kk)
             out_qid = np.repeat(qids, kk)
             out_id = ids[idx.ravel()]
-            out_d = np.take_along_axis(D, idx, axis=1).ravel()
+            # layout-independent emitted distances (r14): re-score the
+            # ≤ q×kk winners with the per-pair kernel — BLAS matrix
+            # kernels can differ by batch SHAPE, so the same pair can
+            # score an ulp apart in different partitions and the
+            # global merge window then breaks exact-duplicate ties by
+            # the wrong ids (see grid._merge_parts rescore note; the
+            # live failure this fixes is tests/test_knn.py::
+            # test_topk_deterministic_under_duplicate_vectors_and_
+            # layouts on a host whose BLAS picks shape-dependent
+            # micro-kernels). Per-batch selection is unaffected.
+            out_d = _np_pairwise(metric, Q[np.repeat(np.arange(len(qids)), kk)], X[idx.ravel()])
             yield pd.DataFrame(
                 {"query_id": out_qid, "id": out_id, "distance": out_d}
             )

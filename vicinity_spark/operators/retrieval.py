@@ -362,6 +362,15 @@ def bm25_topk(
     list, the same class as the facade's queries×k result collect);
     larger query batches, or ``inline_terms_max=0``, fall back to
     the broadcast join + dynamic partition pruning.
+
+    In the AD-HOC path (``docs`` given, no precomputed ``postings``)
+    the same ``inline_terms_max`` collect inlines the query vocabulary
+    as a literal ``isin`` filter on the lazy corpus tf aggregate —
+    a predicate on a grouping column pushes BELOW the aggregate
+    (a broadcast join cannot), so the corpus-sized (doc, term)
+    hash-agg + exchange shrink to query-matched postings (r14;
+    guide §2.3/§2.4). Identical rows: a tok filter commutes with a
+    tok-keyed groupBy.
     """
     if k <= 0:
         raise ValueError("k must be greater than 0")
@@ -431,7 +440,34 @@ def bm25_topk(
                 BM25_TGROUP_COL
             )
     else:
-        pf = tf.join(F.broadcast(qvocab), "tok")
+        # r14 optimization: in the ad-hoc path `tf` is the LAZY
+        # bm25_index aggregate over the whole corpus, and a broadcast
+        # JOIN on tok sits ABOVE that aggregate — Spark never pushes a
+        # join below an aggregate, so the corpus-sized
+        # groupBy(doc_id, tok, dl) hash-agg + exchange ran over every
+        # (doc, term) pair (the 2M×32-token bench tier shuffles ~64M
+        # rows of which query terms match ~0.05%). Inlining the
+        # bounded query vocabulary as an `isin` LITERAL filter (the
+        # loaded-layout discipline above, same inline_terms_max cap)
+        # turns it into a plain predicate on a grouping column, which
+        # PushPredicateThroughNonJoin DOES push below the aggregate to
+        # sit directly on the exploded token stream: the aggregate and
+        # its exchange now see only query-matched postings
+        # (guide §2.3 "aggregate before you shuffle" / §2.4). Result
+        # rows are identical — a tok filter commutes with a groupBy
+        # that keys on tok. Query batches past the cap keep the
+        # broadcast-join form.
+        inlined_toks = None
+        if inline_terms_max and inline_terms_max > 0:
+            rows = qvocab.limit(inline_terms_max + 1).collect()
+            if len(rows) <= inline_terms_max:
+                inlined_toks = [r["tok"] for r in rows]
+        if inlined_toks is not None:
+            pf = tf.where(
+                F.col("tok").isin(inlined_toks) if inlined_toks else F.lit(False)
+            )
+        else:
+            pf = tf.join(F.broadcast(qvocab), "tok")
     if ad_hoc:
         pf = pf.localCheckpoint(eager=True)
     # map-side-combined aggregate, broadcast back — skew-safe where a

@@ -504,6 +504,121 @@ def resolve_dsir_features(features: str) -> str:
     return "hashed_ngram" if features == "auto" else features
 
 
+#: hashed_gram_stream's default hex_digits — the hard-capped bucket
+#: space (16^3 = 4096) the in-row scorer's literal delta array covers
+_HASHED_HEX_DIGITS = 3
+#: hashed_gram_stream's default max_n — uni+bigram features; the
+#: in-row scorer must mirror it exactly
+_HASHED_MAX_N = 2
+
+
+def _hashed_delta_literals(lm_raw: DataFrame, lm_target: DataFrame):
+    """The 16^3-entry per-bucket delta table for the hashed_ngram
+    IN-ROW scorer (see dsir_weights_from_lms), or None when either LM
+    table is not the hard-capped bucket shape (fall back to the join
+    plan). delta[bucket] = coalesce(lp_t, __unk_t) − coalesce(lp_r,
+    __unk_r) — exactly the per-stream-row value the join path's
+    full-outer LM join + coalesce computes, precomputed once per
+    bucket. The collects are bounded by the bucket cap + the floor row
+    (the ≤4096-literal driver-collect discipline of bm25_topk /
+    semdedup_incremental); a table past the cap, or without exactly
+    one '__unk__' floor row, returns None."""
+    nb = 16 ** _HASHED_HEX_DIGITS
+
+    def _to_map(lm):
+        rows = lm.limit(nb + 2).collect()
+        if len(rows) > nb + 1:
+            return None, None
+        unk, m = None, {}
+        for r in rows:
+            if r["tok"] == "__unk__":
+                if unk is not None:
+                    return None, None
+                unk = float(r["logp"])
+            elif r["logp"] is not None:
+                m[r["tok"]] = float(r["logp"])
+        return m, unk
+
+    mt, unk_t = _to_map(lm_target)
+    if unk_t is None:
+        return None
+    mr, unk_r = _to_map(lm_raw)
+    if unk_r is None:
+        return None
+    return [
+        mt.get(h, unk_t) - mr.get(h, unk_r)
+        for h in (format(b, "03x") for b in range(nb))
+    ]
+
+
+def _hashed_inrow_scores(
+    docs: DataFrame, deltas: "list[float]", text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, n_tokens, llr) as ONE whole-stage-codegen projection —
+    the r14 scoring plan for the hashed_ngram feature model: each
+    row's uni+bigram bucket indices are computed in-row (same md5 hex
+    prefix as hashed_gram_stream, converted to an integer index) and
+    summed against the constant-folded 4096-double delta array via an
+    O(1) element_at per gram. Replaces the exploded 2L−1-rows-per-doc
+    feature stream + broadcast LM join + groupBy(doc_id) + join-back
+    of the generic path (guide §2.4 remove shuffles / §4.1 built-ins):
+    zero joins, zero aggregation exchanges, identical values — the
+    per-gram delta is the same double the join path coalesces, and the
+    1e-6 rounding absorbs summation-order noise exactly as it already
+    does across engines. Token cleaning and gram construction mirror
+    hashed_gram_stream verbatim (incl. its Generate barrier: the token
+    array and the per-gram delta array are each materialized once per
+    row — the O(tokens²) re-evaluation traps documented there)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("__tk")
+    )
+    tk = F.col("__tk")
+    arr = F.array(*[F.lit(float(d)) for d in deltas])
+
+    def _gram_delta(k):
+        # dedicated single-arg closure per k (see hashed_gram_stream's
+        # _gram_hash note on F.transform's two-arg lambda pitfall)
+        def f(i):
+            idx = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tk, i, k))),
+                    1,
+                    _HASHED_HEX_DIGITS,
+                ),
+                16,
+                10,
+            ).cast("int")
+            return F.element_at(arr, idx + 1)
+
+        return f
+
+    parts = []
+    for k in range(1, _HASHED_MAX_N + 1):
+        parts.append(
+            F.when(
+                F.size(tk) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - k + 1), _gram_delta(k)
+                ),
+            ).otherwise(F.array().cast("array<double>"))
+        )
+    alld = F.concat(*parts) if len(parts) > 1 else parts[0]
+    # Generate barrier: n_tokens and the sum both read the materialized
+    # per-gram delta array — without it each consumer re-evaluates the
+    # md5 transforms (the band_buckets_rowwise measurement class)
+    staged2 = staged.select("doc_id", F.explode(F.array(alld)).alias("__ds"))
+    n = F.size("__ds")
+    return staged2.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n > 0,
+            F.round(F.aggregate("__ds", F.lit(0.0), lambda a, d: a + d), 6),
+        ).alias("llr"),
+    )
+
+
 def _require_unk(lm: DataFrame, name: str) -> None:
     """ADVICE r8: a supplied LM table missing its '__unk__' floor row
     empties the unk crossJoin and silently zeroes every scored doc —
@@ -602,6 +717,7 @@ def dsir_weights_from_lms(
     id_col: str = "doc_id",
     features: str = "auto",
     validate: bool = True,
+    inline_lm: bool = True,
 ) -> DataFrame:
     """``dsir_weights`` against PRECOMPUTED (tok, logp) LM tables (fit
     with ``fit_unigram_lm``, or swap in any externally-trained unigram
@@ -618,10 +734,30 @@ def dsir_weights_from_lms(
     exactly one '__unk__' floor row — a missing floor empties the unk
     crossJoin and silently zeroes every scored doc (ADVICE r8). The
     check is one take(2) per vocab-bounded table; per-micro-batch
-    callers that validated at build time pass validate=False."""
+    callers that validated at build time pass validate=False.
+
+    ``inline_lm`` (default True, r14): for the hashed_ngram feature
+    model, collect the (hard-capped, ≤4096-bucket) LM tables and score
+    in-row against a constant-folded per-bucket delta array — one
+    projection, no feature-stream explode/join/aggregate. Identical
+    values (the rounding contract unchanged); False forces the generic
+    join plan (the A/B hook)."""
     if validate:
         _require_unk(lm_raw, "lm_raw")
         _require_unk(lm_target, "lm_target")
+    if inline_lm and resolve_dsir_features(features) == "hashed_ngram":
+        # r14 optimization: the hashed feature model's LM tables are
+        # HARD-CAPPED at 16^3 buckets by construction, so the whole
+        # scoring decision table fits in 4096 literal doubles — score
+        # each doc IN-ROW against the constant-folded delta array
+        # instead of exploding the 2L−1-rows-per-doc feature stream
+        # through a broadcast join + groupBy(doc_id) + join-back
+        # (_hashed_inrow_scores has the plan contract; values
+        # identical, see its docstring). Tables that are not the
+        # capped shape (or inline_lm=False) keep the join plan.
+        deltas = _hashed_delta_literals(lm_raw, lm_target)
+        if deltas is not None:
+            return _hashed_inrow_scores(docs, deltas, text_col, id_col)
     unk = (
         lm_target.where(F.col("tok") == "__unk__")
         .select(F.col("logp").alias("__unk_t"))
