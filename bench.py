@@ -1556,6 +1556,26 @@ if _only:
     BENCH = {k: v for k, v in BENCH.items() if k in _keep}
 
 
+def _calibrate_host() -> float:
+    """~1s probe of this host's compute speed: min-of-2 numpy 1000x1000
+    float64 matmul seconds. Fast bare-metal hosts measure ~0.03-0.10s;
+    the emulated/throttled sandboxes that timed out the r14 driver
+    bench measure 0.8-1.9s. The rep policy keys off this so a host
+    where min-of-4 reps cannot finish degrades to min-of-2 instead of
+    producing NO artifact at all (r14 VERDICT item 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1000, 1000))
+    b = rng.random((1000, 1000))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     # stdout purity: the driver parses fd 1 as ONE JSON line, but the
     # Spark JVM inherits fd 1 and can write to it directly (observed: a
@@ -1569,8 +1589,109 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # ---- r15: timeout-proof artifact emission (r14 VERDICT item 1).
+    # The r10-r13 driver artifacts were unparseable (stdout-tail
+    # truncation, fixed r14) and the r14 runs timed out with ZERO
+    # output because the one JSON line was only written after ALL
+    # entries finished. Three layers fix that without touching what is
+    # measured:
+    #   1. a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds,
+    #      default 2700): entries that would start past 95% of it are
+    #      recorded under "skipped" and the line is emitted normally;
+    #   2. SIGTERM/SIGINT handlers (GNU timeout sends SIGTERM first)
+    #      plus a self-armed SIGALRM failsafe at budget+240s emit the
+    #      partial line before dying, so even a hung single entry
+    #      (e.g. a crashed-worker retry loop) leaves a parseable
+    #      artifact;
+    #   3. after every entry a snapshot goes to a side file for
+    #      post-mortem (never read back — nothing is cached across
+    #      runs).
+    import signal
+
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
+    t_start = time.monotonic()
+    probe = _calibrate_host()
+    slow_host = probe >= 0.3
+    print(
+        f"# calibration: 1kx1k matmul {probe:.3f}s -> "
+        f"{'SLOW host, min-of-2 rep tier' if slow_host else 'fast host, full r9 rep policy'}; "
+        f"budget {budget:.0f}s",
+        file=sys.stderr,
+    )
+
+    state = {
+        "timings": {},
+        "reps": {},
+        "failed": {},
+        "skipped": [],
+        "emitted": False,
+        "jvm_proc": None,
+    }
+
+    def _snapshot(partial: bool) -> dict:
+        out = {
+            "metric": "bench_suite_seconds",
+            "value": round(sum(state["timings"].values()), 3),
+            "unit": "sec",
+            "queries": state["timings"],
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if state["failed"]:
+            out["failed"] = state["failed"]
+        if state["skipped"]:
+            out["skipped"] = state["skipped"]
+        if partial:
+            out["partial"] = True
+        return out
+
+    def _emit(partial: bool) -> None:
+        if state["emitted"]:
+            return
+        state["emitted"] = True
+        os.write(
+            real_stdout_fd, (json.dumps(_snapshot(partial)) + "\n").encode()
+        )
+
+    partial_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PARTIAL", "/tmp/vicinity_bench_partial.json"
+    )
+
+    def _write_side_file() -> None:
+        try:
+            with open(partial_path, "w") as pf:
+                json.dump(_snapshot(partial=True), pf)
+        except OSError:
+            pass
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        print(
+            f"# bench: signal {signum} after "
+            f"{time.monotonic() - t_start:.0f}s — emitting partial artifact",
+            file=sys.stderr,
+        )
+        _emit(partial=True)
+        proc = state["jvm_proc"]
+        if proc is not None:
+            try:
+                proc.kill()  # don't leave an orphan JVM contending with the next run
+            except OSError:
+                pass
+        # under GNU timeout the driver sees rc=124 regardless; on a
+        # self-armed alarm (no external timeout yet) exit 0 so the
+        # artifact line is taken at face value
+        os._exit(0 if signum == signal.SIGALRM else 128 + signum)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(_sig, _on_signal)
+    signal.alarm(int(budget + 240))
+
     spark = get_spark("vicinity-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        state["jvm_proc"] = spark.sparkContext._gateway.proc
+    except AttributeError:
+        pass
 
     # warm the JVM + parquet footers + the shared kernel/window/grid
     # codegen paths so per-query numbers measure the plans, not
@@ -1585,10 +1706,19 @@ def main():
 
     import gc
 
-    timings = {}
-    reps_out = {}
-    failed = {}
+    timings = state["timings"]
+    reps_out = state["reps"]
+    failed = state["failed"]
     for name, fn in BENCH.items():
+        # budget guard (r15): an entry that would START past 95% of the
+        # budget is recorded as skipped, not silently absent — the
+        # artifact stays parseable and names what it is missing. A
+        # fast host finishing the suite in-budget never hits this, so
+        # the driver's normal-run suite shape is unchanged.
+        if time.monotonic() - t_start > 0.95 * budget:
+            state["skipped"].append(name)
+            print(f"# {name}: SKIPPED (budget)", file=sys.stderr)
+            continue
         try:
             if name.startswith("ann_") or name.endswith(
                 ("_200k", "_1m", "_2m", "_5m", "_1024")
@@ -1629,15 +1759,34 @@ def main():
             # sampling unless a single rep is so large that repeating
             # it would dominate the suite (≥150s single-shot, ≥90s
             # min-of-2).
+            # r15 budget-adaptive tier (r14 VERDICT item 1): on a host
+            # the calibration probe flags as slow (the class of sandbox
+            # that timed out BOTH r14 driver runs), the >=5s tier
+            # degrades from min-of-4 to min-of-2 — a biased-up min
+            # beats five straight rounds of NO artifact. Fast hosts
+            # keep the r9 policy byte-identical, so driver-host
+            # numbers stay comparable across rounds.
             if rep_times[0] >= 150.0:
                 n_more = 0
             elif rep_times[0] >= 90.0:
                 n_more = 1
             elif rep_times[0] >= 5.0:
-                n_more = 3
+                n_more = 1 if slow_host else 3
             else:
                 n_more = 1
             for _ in range(n_more):
+                # stop re-repping when the next rep (estimated at the
+                # last rep's duration) would overrun the budget
+                if (
+                    time.monotonic() - t_start + rep_times[-1]
+                    > 0.92 * budget
+                ):
+                    print(
+                        f"# {name}: budget — stopping after "
+                        f"{len(rep_times)} rep(s)",
+                        file=sys.stderr,
+                    )
+                    break
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
@@ -1663,17 +1812,8 @@ def main():
         # in the suite pay earlier entries' accumulated pressure)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        _write_side_file()
 
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "bench_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    if failed:
-        out["failed"] = failed
     # the driver records only the LAST 2000 chars of stdout: with the
     # per-rep arrays inline the full-suite line outgrew that window and
     # r10-r13 artifacts kept an unparseable tail (VERDICT r13 nit) —
@@ -1681,7 +1821,8 @@ def main():
     # the full suite) and the rep detail goes to stderr, where every
     # per-entry line already narrates it
     print("# reps: " + json.dumps(reps_out), file=sys.stderr)
-    os.write(real_stdout_fd, (json.dumps(out) + "\n").encode())
+    signal.alarm(0)
+    _emit(partial=bool(state["skipped"]))
     os.close(real_stdout_fd)
 
 
