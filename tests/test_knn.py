@@ -1074,3 +1074,55 @@ def test_det_topk_idx_matches_exact_cut():
             assert set(map(int, sel[r])) == set(map(int, ref[r])), (
                 trial, r, cap, D[r].tolist(),
             )
+
+
+def test_merge_parts_cut_ignores_chunk_shape_ulp_noise():
+    """r15 (r14 ADVICE): the merge cut must run on per-pair RESCORED
+    values, not the per-chunk BLAS values — exact duplicates split
+    across chunks of different shapes can carry ulp-different chunk
+    values, and a cap boundary inside the tie set then keeps the wrong
+    duplicate ids. Simulates the shape-dependent BLAS noise directly
+    so the pin holds on every host."""
+    import numpy as np
+
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.operators.grid import _merge_parts
+
+    dim = 4
+    base = np.ones(dim)
+    # positions 0-3 are exact duplicates of the query; 4-7 are far away
+    X = np.vstack([base] * 4 + [base * 5.0] * 4).astype(np.float64)
+    ids = np.arange(8, dtype=np.int64)
+    qids = np.array([42], dtype=np.int64)
+    Q = base[None, :]
+    ulp = 1.1102230246251565e-16
+    # simulated per-chunk kernel output: chunk A (positions 0, 1)
+    # scored its duplicates an ulp high, chunk B (positions 2, 3)
+    # exactly 0 — the true distance of every duplicate pair
+    parts_d = [np.array([[ulp, ulp]]), np.array([[0.0, 0.0]])]
+    parts_i = [np.array([[0, 1]]), np.array([[2, 3]])]
+    out = _merge_parts(
+        qids, ids, parts_d, parts_i, 3, rescore=(Q, X, Metric.L2_SQUARED)
+    )
+    # (distance, id) over TRUE values: the three smallest duplicate ids
+    assert sorted(out["id"].tolist()) == [0, 1, 2]
+    assert all(d == 0.0 for d in out["distance"].tolist())
+
+
+def test_rescore_pairs_chunked_matches_unchunked():
+    """rescore_pairs' query-row blocking is a pure memory bound: every
+    block size must produce bit-identical values (per-row reductions
+    are unaffected by row slicing)."""
+    import numpy as np
+
+    from vicinity_spark.datatypes import Metric
+    from vicinity_spark.operators.grid import rescore_pairs
+
+    rng = np.random.default_rng(3)
+    Q = rng.random((37, 16))
+    X = rng.random((50, 16))
+    ii = rng.integers(0, 50, size=(37, 9))
+    for metric in (Metric.COSINE, Metric.EUCLIDEAN, Metric.MANHATTAN):
+        full = rescore_pairs(metric, Q, X, ii)
+        tiny = rescore_pairs(metric, Q, X, ii, budget_bytes=1)
+        assert np.array_equal(full, tiny), metric

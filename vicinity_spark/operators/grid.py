@@ -250,6 +250,35 @@ def det_topk_idx(D: np.ndarray, cap: int) -> np.ndarray:
     return out
 
 
+def rescore_pairs(metric, Q: np.ndarray, X: np.ndarray, ii: np.ndarray,
+                  budget_bytes: int = 32 << 20) -> np.ndarray:
+    """Exact per-pair distances for a candidate matrix: row r of the
+    result scores (Q[r], X[ii[r, j]]) with the per-pair kernel
+    (`_np_pairwise` — per-row reductions, so the value depends only on
+    the pair, never on batch shape). Processed in query-row blocks so
+    the repeated-Q and gathered-X temporaries stay ≤ budget_bytes each
+    (r14 ADVICE: the unchunked form materialized two nq·cap × dim
+    float64 matrices — ~800 MB each at 1k queries × cap 100 × dim
+    1024 — a peak-memory term outside the _CCHUNK discipline, and the
+    prime suspect for the r14 32-worker crashes)."""
+    from vicinity_spark.operators.knn import _np_pairwise
+
+    Q = np.asarray(Q, dtype=np.float64)
+    nq, w = ii.shape
+    if nq == 0 or w == 0:
+        return np.empty((nq, w), dtype=np.float64)
+    dim = X.shape[1] if X.ndim == 2 else 1
+    out = np.empty((nq, w), dtype=np.float64)
+    rows = max(1, budget_bytes // max(1, w * dim * 8))
+    for s in range(0, nq, rows):
+        blk = ii[s : s + rows]
+        A = np.repeat(Q[s : s + rows], w, axis=0)
+        out[s : s + rows] = _np_pairwise(metric, A, X[blk.ravel()]).reshape(
+            blk.shape
+        )
+    return out
+
+
 def _merge_parts(qids, ids, parts_d, parts_i, kk: int, rescore=None) -> pd.DataFrame:
     Dall = np.concatenate(parts_d, axis=1)
     Iall = np.concatenate(parts_i, axis=1)
@@ -261,31 +290,31 @@ def _merge_parts(qids, ids, parts_d, parts_i, kk: int, rescore=None) -> pd.DataF
     ordI = np.argsort(Iall, axis=1, kind="stable")
     D2 = np.take_along_axis(Dall, ordI, axis=1)
     I2 = np.take_along_axis(Iall, ordI, axis=1)
+    if rescore is not None:
+        # layout-independent distances (r14, re-sited r15): BLAS matrix
+        # kernels are free to pick different micro-kernels for
+        # different batch SHAPES, so the same (query, vector) pair can
+        # score an ulp apart in different partitions/cells/chunks
+        # (observed live on the r14 host: exact duplicates at 0.0 in
+        # one partition and 1.11e-16 in another — the downstream
+        # (distance, id) cut then kept the WRONG duplicate ids).
+        # Re-scoring every surviving per-chunk candidate (≤ kk ×
+        # n_chunks wide) with the per-pair kernel — whose reduction
+        # runs over each row alone, hence shape-independent — makes
+        # the values a function of the pair only. r15 (ADVICE): the
+        # rescore moved BEFORE the merge cut — the r14 form rescored
+        # only the post-cut winners, so duplicates split across
+        # DIFFERENT-SHAPED chunks of one cell could still tie-break on
+        # ulp-different per-chunk values at the cap boundary; cutting
+        # on the rescored matrix closes that hole. Selection inside a
+        # chunk is untouched (one BLAS call scores identical vectors
+        # identically); cost is nq × kk·n_chunks pair scores beside
+        # the nq × n matrix already computed (<1%).
+        Q, X, metric = rescore
+        D2 = rescore_pairs(metric, Q, X, I2)
     sel = det_topk_idx(D2, cap)
     dd = np.take_along_axis(D2, sel, axis=1)
     ii = np.take_along_axis(I2, sel, axis=1)
-    if rescore is not None:
-        # layout-independent emitted distances (r14): BLAS matrix
-        # kernels are free to pick different micro-kernels for
-        # different batch SHAPES, so the same (query, vector) pair can
-        # score an ulp apart in different partitions/cells (observed
-        # live on this round's host: exact duplicates at 0.0 in one
-        # partition and 1.11e-16 in another — the downstream global
-        # (distance, id) window then cut the WRONG duplicate ids).
-        # Re-scoring only the emitted ≤ nq×cap winners with the
-        # per-pair kernel (whose reduction runs over each row alone —
-        # shape-independent) makes every emitted value a function of
-        # the pair only, restoring the deterministic cross-partition
-        # merge the r6 hardening promised. Selection inside a batch is
-        # untouched (within one batch, identical vectors score
-        # identically, so the per-batch (value, id) cut is already
-        # deterministic); cost is nq×cap pair scores per batch vs the
-        # nq×n matrix already computed.
-        Q, X, metric = rescore
-        from vicinity_spark.operators.knn import _np_pairwise
-
-        A = np.repeat(np.asarray(Q, dtype=np.float64), cap, axis=0)
-        dd = _np_pairwise(metric, A, X[ii.ravel()]).reshape(ii.shape)
     return pd.DataFrame(
         {
             "query_id": np.repeat(np.asarray(qids, dtype=np.int64), cap),

@@ -42,7 +42,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from vicinity_spark.datatypes import Metric
 from vicinity_spark.functions.metrics import clip_distance, distance_expr
-from vicinity_spark.operators.grid import det_topk_idx
+from vicinity_spark.operators.grid import det_topk_idx, rescore_pairs
 
 
 def _np_distances(metric: Metric, Q: np.ndarray, X: np.ndarray) -> np.ndarray:
@@ -256,7 +256,10 @@ def _partial_topk(
             # test_topk_deterministic_under_duplicate_vectors_and_
             # layouts on a host whose BLAS picks shape-dependent
             # micro-kernels). Per-batch selection is unaffected.
-            out_d = _np_pairwise(metric, Q[np.repeat(np.arange(len(qids)), kk)], X[idx.ravel()])
+            # r15 (ADVICE): chunked via rescore_pairs so the repeated
+            # query / gathered corpus temporaries are byte-bounded
+            # instead of two full q·kk × dim materializations.
+            out_d = rescore_pairs(metric, Q, X, idx).ravel()
             yield pd.DataFrame(
                 {"query_id": out_qid, "id": out_id, "distance": out_d}
             )

@@ -84,6 +84,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r15 (VERDICT r14 item 2): the r14 driver bench died with
+        # "Python worker exited unexpectedly (crashed)" and no Python
+        # traceback. Faulthandler in the workers turns the next such
+        # crash into an actionable stack (negligible steady-state
+        # cost: one signal-handler registration per worker). The
+        # crash-class memory term itself — unchunked pair-rescore
+        # temporaries in the knn/grid kernels — is fixed at the
+        # kernel level (grid.rescore_pairs); JVM→Python Arrow batches
+        # were already byte-bounded by Spark 4.1's 64m
+        # spark.sql.execution.arrow.maxBytesPerBatch default
+        # (BatchedPythonArrowInput honors it for mapInPandas).
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode shares one JVM between driver and executors, so
         # this caps ALL storage+execution memory. Xmx is a cap, not a
