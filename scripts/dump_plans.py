@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for every declared query to plans/r14/.
+"""Dump .explain('formatted') for every declared query to plans/<dir>/ (default r15).
 
 Usage: python scripts/dump_plans.py <suffix> [query ...]
    e.g. python scripts/dump_plans.py before          # all queries
@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "before"
 ONLY = set(sys.argv[2:])
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
 
 
 def main():

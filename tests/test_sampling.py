@@ -559,3 +559,21 @@ def test_dsir_hashed_inline_lm_equals_join_plan(spark):
     plan = new._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_hashed_delta_literals_null_unk_falls_back(spark):
+    """r15 (r14 ADVICE): a NULL-logp '__unk__' floor row (reachable
+    with validate=False) must read as 'not the capped shape' — return
+    None so dsir_weights_from_lms keeps the generic join plan — rather
+    than raising TypeError at plan-build time."""
+    from vicinity_spark.operators.sampling import _hashed_delta_literals
+
+    good = spark.createDataFrame(
+        [("00a", -1.0), ("__unk__", -9.0)], "tok string, logp double"
+    )
+    bad = spark.createDataFrame(
+        [("00a", -1.0), ("__unk__", None)], "tok string, logp double"
+    )
+    assert _hashed_delta_literals(bad, good) is None
+    assert _hashed_delta_literals(good, bad) is None
+    assert _hashed_delta_literals(good, good) is not None

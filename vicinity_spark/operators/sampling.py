@@ -532,7 +532,11 @@ def _hashed_delta_literals(lm_raw: DataFrame, lm_target: DataFrame):
         unk, m = None, {}
         for r in rows:
             if r["tok"] == "__unk__":
-                if unk is not None:
+                # a NULL-logp floor row (reachable with validate=False)
+                # is "not the capped shape": fall back to the join
+                # plan, which degrades per-row, instead of raising at
+                # plan-build time (r14 ADVICE)
+                if unk is not None or r["logp"] is None:
                     return None, None
                 unk = float(r["logp"])
             elif r["logp"] is not None:
@@ -741,7 +745,16 @@ def dsir_weights_from_lms(
     in-row against a constant-folded per-bucket delta array — one
     projection, no feature-stream explode/join/aggregate. Identical
     values (the rounding contract unchanged); False forces the generic
-    join plan (the A/B hook)."""
+    join plan (the A/B hook).
+
+    Precondition of the inline path (r14 ADVICE): ``docs`` must carry
+    UNIQUE ``id_col`` values — every declared pipeline does. The join
+    plan aggregates grams ACROSS duplicate doc_id rows (groupBy) and
+    fans the combined score back to each row; the in-row plan scores
+    each row independently. With duplicate ids the two plans disagree
+    by design — pass ``inline_lm=False`` for such inputs (matching the
+    join semantics in-row would need the exact aggregate + join-back
+    the inline path exists to remove)."""
     if validate:
         _require_unk(lm_raw, "lm_raw")
         _require_unk(lm_target, "lm_target")
