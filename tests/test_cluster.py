@@ -668,3 +668,53 @@ def test_cluster_snapshot_load_without_schema_sidecar(spark, tmp_path):
     members, loaded = cluster_snapshot_load(spark, layout)
     assert loaded == cents
     assert sorted(r["id"] for r in members.collect()) == [0, 1]
+
+
+def test_packed_assignment_matches_plain_and_roundtrips(spark):
+    """r15 packed fold internals: `_assign_pack_udf` must emit the SAME
+    cluster ids (and centroid distances) as the plain assignment path,
+    and its packed bytes must `_unpack_vecs` back to the exact float64
+    widening of the input vectors — the pair kernels' bit-identity
+    contract."""
+    import numpy as np
+
+    from vicinity_spark.operators.cluster import (
+        _assign_pack_udf,
+        _assign_dist_udf,
+        _unpack_vecs,
+    )
+
+    rows = [
+        (0, [0.1, 0.0]),
+        (1, [9.8, 10.1]),
+        (2, [0.0, 0.2]),
+        (3, [10.0, 9.9]),
+        (4, [5.0, 5.0]),  # exact tie -> lower centroid index
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    packed = {
+        r["id"]: r
+        for r in df.select(
+            "id", _assign_pack_udf(cents, with_dist=True)(F.col("vector")).alias("a")
+        )
+        .select("id", "a.cluster_id", "a.cdist", "a.packed")
+        .collect()
+    }
+    plain = {
+        r["id"]: r
+        for r in df.select(
+            "id", _assign_dist_udf(cents)(F.col("vector")).alias("a")
+        )
+        .select("id", "a.cluster_id", "a.cdist")
+        .collect()
+    }
+    assert {i: p["cluster_id"] for i, p in packed.items()} == {
+        i: p["cluster_id"] for i, p in plain.items()
+    }
+    for i in packed:
+        assert packed[i]["cdist"] == plain[i]["cdist"]  # bit-identical
+    cell = [packed[i]["packed"] for i in sorted(packed)]
+    V = _unpack_vecs(cell)
+    want = np.asarray([v for _, v in rows], dtype=np.float64)
+    assert V.shape == want.shape and (V == want).all()

@@ -106,6 +106,82 @@ def _assign_udf(centroids):
     return assign
 
 
+def _unpack_vecs(cell) -> "np.ndarray":
+    """Folded packed-vector cell (sequence of float64-byte rows) →
+    (m, dim) float64 matrix via ONE frombuffer over the concatenated
+    buffer. Replaces the per-member ndarray conversion loop the array
+    fold forced on the kernels (~cluster_size small-object
+    conversions per cluster — measured r15: the conversion, not the
+    BLAS, dominated the 200k-tier kernel at ~21 s vs ~7 s packed)."""
+    return np.frombuffer(b"".join(cell), dtype=np.float64).reshape(
+        len(cell), -1
+    )
+
+
+def _assign_pack_udf(centroids, with_dist: bool = False):
+    """The fold-feeding variant of `_assign_udf` (r15, guide §4.2):
+    one Arrow pass returns the nearest-centroid id (and optionally the
+    squared-l2 distance to it) PLUS the row's vector re-packed as
+    float64 bytes. The pack rides the assignment's existing
+    JVM→Python crossing — the kernels previously widened every member
+    to float64 anyway, so `packed` holds bit-identical values and the
+    cluster fold ships one flat binary cell per row instead of a
+    nested array the kernels must re-convert member by member."""
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from vicinity_spark.operators.grid import nearest_centroids
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Csq = (C * C).sum(axis=1)
+    fields = [StructField("cluster_id", IntegerType())]
+    if with_dist:
+        fields.append(StructField("cdist", DoubleType()))
+    fields.append(StructField("packed", BinaryType()))
+    schema = StructType(fields)
+
+    @F.pandas_udf(schema)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            cols = {"cluster_id": [], "packed": []}
+            if with_dist:
+                cols["cdist"] = []
+            return pd.DataFrame(cols)
+        Q = np.vstack(v.to_numpy()).astype(np.float64)
+        idx, best = nearest_centroids(Q, C, 1, Csq)
+        cols = {
+            "cluster_id": idx[:, 0].astype(np.int32),
+            "packed": [Q[i].tobytes() for i in range(len(Q))],
+        }
+        if with_dist:
+            cols["cdist"] = best[:, 0]
+        return pd.DataFrame(cols)
+
+    return assign
+
+
+def _pack_udf():
+    """vector → float64 bytes, for paths whose cluster labels are
+    already computed (``batch_cluster_col``/``snapshot_cluster_col``)
+    and therefore have no assignment pass to amortize the pack into.
+    Same packed layout as `_assign_pack_udf`."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def pack(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        Q = np.vstack(v.to_numpy()).astype(np.float64)
+        return pd.Series([Q[i].tobytes() for i in range(len(Q))])
+
+    return pack
+
+
 def _assign_dist_udf(centroids):
     """Same argmin kernel, returning (cluster_id, the squared-l2
     distance TO that centroid) — the extra column semdedup's
@@ -156,8 +232,9 @@ def assign_clusters(
 
 def _cluster_pairs_kernel(metric: str, max_distance: float):
     """mapInPandas kernel over cluster-folded block rows (__ids,
-    __vecs): per cluster, the within-cluster pairwise distance matrix
-    in _PCHUNK-row slices, emitting only the (id_a, id_b) edges with
+    __vecs = packed float64-byte rows, see `_assign_pack_udf`): per
+    cluster, the within-cluster pairwise distance matrix in
+    _PCHUNK-row slices, emitting only the (id_a, id_b) edges with
     distance ≤ the threshold. A MATRIX kernel, not a per-pair row
     expansion — at cluster sizes in the thousands a join that expands
     both vectors per candidate pair moves cluster_size² × dim doubles
@@ -178,9 +255,7 @@ def _cluster_pairs_kernel(metric: str, max_distance: float):
                 m = len(ids)
                 if m < 2:
                     continue
-                V = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
-                )
+                V = _unpack_vecs(pdf["__vecs"].iloc[i])
                 # collect_list order is nondeterministic; id-sort so
                 # slice boundaries (and thus float paths) are stable
                 order = np.argsort(ids, kind="stable")
@@ -244,9 +319,7 @@ def _cluster_cross_pairs_kernel(metric: str, max_distance: float):
                 m = len(ids)
                 if m < 2 or not (sides == 1).any():
                     continue
-                V = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
-                )
+                V = _unpack_vecs(pdf["__vecs"].iloc[i])
                 order = np.argsort(ids, kind="stable")
                 ids, V, sides = ids[order], V[order], sides[order]
                 if metric == "cosine":
@@ -311,9 +384,7 @@ def _cluster_block_pairs_kernel(metric: str, max_distance: float):
                 m = len(ids)
                 if m < 2:
                     continue
-                V = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
-                )
+                V = _unpack_vecs(pdf["__vecs"].iloc[i])
                 order = np.argsort(ids, kind="stable")
                 ids, V, blks = ids[order], V[order], blks[order]
                 if metric == "cosine":
@@ -447,20 +518,33 @@ def semdedup(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
     )
+    # r15 (guide §4.2): ONE packed-assignment pass replaces
+    # assign-then-fold-arrays — the Arrow crossing the assignment
+    # already pays now also emits the row's vector as float64 bytes,
+    # so every downstream fold ships a flat binary cell per row and
+    # the pair kernels rebuild each cluster with one frombuffer
+    # (values bit-identical: the kernels widened members to float64
+    # per element before).
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
     if keep == "farthest":
-        cents = [list(map(float, c)) for c in centroids]
-        if not cents:
-            raise ValueError("centroids must be non-empty")
         asg = base.withColumn(
-            "__a", _assign_dist_udf(cents)(F.col("vector"))
+            "__a", _assign_pack_udf(cents, with_dist=True)(F.col("vector"))
         ).select(
             "id",
-            "vector",
             F.col("__a.cluster_id").alias("cluster_id"),
             F.col("__a.cdist").alias("__cdist"),
+            F.col("__a.packed").alias("__packed"),
         )
     else:
-        asg = assign_clusters(base, centroids)
+        asg = base.withColumn(
+            "__a", _assign_pack_udf(cents)(F.col("vector"))
+        ).select(
+            "id",
+            F.col("__a.cluster_id").alias("cluster_id"),
+            F.col("__a.packed").alias("__packed"),
+        )
     over = []
     if max_cluster_rows is not None:
         over_q = (
@@ -521,7 +605,7 @@ def semdedup(
         # task — (blk_a, blk_b) with blk_a <= blk_b
         wblk = Window.partitionBy("cluster_id").orderBy("id")
         tasks = (
-            asg_ov.select("cluster_id", "id", "vector")
+            asg_ov.select("cluster_id", "id", "__packed")
             .join(F.broadcast(sizes), "cluster_id")
             .withColumn(
                 "__blk", ((F.row_number().over(wblk) - 1) / F.lit(B)).cast("int")
@@ -529,7 +613,7 @@ def semdedup(
             .select(
                 "cluster_id",
                 "id",
-                "vector",
+                "__packed",
                 "__blk",
                 F.explode(
                     F.transform(
@@ -546,13 +630,13 @@ def semdedup(
                 F.col("__t.ti").alias("__ti"),
                 F.col("__t.tj").alias("__tj"),
                 "id",
-                "vector",
+                "__packed",
                 "__blk",
             )
         )
         folded_ov = tasks.groupBy("cluster_id", "__ti", "__tj").agg(
             F.collect_list("id").alias("__ids"),
-            F.collect_list("vector").alias("__vecs"),
+            F.collect_list("__packed").alias("__vecs"),
             F.collect_list("__blk").alias("__blks"),
         )
         pairs_over = folded_ov.mapInPandas(
@@ -561,7 +645,7 @@ def semdedup(
         )
     folded = asg_ok.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
-        F.collect_list("vector").alias("__vecs"),
+        F.collect_list("__packed").alias("__vecs"),
     )
     pairs = folded.mapInPandas(
         _cluster_pairs_kernel(metric, float(max_distance)),
@@ -659,29 +743,48 @@ def semdedup_incremental(
         raise ValueError(
             f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
         )
+    # r15: both sides carry the vector as packed float64 bytes for the
+    # fold (see `_assign_pack_udf`); sides with a precomputed cluster
+    # column pack in a dedicated one-column Arrow pass, sides assigned
+    # here amortize the pack into the assignment's pass.
+    cents = [list(map(float, c)) for c in centroids]
     if batch_cluster_col is not None:
         nb = new_df.select(
             F.col(id_col).alias("id"),
-            F.col(vector_col).alias("vector"),
+            _pack_udf()(F.col(vector_col)).alias("__packed"),
             F.col(batch_cluster_col).cast("int").alias("cluster_id"),
         ).withColumn("__side", F.lit(1).cast("tinyint"))
     else:
-        nb = assign_clusters(
-            new_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector")),
-            centroids,
-        ).withColumn("__side", F.lit(1).cast("tinyint"))
+        if not cents:
+            raise ValueError("centroids must be non-empty")
+        nb = (
+            new_df.select(
+                F.col(id_col).alias("id"),
+                _assign_pack_udf(cents)(F.col(vector_col)).alias("__a"),
+            )
+            .select(
+                "id",
+                F.col("__a.cluster_id").alias("cluster_id"),
+                F.col("__a.packed").alias("__packed"),
+            )
+            .withColumn("__side", F.lit(1).cast("tinyint"))
+        )
     if snapshot_cluster_col is not None:
         sb = snapshot.select(
             F.col(id_col).alias("id"),
-            F.col(vector_col).alias("vector"),
+            _pack_udf()(F.col(vector_col)).alias("__packed"),
             F.col(snapshot_cluster_col).cast("int").alias("cluster_id"),
         )
     else:
-        sb = assign_clusters(
-            snapshot.select(
-                F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
-            ),
-            centroids,
+        if not cents:
+            raise ValueError("centroids must be non-empty")
+        sb = snapshot.select(
+            F.col(id_col).alias("id"),
+            _assign_pack_udf(cents)(F.col(vector_col)).alias("__a"),
+        ).select(
+            "id",
+            F.col("__a.cluster_id").alias("cluster_id"),
+            F.col("__a.packed").alias("__packed"),
         )
     if prune_snapshot:
         # prune the snapshot to the batch's clusters. Up to 4096
@@ -721,7 +824,7 @@ def semdedup_incremental(
             )
     folded = un.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
-        F.collect_list("vector").alias("__vecs"),
+        F.collect_list("__packed").alias("__vecs"),
         F.collect_list("__side").alias("__sides"),
     )
     pairs = folded.mapInPandas(

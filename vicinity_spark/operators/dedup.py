@@ -993,10 +993,31 @@ def connected_components(
     # materialize the edge list ONCE: it is the iteration-invariant
     # joined by every round, and without this a lazily-derived `pairs`
     # input (e.g. straight out of MinHash mining) would recompute its
-    # whole upstream pipeline per round
+    # whole upstream pipeline per round.
+    # r15 (guide §2.4 duplicated subtrees): both orientations come out
+    # of ONE explode over a single read of `pairs` — the old
+    # select(a,b) ∪ select(b,a) form referenced `pairs` twice, so a
+    # LAZY pairs input (every miner: the jaccard verification join,
+    # the semdedup cluster-fold kernel) executed its entire upstream
+    # pipeline twice inside this checkpoint. Measured on the semdedup
+    # 200k tier: the fold+kernel pass costs ~21 s and ran 2× (~52 s
+    # end-to-end vs ~21 s for one mining pass + closure overhead).
+    # Row-identical: explode(array(s1, s2)) emits exactly the two
+    # oriented copies the union produced.
     edges = (
-        pairs.select(F.col(a_col).alias("id"), F.col(b_col).alias("nbr"))
-        .unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nbr")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("id"), F.col(b_col).alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("id"), F.col(a_col).alias("nbr")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.id", "__e.nbr")
         .localCheckpoint(eager=True)
     )
     # materialized like edges: universe is re-read by the final left
