@@ -1,26 +1,26 @@
-"""r15 A/B: semdedup's cluster fold — array<float> collect_list vs
-packed-binary collect_list (VERDICT r14 item 6 / guide §2.3 "shuffle
+"""r15 A/B: semdedup's cluster fold — array<float> collect_list +
+per-member conversion loop (the pre-r15 shape, inlined here) vs the
+SHIPPED packed-binary fold (VERDICT r14 item 6 / guide §2.3 "shuffle
 keys and metadata, not payloads" + §4.2 Arrow re-slicing).
 
 Decomposes semdedup_200k's timed region with the noop sink (§1.4):
 
-  assign  : Arrow assignment kernel only (the floor)
-  fold    : assignment → groupBy(cluster).collect_list(id, vector)
-  pairs   : fold → matrix pair kernel           (current shape)
-  fold_p  : assignment kernel ALSO emits vector packed to float32
-            bytes → groupBy collect_list(id, packed)
-  pairs_p : packed fold → kernel that np.frombuffers one contiguous
-            buffer per cluster                  (candidate shape)
-  full    : semdedup(...) end-to-end as the bench entry runs it
+  assign   : plain Arrow assignment kernel (the old floor)
+  fold     : assignment → groupBy(cluster).collect_list(id, vector)
+  pairs_old: array fold → the pre-r15 kernel (per-member np.asarray
+             loop), inlined verbatim            (old shape)
+  fold_p   : shipped packed assignment → collect_list(id, bytes)
+  pairs_p  : packed fold → shipped frombuffer kernel   (new shape)
+  full     : shipped semdedup(...) end-to-end as the bench entry runs
 
-The packed candidate amortizes the pack into the ONE Arrow pass the
+The packed shape amortizes the pack into the ONE Arrow pass the
 assignment already pays (no new UDF stage) and replaces the
 per-member np.asarray/vstack loop (~200k ndarray conversions per rep)
-with one frombuffer per cluster. Values are bit-identical: the
-stored vectors are float32 either way and both paths widen to
-float64 before any distance math, in the same id-sorted order.
+with one frombuffer per cluster; values are bit-identical (both paths
+widen to float64 before any distance math, in the same id-sorted
+order). A pair-set equality gate runs before any timing.
 
-Prints interleaved min-of-N per case plus a pair-set equality check.
+Prints interleaved min-of-N per case.
 """
 
 import os
@@ -40,13 +40,65 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _old_pairs_kernel(metric: str, max_distance: float):
+    """The pre-r15 `_cluster_pairs_kernel`, verbatim: per-member
+    ndarray conversion + vstack instead of one frombuffer."""
+    from vicinity_spark.operators.cluster import _PCHUNK
+
+    def kernel(it):
+        for pdf in it:
+            for i in range(len(pdf)):
+                ids = np.asarray(pdf["__ids"].iloc[i], dtype=np.int64)
+                m = len(ids)
+                if m < 2:
+                    continue
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vecs"].iloc[i]]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids, V = ids[order], V[order]
+                if metric == "cosine":
+                    nrm = np.linalg.norm(V, axis=1)
+                    nrm[nrm == 0.0] = np.nan
+                    W = V / nrm[:, None]
+                else:
+                    W = V
+                    sq = (V * V).sum(axis=1)
+                out_a, out_b = [], []
+                for s in range(0, m, _PCHUNK):
+                    e = min(s + _PCHUNK, m)
+                    if metric == "cosine":
+                        D = 1.0 - W[s:e] @ W.T
+                    else:
+                        D = sq[s:e, None] + sq[None, :] - 2.0 * (W[s:e] @ W.T)
+                        if metric == "euclidean":
+                            D = np.sqrt(np.maximum(D, 0.0))
+                    with np.errstate(invalid="ignore"):
+                        ii, jj = np.nonzero(D <= max_distance)
+                    gi = ii + s
+                    keep = gi < jj
+                    if keep.any():
+                        out_a.append(ids[gi[keep]])
+                        out_b.append(ids[jj[keep]])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                        }
+                    )
+
+    return kernel
+
+
 def main():
     import bench
 
     from vicinity_spark.operators.cluster import (
-        _PCHUNK,
+        _assign_pack_udf,
         _cluster_pairs_kernel,
         assign_clusters,
+        semdedup,
     )
 
     spark = get_spark("ab-r15-semdedup-fold")
@@ -67,109 +119,41 @@ def main():
     cents = [
         r["vector"] for r in base.where(F.col("id") < 64).orderBy("id").collect()
     ]
-    C = np.asarray(cents, dtype=np.float64)
-    Csq = (C * C).sum(axis=1)
 
-    # ---- current shape ------------------------------------------------
+    # ---- old shape (pre-r15, inlined) ---------------------------------
     asg = assign_clusters(docs.select("id", "vector"), cents)
     folded = asg.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
         F.collect_list("vector").alias("__vecs"),
     )
-    pairs_cur = folded.mapInPandas(
-        _cluster_pairs_kernel("cosine", 1e-9), "id_a long, id_b long"
+    pairs_old = folded.mapInPandas(
+        _old_pairs_kernel("cosine", 1e-9), "id_a long, id_b long"
     )
 
-    # ---- packed candidate --------------------------------------------
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    from vicinity_spark.operators.grid import nearest_centroids
-
-    out_schema = StructType(
-        [
-            StructField("cluster_id", IntegerType()),
-            StructField("packed", BinaryType()),
-        ]
-    )
-
-    @F.pandas_udf(out_schema)
-    def assign_pack(v: pd.Series) -> pd.DataFrame:
-        Q = np.vstack(v.to_numpy()).astype(np.float64)
-        idx, _ = nearest_centroids(Q, C, 1, Csq)
-        Q32 = Q.astype(np.float32)
-        return pd.DataFrame(
-            {
-                "cluster_id": idx[:, 0].astype(np.int32),
-                "packed": [Q32[i].tobytes() for i in range(len(Q32))],
-            }
-        )
-
+    # ---- shipped packed shape ------------------------------------------
+    cents_f = [list(map(float, c)) for c in cents]
     asg_p = docs.select(
-        "id", assign_pack(F.col("vector")).alias("__a")
+        "id", _assign_pack_udf(cents_f)(F.col("vector")).alias("__a")
     ).select(
         "id",
         F.col("__a.cluster_id").alias("cluster_id"),
-        F.col("__a.packed").alias("packed"),
+        F.col("__a.packed").alias("__packed"),
     )
     folded_p = asg_p.groupBy("cluster_id").agg(
         F.collect_list("id").alias("__ids"),
-        F.collect_list("packed").alias("__vecs"),
+        F.collect_list("__packed").alias("__vecs"),
+    )
+    pairs_pk = folded_p.mapInPandas(
+        _cluster_pairs_kernel("cosine", 1e-9), "id_a long, id_b long"
     )
 
-    def packed_kernel(it):
-        for pdf in it:
-            for i in range(len(pdf)):
-                ids = np.asarray(pdf["__ids"].iloc[i], dtype=np.int64)
-                m = len(ids)
-                if m < 2:
-                    continue
-                V = (
-                    np.frombuffer(
-                        b"".join(pdf["__vecs"].iloc[i]), dtype=np.float32
-                    )
-                    .reshape(m, -1)
-                    .astype(np.float64)
-                )
-                order = np.argsort(ids, kind="stable")
-                ids, V = ids[order], V[order]
-                nrm = np.linalg.norm(V, axis=1)
-                nrm[nrm == 0.0] = np.nan
-                W = V / nrm[:, None]
-                out_a, out_b = [], []
-                for s in range(0, m, _PCHUNK):
-                    e = min(s + _PCHUNK, m)
-                    D = 1.0 - W[s:e] @ W.T
-                    with np.errstate(invalid="ignore"):
-                        ii, jj = np.nonzero(D <= 1e-9)
-                    gi = ii + s
-                    keep = gi < jj
-                    if keep.any():
-                        out_a.append(ids[gi[keep]])
-                        out_b.append(ids[jj[keep]])
-                if out_a:
-                    yield pd.DataFrame(
-                        {
-                            "id_a": np.concatenate(out_a),
-                            "id_b": np.concatenate(out_b),
-                        }
-                    )
-
-    pairs_pk = folded_p.mapInPandas(packed_kernel, "id_a long, id_b long")
-
-    # ---- equality gate (before any timing) ---------------------------
-    a = sorted(map(tuple, pairs_cur.collect()))
+    # ---- equality gate (before any timing) ----------------------------
+    a = sorted(map(tuple, pairs_old.collect()))
     b = sorted(map(tuple, pairs_pk.collect()))
     print(f"pair sets equal: {a == b}  ({len(a)} pairs)", flush=True)
     if a != b:
         print("ABORT: packed kernel is not row-identical", flush=True)
         return
-
-    from vicinity_spark.operators.cluster import semdedup
 
     def full():
         out = semdedup(docs, cents, max_distance=1e-9)
@@ -181,7 +165,7 @@ def main():
     cases = {
         "assign": lambda: _noop(asg),
         "fold": lambda: _noop(folded),
-        "pairs": lambda: _noop(pairs_cur),
+        "pairs_old": lambda: _noop(pairs_old),
         "fold_p": lambda: _noop(folded_p),
         "pairs_p": lambda: _noop(pairs_pk),
         "full": full,
