@@ -223,6 +223,7 @@ def test_cluster_stats(spark):
         cluster_stats(df, [])
 
 
+@pytest.mark.slow
 def test_semdedup_runaway_cluster_guard(spark):
     """r13 (VERDICT r12 item 6): `max_cluster_rows` turns the
     documented k-sizing contract into an enforced one — a planted
@@ -256,6 +257,7 @@ def test_semdedup_runaway_cluster_guard(spark):
         semdedup(df, cents, max_distance=0.01, max_cluster_rows=1)
 
 
+@pytest.mark.slow
 def test_cluster_curate_composition(spark):
     """r13 (VERDICT r12 item 8): the one-call pipeline — preset
     centroids, planted in-cluster dups, a head cluster bigger than
@@ -330,6 +332,7 @@ def test_semdedup_incremental_closed_form(spark):
     assert rows[103] == (103, True)
 
 
+@pytest.mark.slow
 def test_semdedup_incremental_matches_full_on_clean_snapshot(spark):
     """When the snapshot has no internal near-pairs (it is the
     canonical survivor set by construction), every edge of the full
@@ -372,6 +375,7 @@ def test_semdedup_incremental_matches_full_on_clean_snapshot(spark):
     assert inc2 == inc
 
 
+@pytest.mark.slow
 def test_semdedup_incremental_guard_and_cross_cluster_trade(spark):
     """The union-sized runaway guard fires; an equally-near pair
     straddling two clusters stays unflagged (the documented SemDeDup
@@ -435,6 +439,7 @@ def test_cluster_snapshot_pruned_scan(spark, tmp_path):
     assert pf and "cluster_id" in pf[0], plan
     assert touched.count() == 20
 
+@pytest.mark.slow
 def test_semdedup_incremental_batch_cluster_col(spark):
     """r14 (VERDICT r13 item 8): passing precomputed batch labels via
     batch_cluster_col yields identical labels to the assign-on-the-fly
@@ -514,6 +519,7 @@ def test_cluster_snapshot_empty_bootstrap(spark, tmp_path):
     assert rows == {1: (1, True), 2: (2, True), 3: (3, True)}
 
 
+@pytest.mark.slow
 def test_cluster_snapshot_compact(spark, tmp_path):
     """r14 (VERDICT r13 item 5): compaction rewrites ONLY overgrown
     cluster directories back to one file, preserves every row and the
@@ -571,6 +577,7 @@ def test_cluster_snapshot_compact(spark, tmp_path):
         cluster_snapshot_compact(spark, str(tmp_path / "nope"))
 
 
+@pytest.mark.slow
 def test_cluster_curate_joinback_paths(spark, monkeypatch):
     """r14 (VERDICT r13 item 6 + ADVICE): the join-back picks
     broadcast vs plain equi-join from the ALGEBRAIC k x n_per_cluster
@@ -603,6 +610,7 @@ def test_cluster_curate_joinback_paths(spark, monkeypatch):
     assert {r["cluster_id"] for r in out.collect()} <= {0, 1}
 
 
+@pytest.mark.slow
 def test_semdedup_chunked_oversize_fold(spark):
     """r14 (VERDICT r13 item 7): a planted 10x over-budget cluster
     completes under on_oversize='chunk' with labels EQUAL to the

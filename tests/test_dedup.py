@@ -152,6 +152,7 @@ def test_connected_components_chains_and_singletons(spark):
     assert got2.where(F.col("rep") != 0).count() == 0
 
 
+@pytest.mark.slow
 def test_dedup_e2e_composition(spark):
     """The pairs→components→survivors composition (bench entry
     dedup_e2e_200k) at a small tier: 3000 unique docs + 60 planted
@@ -173,6 +174,7 @@ def test_dedup_e2e_composition(spark):
     assert all(rep == i - 3000 for i, rep in planted.items())
 
 
+@pytest.mark.slow
 def test_band_buckets_onepass_equals_row_form(spark):
     """The one-shuffle band-bucket computation (r5) must be
     row-identical to minhash_signatures -> minhash_band_buckets for
@@ -251,6 +253,7 @@ def test_shingles_matches_window_form(spark):
     assert plan.count("Exchange") <= 2  # distinct = partial+final around 1 exchange
 
 
+@pytest.mark.slow
 def test_band_buckets_rowwise_matches_onepass(spark):
     """r6: the zero-shuffle rowwise band-bucket projection must be
     row-identical to band_buckets_onepass over shingles(docs) for both
@@ -288,6 +291,7 @@ def test_band_buckets_rowwise_matches_onepass(spark):
     )
 
 
+@pytest.mark.slow
 def test_minhash_lsh_pairs_rowwise_matches(docs_df):
     """r6: the candidate-bounded rowwise miner returns exactly the
     pairs (and jaccard values) of minhash_lsh_pairs for both hash
@@ -311,6 +315,7 @@ def test_minhash_lsh_pairs_rowwise_matches(docs_df):
         assert (0, 1) in got  # planted exact dup survives end to end
 
 
+@pytest.mark.slow
 def test_simhash_rowwise_matches(spark, docs_df):
     """r6: the zero-shuffle rowwise SimHash must be row-identical to
     simhash_fingerprints (exploded votes + groupBy), including the
@@ -349,6 +354,7 @@ def spark_prop(spark):
 
 @settings(max_examples=10, deadline=None)
 @given(texts=_corpus)
+@pytest.mark.slow
 def test_rowwise_forms_match_exploded_property(spark_prop, texts):
     """For ARBITRARY small corpora (repeated words, empty docs,
     too-short docs — whatever hypothesis finds), the r6 rowwise
@@ -1098,6 +1104,7 @@ def test_neardup_dedup_defaults_and_giant_cluster(spark):
     assert len(ids) == 1 + 1 + 20
 
 
+@pytest.mark.slow
 def test_neardup_dedup_cap_observation(spark, caplog):
     """r10 (VERDICT r9 item 7): the composed entry point reports its
     cap drops by DEFAULT — a planted cluster of >cap NEAR-identical
@@ -1237,6 +1244,7 @@ def test_strip_shared_spans_hash_keys_matches_exact(spark):
         assert a == b and len(a) == 13
 
 
+@pytest.mark.slow
 def test_append_corpus_buckets_grows_snapshot(spark, tmp_path):
     """save(A) + append(B) must probe identically to save(A ∪ B): the
     appended rows land in the same pruning-ready layout with the
@@ -1274,6 +1282,7 @@ def test_append_corpus_buckets_grows_snapshot(spark, tmp_path):
     assert g == w and len(g) > 0
 
 
+@pytest.mark.slow
 def test_compact_corpus_buckets(spark, tmp_path):
     """N appends → compact → the probe still finds identical pairs
     through a still-DPP-pruned plan, every rewritten (band, bpart)

@@ -134,6 +134,7 @@ def test_lsh_hamming_bit_sampling_recall(spark):
     assert hits / 50 >= 0.8, f"hamming LSH recall {hits/50}"
 
 
+@pytest.mark.slow
 def test_graph_tiny_corpus_and_k_clamp(spark):
     """Graph strategy degrades gracefully: corpus smaller than k_build,
     k larger than the corpus (clamped by rank), single-row corpus."""
@@ -157,6 +158,7 @@ def test_graph_tiny_corpus_and_k_clamp(spark):
     assert len(r1) == 1 and r1[0]["id"] == 7
 
 
+@pytest.mark.slow
 def test_graph_non_contiguous_ids(spark):
     """Regression (r2 ADVICE): the NN-descent seed ring must not assume
     dense ids 0..n-1. With sparse/arbitrary ids (monotonically_increasing_id
@@ -203,6 +205,7 @@ def test_graph_non_contiguous_ids(spark):
     assert hits / 50 == 1.0, f"graph recall with sparse ids {hits/50}"
 
 
+@pytest.mark.slow
 def test_pq_paths_never_collect_query_table(spark, monkeypatch):
     """The PQ/IVFPQ query path computes ADC tables executor-side from
     closure codebooks + joined query blocks (r2 VERDICT item 4). Guard
@@ -244,6 +247,7 @@ def test_pq_paths_never_collect_query_table(spark, monkeypatch):
         assert hits >= 18
 
 
+@pytest.mark.slow
 def test_lsh_sparse_plane_family(spark):
     """The sparse ±1 projection family (Achlioptas-style): each plane
     has exactly one +1 and one -1 coordinate, buckets are deterministic
@@ -281,6 +285,7 @@ def test_lsh_sparse_plane_family(spark):
     assert all(top[q] == q for q in range(10))
 
 
+@pytest.mark.slow
 def test_ivfpqr_refinement_code_rerank(spark, tmp_path):
     """refine_m > 0 = the FAISS ivfpqr trade (faiss.py:111-113):
     candidates re-rank from centroid + PQ + refinement-PQ codes, never
@@ -458,6 +463,7 @@ def test_knn_empty_query_table_all_algorithms(spark):
         assert res.columns == ["query_id", "id", "distance", "rank"], algo
 
 
+@pytest.mark.slow
 def test_graph_ivf_seeding_recall_and_param_roundtrip(spark):
     """seed_mode="ivf" (r4 VERDICT item 3): per-query centroid seeds
     replace the fixed entry-ring crossJoin. At generous params the
@@ -519,6 +525,7 @@ def test_graph_ivf_seeding_recall_and_param_roundtrip(spark):
     built.unpersist()
 
 
+@pytest.mark.slow
 def test_graph_ivf_seeding_inserted_rows_reachable(spark):
     """Under seed_mode="ivf" the __inserted frontier union still makes
     appended rows reachable: a brand-new vector identical to the query
@@ -588,6 +595,7 @@ def test_ivf_preset_centroids_build_assigns_argmin(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_graph_ivf_seed_state_survives_save_reload(spark, tmp_path):
     """seed_mode='ivf' stores its centroids + member ids in params, so
     a reloaded store must answer from the persisted seed state without
@@ -756,6 +764,7 @@ def test_pq_pool_deterministic_under_duplicate_codes(spark):
     assert [r[1] for r in results[0][:3]] == [0, 2, 4]
 
 
+@pytest.mark.slow
 def test_lsh_expr_bucketize_matches_arrow_kernel(spark):
     """r6: the pure-Catalyst bucketize for the sparse ±1 and
     bit-sampling families must be BIT-IDENTICAL to the Arrow kernel
@@ -846,6 +855,7 @@ SF01_DIR = "/root/testdata/sf0.1"
 @pytest.mark.skipif(
     not __import__("os").path.isdir(SF01_DIR), reason="driver testdata not present"
 )
+@pytest.mark.slow
 def test_graph_bench_operating_point_recall_floor(spark):
     """r6 VERDICT item 5, retuned in r7: the bench's graph operating
     point moved to k_build=32 / beam=96 (BENCHNOTES "build-side
@@ -919,6 +929,7 @@ def test_nonfinite_corpus_vectors_rank_last_all_algorithms(spark):
         )  # reported as NaN, never 0.0
 
 
+@pytest.mark.slow
 def test_graph_searched_collect_visited_pool_identical(spark):
     """r8: the collect_visited diagnostics path must return the SAME
     pool as the serving path (it only changes bookkeeping/laziness),
@@ -954,6 +965,7 @@ def test_graph_searched_collect_visited_pool_identical(spark):
         assert {(qid, 0), (qid, 1), (qid, 2)} <= vis
 
 
+@pytest.mark.slow
 def test_graph_build_deterministic_across_builds(spark):
     """Seeded build: two independent builds over the same rows yield
     identical adjacency (the determinism the SQL-replayed recall

@@ -122,6 +122,7 @@ _vec = st.lists(_finite, min_size=4, max_size=4)
 
 @settings(max_examples=15, deadline=None)
 @given(a=_vec, b=_vec)
+@pytest.mark.slow
 def test_metric_properties_hold(spark_prop, a, b):
     """Symmetry d(a,b)=d(b,a), identity d(a,a)∈{0,·}, clip ≥ 0, and
     kernel-vs-numpy agreement for every metric on arbitrary vectors."""

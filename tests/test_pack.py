@@ -108,6 +108,7 @@ _doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
 
 @settings(max_examples=10, deadline=None)
 @given(texts=st.lists(_doc, min_size=1, max_size=8), seq_len=st.integers(1, 7))
+@pytest.mark.slow
 def test_pack_sequences_property(spark, texts, seq_len):
     """For ARBITRARY corpora and seq_len, the two-phase plan equals the
     naive single-stream reference at two different range counts."""

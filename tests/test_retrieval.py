@@ -187,6 +187,7 @@ def test_bm25_plan_shape(spark, docs_df):
     assert plan.count("Window ") <= 1, plan
 
 
+@pytest.mark.slow
 def test_bm25_partitioning_invariant(spark, docs_df):
     """Results identical under a different corpus partitioning — the
     6-dp rounding before the rank absorbs partial-sum reordering."""
@@ -196,6 +197,7 @@ def test_bm25_partitioning_invariant(spark, docs_df):
     assert a == b
 
 
+@pytest.mark.slow
 def test_stream_bm25_serve_matches_batch(spark, tmp_path):
     """r11: lexical serving twin — the union of per-trigger BM25
     top-k rows equals one batch bm25_topk pass over the same queries,
@@ -301,6 +303,7 @@ def test_rrf_three_lists_closed_form(spark):
         rrf_fuse(k=10)
 
 
+@pytest.mark.slow
 def test_bm25_index_roundtrip(spark, docs_df, tmp_path):
     """r12 (VERDICT r11 item 4): build → save → load → bm25_topk
     equality with the in-session index, and the loaded layout's scan
@@ -348,6 +351,7 @@ def test_bm25_index_roundtrip(spark, docs_df, tmp_path):
     assert "dynamicpruning" in part2[1][:400], plan2
 
 
+@pytest.mark.slow
 def test_bm25_index_append_equals_rebuild(spark):
     """r12 (VERDICT r11 item 7): appending a batch to an index equals
     rebuilding from the concatenated corpus — postings row-identical,
@@ -379,6 +383,7 @@ def test_bm25_index_append_equals_rebuild(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bm25_index_append_on_loaded_layout(spark, tmp_path):
     """Append onto a loaded layout: the batch rows adopt the
     partition key so the union re-saves without special casing, and a

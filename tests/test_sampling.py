@@ -377,6 +377,7 @@ def test_dsir_weights_matches_numpy_reference(spark):
     assert got == pytest.approx(expect, abs=2e-6)
 
 
+@pytest.mark.slow
 def test_dsir_select_and_sample(spark):
     from vicinity_spark.operators.sampling import dsir_sample, dsir_select
 
@@ -403,6 +404,7 @@ def test_dsir_select_and_sample(spark):
         dsir_sample(raw, target, k=-1)
 
 
+@pytest.mark.slow
 def test_dsir_sample_tracks_weights(spark):
     """Over many salts, the Gumbel-top-k sample includes high-llr docs
     more often than low-llr docs — inclusion tracks exp(llr)."""
@@ -422,6 +424,7 @@ def test_dsir_sample_tracks_weights(spark):
     assert hits[4] >= 9  # included in nearly every draw at k=2 of 4
 
 
+@pytest.mark.slow
 def test_hashed_gram_stream_and_dsir_hashed_features(spark):
     """hashed_gram_stream = md5-hex-prefix buckets of every uni+bigram
     (non-distinct, order-seen counts), and dsir_weights over it matches

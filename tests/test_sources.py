@@ -95,6 +95,7 @@ def test_unknown_format_rejected(spark, docs, tmp_path):
         write_documents(docs, str(tmp_path / "x"), "xml")
 
 
+@pytest.mark.slow
 def test_formats_feed_operators_identically(spark, tmp_path, docs, embs):
     """The point of the enforced schema: the SAME operator output from
     any format — dedup fingerprints over documents, exact knn over

@@ -155,6 +155,7 @@ def test_bigram_logprob_closed_form(spark):
         assert got[i] == (len(ts), round(-s / len(ts), 6)), i
 
 
+@pytest.mark.slow
 def test_bigram_lm_cap_deterministic_and_backoff(spark):
     """The top-N cap keeps the (count desc, w1, w2) head; capped-out
     pairs score through the backoff, so a capped model's xent is >=

@@ -281,6 +281,7 @@ def test_ivf_save_partitions_inverted_lists(spark, data, tmp_path):
     assert loaded.query(qvec, k=3) == store.query(qvec, k=3)
 
 
+@pytest.mark.slow
 def test_lsh_save_partitions_posting_lists(spark, data, tmp_path):
     """LSH stores persist an exploded posting-list layout partitioned
     by a bounded bucket-group key; reloaded probing joins it with
@@ -480,6 +481,7 @@ def test_query_filtered_search(spark, data, backend):
         assert got == expect
 
 
+@pytest.mark.slow
 def test_graph_save_reload_answers_without_rebuild(spark, data, tmp_path, monkeypatch):
     """The graph layout (`__nbrs` adjacency column) round-trips through
     plain parquet; a reloaded store must answer queries from the
@@ -545,6 +547,7 @@ def test_threshold_df_filtered(spark):
     assert {r["id"] for r in odd_q} == {i for i in full if i % 2 == 1}
 
 
+@pytest.mark.slow
 def test_store_insert_lineage_bounded(spark, data):
     """r11 (the store-level twin of the LSH branch lifecycle): every
     insert() extends the plan by one lazy unionByName, so an
@@ -581,6 +584,7 @@ def test_store_insert_lineage_bounded(spark, data):
     assert all(f'"ins{i}"' in got for i in range(n_inserts))
 
 
+@pytest.mark.slow
 def test_lsh_insert_branch_lifecycle_and_resave(spark, data, tmp_path):
     """r11 (VERDICT item 4 + r10 ADVICE): many small inserts between
     saves must keep the side-postings plan BOUNDED (every

@@ -823,6 +823,7 @@ def test_stream_clean_pipeline(spark, tmp_path):
         assert r.pl == ls[r.doc_id]
 
 
+@pytest.mark.slow
 def test_stream_clean_then_neardup_composition(spark, tmp_path):
     """Capstone composition (r6): stream_clean's output (one
     dropDuplicatesWithinWatermark) feeds stream_neardup_candidates'
@@ -881,6 +882,7 @@ def test_stream_clean_then_neardup_composition(spark, tmp_path):
     assert not any(1 in p for p in pairs)  # low-quality never bucketed
 
 
+@pytest.mark.slow
 def test_stream_neardup_rocksdb_state_store(spark, tmp_path):
     """r6 VERDICT item 6: the 100 TB streaming claim leans on state
     eviction — run the near-dup stateful operator once on the
@@ -941,6 +943,7 @@ def test_stream_neardup_rocksdb_state_store(spark, tmp_path):
     assert saw_rocksdb, "RocksDB provider conf did not engage (no rocksdb metrics)"
 
 
+@pytest.mark.slow
 def test_stream_clean_redacts_pii(spark, tmp_path):
     """stream_clean(redact=True): PII is scrubbed from emitted
     survivors by a stateless projection — the query still has exactly
@@ -1010,6 +1013,7 @@ def test_stateless_minhash_tokenroll_shingle_one(spark):
     assert len(sigs[4]) == 8
 
 
+@pytest.mark.slow
 def test_stream_neardup_vs_snapshot_matches_batch(spark, tmp_path):
     """r8: streaming daily-ingest dedup against the PERSISTED corpus
     bucket snapshot — every micro-batch is planned as a BATCH query
@@ -1080,6 +1084,7 @@ def test_stream_neardup_vs_snapshot_matches_batch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_lm_scores_matches_batch(spark, tmp_path):
     """r8: streaming LM scoring against precomputed LM tables — the
     union of per-trigger (xent, llr) rows equals one batch scoring
@@ -1203,6 +1208,7 @@ def test_stream_lm_scores_bigram_matches_batch(spark, tmp_path):
         assert (n_tokens, xent) == want[doc_id]
 
 
+@pytest.mark.slow
 def test_stream_daily_ingest_loop(spark, tmp_path):
     """r9 (VERDICT item 6): the COMPOSED daily-ingest loop — probe →
     filter survivors → append their buckets + text → score — as one
@@ -1362,6 +1368,7 @@ def _run_ingest_once(spark, src_dir, snap, ctext, got, **kw):
     q.awaitTermination(240)
 
 
+@pytest.mark.slow
 def test_stream_daily_ingest_within_batch_replay_compaction(spark, tmp_path):
     """r10 hardening of the composed ingest loop, three properties:
 
@@ -1478,6 +1485,7 @@ def test_stream_daily_ingest_partial_commit_recovery(spark, tmp_path):
     assert committed == {"buckets": 0, "text": 0}
 
 
+@pytest.mark.slow
 def test_stream_daily_ingest_single_signature_pass(spark, tmp_path, monkeypatch, caplog):
     """r11 (VERDICT items 1 + 6): the composed loop signs each
     micro-batch exactly ONCE — band_buckets_rowwise (the only entry to
@@ -1530,6 +1538,7 @@ def test_stream_daily_ingest_single_signature_pass(spark, tmp_path, monkeypatch,
     assert warns and "within-batch self-mine" in warns[0].message
 
 
+@pytest.mark.slow
 def test_stream_daily_ingest_append_committed_sidecar_unwritten(spark, tmp_path):
     """r11 (VERDICT item 3): the residual double-append window — the
     trigger crashed AFTER both parquet appends committed but BEFORE
@@ -1574,6 +1583,7 @@ def test_stream_daily_ingest_append_committed_sidecar_unwritten(spark, tmp_path)
     ) == text_ids  # zero duplicate text rows
 
 
+@pytest.mark.slow
 def test_stream_daily_ingest_checkpoint_reset_new_data(spark, tmp_path):
     """r10 ADVICE (medium): a fresh checkpoint restarts batch ids at
     0, so NEW data arrives under a batch_id the sidecar already marked
@@ -1667,6 +1677,7 @@ def _run_bm25_ingest_once(spark, src, layout, **kw):
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_grows_layout(spark, tmp_path):
     """r12: the BM25 maintenance twin — after two streamed batches the
     loaded layout scores EXACTLY like a batch rebuild over the full
@@ -1703,6 +1714,7 @@ def test_stream_bm25_ingest_grows_layout(spark, tmp_path):
         assert len(pyglob.glob(f"{d}/*.parquet")) == 1, d
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_replay_appends_nothing(spark, tmp_path):
     """At-least-once redelivery under a FRESH checkpoint (harder than
     same-run: batch ids restart and the run-scoped marks reset) — the
@@ -1728,6 +1740,7 @@ def test_stream_bm25_ingest_replay_appends_nothing(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_partial_commit_recovery(spark, tmp_path):
     """The crash window: a prior attempt appended batch 0's POSTINGS
     but died before the doclens append and the sidecar write. The
@@ -1785,6 +1798,7 @@ def test_stream_bm25_ingest_requires_doclens(spark, tmp_path):
         stream_bm25_ingest(stream, layout)
 
 
+@pytest.mark.slow
 def test_bm25_index_save_invalidates_ingest_sidecar(spark, tmp_path):
     """A fresh bm25_index_save over a previously-ingested path is a
     REBUILD: the leftover ingest sidecar (old corpus's running totals
@@ -1873,6 +1887,7 @@ def test_stream_bm25_serve_from_loaded_layout(spark, tmp_path):
     assert sorted(got) == want
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_legacy_sidecar_distrusted(spark, tmp_path):
     """r13 (r12 ADVICE): a sidecar whose run id is missing cannot
     CERTIFY its high-water batch mark — a later run must distrust the
@@ -2004,6 +2019,7 @@ def _run_semdedup_ingest_once(spark, src, layout, **kw):
     q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_grows_snapshot(spark, tmp_path):
     """r13: after two streamed batches the layout holds exactly the
     canonical survivors (dups of history and within-batch dups
@@ -2030,6 +2046,7 @@ def test_stream_semdedup_ingest_grows_snapshot(spark, tmp_path):
     assert got_ids == [0, 1, 2, 3, 101, 201]  # snapshot + the two survivors
 
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_replay_appends_nothing(spark, tmp_path):
     """Fresh-checkpoint redelivery: batch ids restart, the run-scoped
     mark is distrusted, and the presence filter drops every
@@ -2046,6 +2063,7 @@ def test_stream_semdedup_ingest_replay_appends_nothing(spark, tmp_path):
     assert sorted(map(tuple, m2.collect())) == rows1
 
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_guards(spark, tmp_path):
     """Missing layout is rejected with the save-first message; a fresh
     cluster_snapshot_save invalidates a leftover ingest sidecar (the
@@ -2077,6 +2095,7 @@ def test_stream_semdedup_ingest_guards(spark, tmp_path):
     with pytest.raises(ValueError):
         _read_sidecar(spark, marker)  # sidecar invalidated by the save
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_empty_bootstrap(spark, tmp_path):
     """r14 (ADVICE r13): starting from a ZERO-row saved snapshot — the
     bootstrap the docstring promises — the first trigger loads the
@@ -2107,6 +2126,7 @@ def test_stream_semdedup_ingest_empty_bootstrap(spark, tmp_path):
     assert sorted(r["id"] for r in members.collect()) == [100, 102]
 
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_compaction_cadence(spark, tmp_path):
     """r14 (VERDICT r13 item 5): with compact_every_n_batches=1 every
     committed trigger compacts overgrown cluster directories in-loop,
